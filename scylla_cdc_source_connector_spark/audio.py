@@ -1,0 +1,215 @@
+"""Audio payload handling — vectorized codecs + Arrow-batched Spark UDFs.
+
+The reference treats the audio column as an opaque BLOB (CQL BLOB →
+OPTIONAL_BYTES, ScyllaSchema.java:315-316).  Per BASELINE.json input_hint the
+new engine must additionally decode PCM by codec/sr_hz and validate SNR ≥ 30
+dB, with zero per-row Python — everything below is numpy-vectorized inside
+Arrow batches (mapInPandas / pandas_udf).
+
+Codecs implemented from the public ITU-T G.711 specification (µ-law / A-law
+companding) and plain little-endian signed 16-bit PCM.  No external audio
+libraries are required; anything else (mp3/opus/...) is stubbed behind
+UnsupportedCodecError so the Spark-side plumbing stays real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+SUPPORTED_CODECS = ("pcm_s16le", "ulaw", "alaw")
+
+
+class UnsupportedCodecError(NotImplementedError):
+    """Raised for codecs whose decoder is not baked into this container."""
+
+
+# --------------------------------------------------------------------------
+# G.711 µ-law (ITU-T G.711, µ=255) — vectorized
+# --------------------------------------------------------------------------
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM → uint8 µ-law bytes (vectorized)."""
+    x = pcm.astype(np.int32)
+    sign = (x < 0).astype(np.uint8) * 0x80
+    x = np.abs(x)
+    np.clip(x, 0, _ULAW_CLIP, out=x)
+    x = x + _ULAW_BIAS
+    # exponent = position of highest set bit above bit 7
+    exponent = (np.floor(np.log2(x)) - 7).astype(np.int32)
+    np.clip(exponent, 0, 7, out=exponent)
+    mantissa = (x >> (exponent + 3)) & 0x0F
+    encoded = ~(sign | (exponent.astype(np.uint8) << 4) | mantissa.astype(np.uint8))
+    return encoded.astype(np.uint8)
+
+
+def ulaw_decode(data: np.ndarray) -> np.ndarray:
+    """uint8 µ-law bytes → int16 PCM (vectorized)."""
+    u = (~data.astype(np.uint8)).astype(np.int32)
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = ((mantissa << 3) + _ULAW_BIAS) << exponent
+    magnitude -= _ULAW_BIAS
+    out = np.where(sign != 0, -magnitude, magnitude)
+    return out.astype(np.int16)
+
+
+# --------------------------------------------------------------------------
+# G.711 A-law — vectorized
+# --------------------------------------------------------------------------
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM → uint8 A-law bytes (vectorized)."""
+    x = pcm.astype(np.int32)
+    sign = np.where(x >= 0, 0x80, 0).astype(np.uint8)
+    x = np.abs(x)
+    np.clip(x, 0, 32767, out=x)
+    # segment index: 0 for x < 256, else floor(log2(x)) - 7
+    seg = np.where(x < 256, 0, (np.floor(np.log2(np.maximum(x, 1))) - 7).astype(np.int32))
+    np.clip(seg, 0, 7, out=seg)
+    mantissa = np.where(seg == 0, x >> 4, (x >> (seg + 3)) & 0x0F)
+    encoded = (sign | (seg.astype(np.uint8) << 4) | mantissa.astype(np.uint8)) ^ 0x55
+    return encoded.astype(np.uint8)
+
+
+def alaw_decode(data: np.ndarray) -> np.ndarray:
+    """uint8 A-law bytes → int16 PCM (vectorized)."""
+    a = (data.astype(np.uint8) ^ 0x55).astype(np.int32)
+    sign = a & 0x80
+    seg = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    magnitude = np.where(
+        seg == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << (seg - 1),
+    )
+    out = np.where(sign != 0, magnitude, -magnitude)
+    return out.astype(np.int16)
+
+
+# --------------------------------------------------------------------------
+# encode/decode dispatch
+# --------------------------------------------------------------------------
+def encode(pcm: np.ndarray, codec: str) -> bytes:
+    """int16 PCM samples → encoded bytes for the given codec."""
+    if codec == "pcm_s16le":
+        return pcm.astype("<i2").tobytes()
+    if codec == "ulaw":
+        return ulaw_encode(pcm).tobytes()
+    if codec == "alaw":
+        return alaw_encode(pcm).tobytes()
+    raise UnsupportedCodecError(f"codec {codec!r}; supported: {SUPPORTED_CODECS}")
+
+
+def decode(data: bytes, codec: str) -> np.ndarray:
+    """Encoded bytes → float32 PCM in [-1, 1]."""
+    if codec == "pcm_s16le":
+        pcm = np.frombuffer(data, dtype="<i2")
+    elif codec == "ulaw":
+        pcm = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
+    elif codec == "alaw":
+        pcm = alaw_decode(np.frombuffer(data, dtype=np.uint8))
+    else:
+        raise UnsupportedCodecError(f"codec {codec!r}; supported: {SUPPORTED_CODECS}")
+    return pcm.astype(np.float32) / 32768.0
+
+
+def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
+    """Signal-to-noise ratio of `decoded` vs `reference` in dB."""
+    n = min(len(reference), len(decoded))
+    ref = reference[:n].astype(np.float64)
+    err = ref - decoded[:n].astype(np.float64)
+    p_sig = float(np.sum(ref * ref))
+    p_err = float(np.sum(err * err))
+    if p_err == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(p_sig / p_err)
+
+
+# --------------------------------------------------------------------------
+# Spark-side plumbing: mapInPandas batch functions
+# --------------------------------------------------------------------------
+#: output schema of audio_stats_batches (DDL string, used with mapInPandas)
+AUDIO_STATS_SCHEMA = (
+    "clip_id string, n_samples int, rms double, peak double, "
+    "decode_ok boolean, roundtrip_snr_db double"
+)
+
+
+def audio_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: decode each clip, compute PCM stats and the
+    decode→re-encode→decode roundtrip SNR (a self-contained validity proxy
+    for the SNR ≥ 30 dB invariant when the reference PCM isn't carried).
+
+    Input columns: clip_id, bytes, codec.  Arrow-batched; the per-clip loop
+    is over rows *within* a batch but all sample math is numpy-vectorized.
+    """
+    for pdf in batches:
+        out = {
+            "clip_id": [],
+            "n_samples": [],
+            "rms": [],
+            "peak": [],
+            "decode_ok": [],
+            "roundtrip_snr_db": [],
+        }
+        for clip_id, raw, codec in zip(
+            pdf["clip_id"].values, pdf["bytes"].values, pdf["codec"].values
+        ):
+            out["clip_id"].append(clip_id)
+            if raw is None or codec is None:
+                out["n_samples"].append(0)
+                out["rms"].append(0.0)
+                out["peak"].append(0.0)
+                out["decode_ok"].append(False)
+                out["roundtrip_snr_db"].append(float("nan"))
+                continue
+            try:
+                pcm = decode(bytes(raw), codec)
+                pcm16 = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
+                rt = decode(encode(pcm16, codec), codec)
+                out["n_samples"].append(int(len(pcm)))
+                out["rms"].append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
+                out["peak"].append(float(np.max(np.abs(pcm))) if len(pcm) else 0.0)
+                out["decode_ok"].append(True)
+                out["roundtrip_snr_db"].append(snr_db(pcm, rt))
+            except UnsupportedCodecError:
+                out["n_samples"].append(0)
+                out["rms"].append(0.0)
+                out["peak"].append(0.0)
+                out["decode_ok"].append(False)
+                out["roundtrip_snr_db"].append(float("nan"))
+        yield pd.DataFrame(out)
+
+
+#: output schema of decode_pcm_batches
+DECODE_PCM_SCHEMA = "clip_id string, pcm array<float>, n_samples int"
+
+
+def decode_pcm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: full PCM decode (clip_id, bytes, codec →
+    float32 array).  Used by tests to verify the SNR≥30dB invariant against
+    the generator's reference PCM."""
+    for pdf in batches:
+        clip_ids, pcms, lens = [], [], []
+        for clip_id, raw, codec in zip(
+            pdf["clip_id"].values, pdf["bytes"].values, pdf["codec"].values
+        ):
+            clip_ids.append(clip_id)
+            if raw is None or codec is None:
+                pcms.append(None)
+                lens.append(0)
+            else:
+                pcm = decode(bytes(raw), codec)
+                pcms.append(pcm)
+                lens.append(len(pcm))
+        yield pd.DataFrame({"clip_id": clip_ids, "pcm": pcms, "n_samples": lens})

@@ -1,0 +1,139 @@
+"""Engine configuration — the Spark-native analog of ScyllaConnectorConfig.
+
+Defaults mirror the reference's throughput-governing knobs
+(BASELINE.md §A; ScyllaConnectorConfig.java):
+- confidence window 30 000 ms  (:171-184)  → Structured Streaming watermark
+- query time window 30 000 ms  (:159-169)  → micro-batch trigger interval
+- incomplete-task timeout 15 000 ms (:309-320) → correlation state TTL
+- include modes for before/after images (:856-893)
+- pk placement (:279-307, :909-960)
+
+Validation mirrors ScyllaConnector.validate (ScyllaConnector.java:136-194)
+and the format cross-checks of ConfigSerializerUtil.java:213-369.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class IncludeMode(str, Enum):
+    """cdc.include.before / cdc.include.after modes
+    (ScyllaConnectorConfig.java:856-893)."""
+
+    NONE = "none"
+    FULL = "full"
+    ONLY_UPDATED = "only-updated"
+
+
+class PkPlacement(str, Enum):
+    """cdc.include.primary-key.placement targets
+    (ScyllaConnectorConfig.java:279-307, 909-960)."""
+
+    KAFKA_KEY = "kafka-key"
+    PAYLOAD_AFTER = "payload-after"
+    PAYLOAD_BEFORE = "payload-before"
+    PAYLOAD_KEY = "payload-key"
+    KAFKA_HEADERS = "kafka-headers"
+
+
+class OutputFormat(str, Enum):
+    """Advanced vs legacy record format (ScyllaConnectorConfig output
+    format switch; legacy cell-wrapping per ScyllaSchemaLegacy.java:95-130)."""
+
+    ADVANCED = "advanced"
+    LEGACY = "legacy"
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # identity / topic routing (ScyllaTopicSelector.java:12-24)
+    topic_prefix: str = "cdc"
+    keyspace: str = "audio"
+    table: str = "clips"
+    connector_name: str = "scylla-cdc-spark"
+    connector_version: str = "0.1.0"
+
+    # source windows (ScyllaConnectorConfig.java:159-213)
+    confidence_window_ms: int = 30_000  # → withWatermark delay
+    query_window_ms: int = 30_000  # → trigger processingTime
+    initial_lookback_ms: int = 0
+
+    # correlation / state (ScyllaChangesConsumer.java:37,147-185)
+    incomplete_task_timeout_ms: int = 15_000
+
+    # projections
+    include_before: IncludeMode = IncludeMode.NONE
+    include_after: IncludeMode = IncludeMode.NONE
+    pk_placements: tuple[PkPlacement, ...] = (PkPlacement.KAFKA_KEY,)
+    payload_key_name: str = "key"
+    output_format: OutputFormat = OutputFormat.ADVANCED
+
+    # partitioning / scale
+    n_shards: int = 32
+    shuffle_partitions: int = 32
+    skew_salt_buckets: int = 8
+
+    # feature gates (ScyllaChangesConsumer.java:98-102 version gate analog)
+    preimages_enabled: bool = True
+    postimages_enabled: bool = True
+    wait_preimage_for_partition_delete: bool = False
+
+    # sink
+    checkpoint_dir: str = ""
+    output_dir: str = ""
+    lineage_dir: str = ""
+
+    extras: dict = field(default_factory=dict)
+
+    @property
+    def topic(self) -> str:
+        # topic = prefix.keyspace.table (ScyllaTopicSelector.java:12-24)
+        return f"{self.topic_prefix}.{self.keyspace}.{self.table}"
+
+    @property
+    def needs_preimage(self) -> bool:
+        return self.include_before is not IncludeMode.NONE
+
+    @property
+    def needs_postimage(self) -> bool:
+        return self.include_after is not IncludeMode.NONE
+
+    def validate(self) -> None:
+        """Config cross-checks (V2/V3 of SURVEY §2.7).
+
+        - before/after include modes require the changelog to carry
+          PRE_IMAGE/POST_IMAGE rows (CdcTableOptionsValidator.java:83-149).
+        - legacy format is incompatible with include modes and non-default
+          pk placement (ConfigSerializerUtil.java:213-369).
+        """
+        if self.confidence_window_ms < 0:
+            raise ValueError("confidence_window_ms must be >= 0")
+        if self.n_shards < 1:
+            raise ValueError("n_shards must be >= 1")
+        if self.needs_preimage and not self.preimages_enabled:
+            raise ValueError(
+                "cdc.include.before requires preimages enabled on the "
+                "changelog (CdcTableOptionsValidator.java:93-149)"
+            )
+        if self.needs_postimage and not self.postimages_enabled:
+            raise ValueError(
+                "cdc.include.after requires postimages enabled on the "
+                "changelog (CdcTableOptionsValidator.java:93-149)"
+            )
+        if self.output_format is OutputFormat.LEGACY:
+            if self.include_before is not IncludeMode.NONE or (
+                self.include_after is not IncludeMode.NONE
+            ):
+                raise ValueError(
+                    "legacy format is incompatible with cdc.include.* "
+                    "(ConfigSerializerUtil.java:213-369)"
+                )
+            if tuple(self.pk_placements) != (PkPlacement.KAFKA_KEY,):
+                raise ValueError(
+                    "legacy format requires default pk placement "
+                    "(ConfigSerializerUtil.java:213-369)"
+                )
+        if not self.pk_placements:
+            raise ValueError("at least one pk placement required")

@@ -1,0 +1,147 @@
+"""Pre/delta/post image correlation — the engine's core stateful "join"
+(SURVEY §2.2, C1-C5).
+
+The reference accumulates a per-RowKey TaskInfo until complete
+(ScyllaChangesConsumer.java:187-249; completion predicate TaskInfo.java:
+Basic :108-154, Before :170-260, After :275-340, BeforeAfter :357-458).
+In Scylla's CDC log the images accompanying a delta share its cdc$time
+(same write), so correlation is keyed by (clip_id, cdc$time) — the Spark-
+native equivalent of RowKey.java:48-58 (TaskId + PK values).
+
+Two implementations:
+
+* `correlate_batch` — a single hash aggregation (ONE shuffle on the
+  correlation key, map-side partial agg, whole-stage codegen; no Python).
+  Batch/micro-batch path.  `max(when(op==X, struct(...)))` collapses the
+  type-grouped batch ordering ([pre,pre,delta,delta,post,post] —
+  CdcBatchPreimageMisalignmentIT.java:21-98) because grouping is by key,
+  not arrival order; exact duplicates collapse for free (the dedup the
+  north_rule asks from dropDuplicatesWithinWatermark is subsumed here for
+  the batch path).
+
+* `correlate_stream` (streaming/correlation_state.py) — the
+  applyInPandasWithState operator for cross-micro-batch waits with the
+  15 s incomplete-task timeout (C4, ScyllaChangesConsumer.java:37,147-185).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scylla_cdc_source_connector_spark.config import EngineConfig
+from scylla_cdc_source_connector_spark.schemas import (
+    BASE_COLUMNS,
+    DELTA_OPS,
+    NON_PK_COLUMNS,
+    OP_PARTITION_DELETE,
+    OP_POST_IMAGE,
+    OP_PRE_IMAGE,
+    OP_ROW_DELETE,
+    OP_ROW_INSERT,
+    OP_ROW_UPDATE,
+)
+
+#: columns carried inside the correlated `delta` struct
+_DELTA_FIELDS = (
+    ["`cdc$operation`", "`cdc$batch_seq_no`"]
+    + [f"`{c}`" for c in BASE_COLUMNS]
+    + [f"`cdc$deleted_{c}`" for c in NON_PK_COLUMNS]
+)
+
+
+def correlate_batch(changelog: DataFrame) -> DataFrame:
+    """Group CDC log rows by (clip_id, cdc$time) and pivot the operation
+    types into pre_image / delta / post_image structs.
+
+    Output columns:
+      clip_id, cdc$time, cdc$time_us, cdc$stream_id, generation,
+      pre_image struct<base cols>, post_image struct<base cols>,
+      delta struct<cdc$operation, cdc$batch_seq_no, base cols, deleted flags>
+
+    One shuffle, pure JVM.  Rows whose group has no delta (orphaned images —
+    possible when a window boundary splits a batch) are dropped here; the
+    streaming operator holds them in state instead.
+    """
+    op = F.col("`cdc$operation`")
+    seq = F.col("`cdc$batch_seq_no`")
+    base_struct = F.struct(*[F.col(f"`{c}`") for c in BASE_COLUMNS])
+    delta_struct = F.struct(*[F.col(c) for c in _DELTA_FIELDS])
+
+    # "last one wins" per slot — setChange/setPreImage/setPostImage overwrite
+    # on repeated arrival (TaskInfo setters), and within a batch arrival
+    # order is cdc$batch_seq_no; max_by(struct, seq-if-this-type) implements
+    # exactly that (NULL seq for other types is ignored by max_by).
+    def last(cond, struct):
+        return F.max_by(F.when(cond, struct), F.when(cond, seq))
+
+    return (
+        changelog.groupBy("clip_id", "`cdc$time`")
+        .agg(
+            last(op == OP_PRE_IMAGE, base_struct).alias("pre_image"),
+            last(op == OP_POST_IMAGE, base_struct).alias("post_image"),
+            last(op.isin(list(DELTA_OPS)), delta_struct).alias("delta"),
+            F.max("`cdc$time_us`").alias("cdc$time_us"),
+            F.max("`cdc$stream_id`").alias("cdc$stream_id"),
+            F.max("generation").alias("generation"),
+        )
+        .filter(F.col("delta").isNotNull())
+    )
+
+
+def mask_unused_images(correlated: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """TaskInfo.Basic/Before/After silently IGNORE image types they were not
+    configured for (their setPreImage/setPostImage are no-ops —
+    TaskInfo.java Basic :121-127, Before stores no postImage :170-260,
+    After stores no preImage :275-340).  Even if the changelog carries the
+    image rows, they must not leak into the output when the include mode
+    doesn't request them."""
+    out = correlated
+    if not cfg.needs_preimage:
+        out = out.withColumn(
+            "pre_image", F.lit(None).cast(out.schema["pre_image"].dataType)
+        )
+    if not cfg.needs_postimage:
+        out = out.withColumn(
+            "post_image", F.lit(None).cast(out.schema["post_image"].dataType)
+        )
+    return out
+
+
+def is_complete_expr(cfg: EngineConfig):
+    """C3 completion predicate as a columnar expression over a correlated
+    row (TaskInfo.recalculateIsComplete variants):
+
+      INSERT  — postimage required iff include_after != none (no preimage
+                exists for inserts)                       TaskInfo.java:281-295
+      UPDATE  — preimage iff include_before, postimage iff include_after
+                                                          TaskInfo.java:380-411
+      DELETE  — preimage iff include_before (no postimage for deletes)
+                                                          TaskInfo.java:192-215
+      PARTITION_DELETE — preimage only when version-gated flag set
+                                                (ScyllaChangesConsumer.java:98-102)
+    """
+    op = F.col("delta.`cdc$operation`")
+    need_pre = F.lit(cfg.needs_preimage)
+    need_post = F.lit(cfg.needs_postimage)
+    has_pre = F.col("pre_image").isNotNull()
+    has_post = F.col("post_image").isNotNull()
+    return (
+        F.when(op == OP_ROW_INSERT, ~need_post | has_post)
+        .when(op == OP_ROW_UPDATE, (~need_pre | has_pre) & (~need_post | has_post))
+        .when(op == OP_ROW_DELETE, ~need_pre | has_pre)
+        .when(
+            op == OP_PARTITION_DELETE,
+            ~F.lit(cfg.wait_preimage_for_partition_delete) | has_pre,
+        )
+        .otherwise(F.lit(False))
+    )
+
+
+def complete_only(correlated: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Keep only correlation groups satisfying the completion predicate.
+
+    In the batch path an incomplete group can only mean genuinely missing
+    image rows (the reference drops + error-logs these after the
+    incomplete-task timeout, ScyllaChangesConsumer.java:147-185)."""
+    return correlated.filter(is_complete_expr(cfg))

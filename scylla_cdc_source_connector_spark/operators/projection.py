@@ -1,0 +1,213 @@
+"""Envelope projection — builds Kafka-record-shaped output rows from
+correlated changes (SURVEY §2.4, P1-P11).  Pure columnar `select`s; the
+whole projection is one Catalyst expression tree (no Python).
+
+Reference semantics (advanced format), pinned from
+ScyllaChangeRecordEmitter.java:
+
+- emitCreateRecord (:146-196): after = full postimage (null when postimages
+  off), before = full preimage (always null for inserts).
+- emitUpdateRecord (:199-295): after = only-updated(post) or full(post);
+  before = only-updated(pre) or fillBeforeStructForUpdate (:529-575):
+  modified columns get OLD values from preimage, unchanged columns from
+  postimage, PKs from postimage when included; preimage-as-full when no
+  postimage; null when no preimage.
+- emitDeleteRecord (:298-356): before = full preimage, after = null.
+- fillStructWithOnlyUpdatedColumns (:435-460): non-PK column included iff
+  modified AND image value non-null; PKs per placement.
+- modified columns (getModifiedColumns :361-398): value non-null in the
+  delta OR cdc$deleted_<col> = true.
+- key struct from "any image" (post > pre > delta, TaskInfo.getAnyImage
+  TaskInfo.java:71-79) — only when 'kafka-key' placement
+  (createKeyStruct :127-135).
+- headers: 'pk.<col>' stringified values when 'kafka-headers' placement
+  (buildPkHeaders :857-883).
+- envelope {op, before, after, [key], source, ts_ms}
+  (generalizedEnvelope :577-610); source struct
+  ScyllaSourceInfoStructMaker.java:13-35 with ts_ms/ts_us = DB time from
+  the change's timeuuid, top-level ts_ms = processing time.
+- topic = prefix.keyspace.table (ScyllaTopicSelector.java:12-24).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scylla_cdc_source_connector_spark.config import (
+    EngineConfig,
+    IncludeMode,
+    PkPlacement,
+)
+from scylla_cdc_source_connector_spark.operators.change_typing import op_code_expr
+from scylla_cdc_source_connector_spark.schemas import (
+    BASE_COLUMNS,
+    NON_PK_COLUMNS,
+    OP_CODE_CREATE,
+    OP_CODE_DELETE,
+    OP_CODE_UPDATE,
+    PK_COLUMNS,
+)
+
+
+def _modified(delta: Column, col: str) -> Column:
+    """getModifiedColumns, columnar (ScyllaChangeRecordEmitter.java:361-398)."""
+    return delta[col].isNotNull() | F.coalesce(
+        delta[f"cdc$deleted_{col}"], F.lit(False)
+    )
+
+
+def _full_image(img: Column, include_pk: bool) -> Column:
+    """fillStructWithFullImage (:473-497): full row; PKs per placement.
+    Null struct when the image is null."""
+    fields = []
+    for c in BASE_COLUMNS:
+        if c in PK_COLUMNS and not include_pk:
+            fields.append(F.lit(None).cast("string").alias(c))
+        else:
+            fields.append(img[c].alias(c))
+    return F.when(img.isNotNull(), F.struct(*fields))
+
+
+def _only_updated(img: Column, delta: Column, include_pk: bool) -> Column:
+    """fillStructWithOnlyUpdatedColumns (:435-460): modified non-PK columns
+    (with the IMAGE's value), PKs per placement."""
+    fields = []
+    for c in BASE_COLUMNS:
+        if c in PK_COLUMNS:
+            fields.append(
+                (img[c] if include_pk else F.lit(None).cast("string")).alias(c)
+            )
+        else:
+            fields.append(F.when(_modified(delta, c), img[c]).alias(c))
+    return F.when(img.isNotNull(), F.struct(*fields))
+
+
+def _before_for_update(
+    pre: Column, post: Column, delta: Column, include_pk: bool
+) -> Column:
+    """fillBeforeStructForUpdate (:529-575): Scylla preimages carry OLD
+    values only for modified columns; unchanged columns' old value == new
+    value, so they come from the postimage."""
+    merged_fields = []
+    for c in BASE_COLUMNS:
+        if c in PK_COLUMNS:
+            merged_fields.append(
+                (post[c] if include_pk else F.lit(None).cast("string")).alias(c)
+            )
+        else:
+            merged_fields.append(
+                F.when(_modified(delta, c), pre[c]).otherwise(post[c]).alias(c)
+            )
+    return (
+        F.when(pre.isNull(), F.lit(None))
+        .when(post.isNull(), _full_image(pre, include_pk))
+        .otherwise(F.struct(*merged_fields))
+    )
+
+
+def build_envelopes(
+    correlated: DataFrame,
+    cfg: EngineConfig,
+    *,
+    processing_ts_ms: Column | None = None,
+) -> DataFrame:
+    """Correlated changes → Kafka-record-shaped envelope rows.
+
+    Input: output of operators.correlation.correlate_batch / the streaming
+    correlation operator (clip_id, cdc$time, cdc$time_us, cdc$stream_id,
+    generation, pre_image, post_image, delta).
+
+    Output columns: topic, key, value{source, before, after, op, ts_ms},
+    headers, plus passthrough partition/ordering columns (cdc$stream_id,
+    cdc$time, cdc$time_us, generation, clip_id, batch_seq) for the sink.
+    """
+    cfg.validate()
+    if processing_ts_ms is None:
+        # top-level ts_ms is processing time; lag = ts_ms - source.ts_ms
+        # (README.md:188-194)
+        processing_ts_ms = F.unix_millis(F.current_timestamp())
+
+    delta = F.col("delta")
+    pre = F.col("pre_image")
+    post = F.col("post_image")
+    op = op_code_expr(delta["cdc$operation"])
+
+    pk_after = PkPlacement.PAYLOAD_AFTER in cfg.pk_placements
+    pk_before = PkPlacement.PAYLOAD_BEFORE in cfg.pk_placements
+
+    # ---- after ------------------------------------------------------------
+    if cfg.include_after is IncludeMode.ONLY_UPDATED:
+        after_update = _only_updated(post, delta, pk_after)
+    else:
+        after_update = _full_image(post, pk_after)
+    after = (
+        F.when(op == OP_CODE_DELETE, F.lit(None))
+        .when(op == OP_CODE_CREATE, _full_image(post, pk_after))
+        .otherwise(after_update)
+        .alias("after")
+    )
+
+    # ---- before -----------------------------------------------------------
+    if cfg.include_before is IncludeMode.ONLY_UPDATED:
+        before_update = _only_updated(pre, delta, pk_before)
+    else:
+        before_update = _before_for_update(pre, post, delta, pk_before)
+    before = (
+        F.when(op == OP_CODE_CREATE, F.lit(None))
+        .when(op == OP_CODE_DELETE, _full_image(pre, pk_before))
+        .otherwise(before_update)
+        .alias("before")
+    )
+
+    # ---- key / payload-key / headers (P2/P8) -------------------------------
+    # anyImage = post > pre > delta (TaskInfo.getAnyImage, TaskInfo.java:71-79)
+    any_pk = F.coalesce(post["clip_id"], pre["clip_id"], delta["clip_id"])
+    key = (
+        F.struct(any_pk.alias("clip_id"))
+        if PkPlacement.KAFKA_KEY in cfg.pk_placements
+        else F.lit(None).cast("struct<clip_id:string>")
+    ).alias("key")
+    payload_key = (
+        F.struct(any_pk.alias("clip_id"))
+        if PkPlacement.PAYLOAD_KEY in cfg.pk_placements
+        else None
+    )
+    headers = (
+        F.array(
+            F.struct(F.lit("pk.clip_id").alias("k"), any_pk.cast("string").alias("v"))
+        )
+        if PkPlacement.KAFKA_HEADERS in cfg.pk_placements
+        else F.lit(None).cast("array<struct<k:string,v:string>>")
+    ).alias("headers")
+
+    # ---- source metadata struct (P7) ---------------------------------------
+    source = F.struct(
+        F.lit(cfg.connector_version).alias("version"),
+        F.lit("scylla-cdc-spark").alias("connector"),
+        F.lit(cfg.connector_name).alias("name"),
+        (F.col("`cdc$time_us`") / 1000).cast("long").alias("ts_ms"),
+        F.col("`cdc$time_us`").alias("ts_us"),
+        F.lit("false").alias("snapshot"),
+        F.lit(cfg.keyspace).alias("db"),
+        F.lit(cfg.keyspace).alias("keyspace_name"),
+        F.lit(cfg.table).alias("table_name"),
+    ).alias("source")
+
+    value_fields = [source, before, after, op.alias("op")]
+    if payload_key is not None:
+        value_fields.append(payload_key.alias(cfg.payload_key_name))
+    value_fields.append(processing_ts_ms.cast("long").alias("ts_ms"))
+
+    return correlated.select(
+        F.lit(cfg.topic).alias("topic"),
+        key,
+        F.struct(*value_fields).alias("value"),
+        headers,
+        F.col("clip_id"),
+        F.col("`cdc$stream_id`"),
+        F.col("`cdc$time`"),
+        F.col("`cdc$time_us`"),
+        F.col("generation"),
+        delta["cdc$batch_seq_no"].alias("cdc$batch_seq_no"),
+    )

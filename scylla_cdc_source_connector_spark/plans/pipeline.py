@@ -1,0 +1,47 @@
+"""End-to-end CDC plan assembly.
+
+The batch plan is the engine's workhorse: it is also the body of every
+streaming micro-batch (Structured Streaming's incremental execution of the
+same logical plan), so keeping it one Catalyst tree — scan → single shuffle
+on the correlation key → codegen'd projection — is what makes the 100 TB
+case work: predicate pushdown into the changelog scan, map-side partial
+aggregation before the shuffle, and no Python anywhere on the hot path.
+
+Lifecycle mirror of the reference (SURVEY §3.2): windowed scan →
+correlation (ScyllaChangesConsumer) → emitter projection
+(ScyllaChangeRecordEmitter) → queue/poll (here: Catalyst pipeline) →
+offset-tracked sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scylla_cdc_source_connector_spark.config import EngineConfig
+from scylla_cdc_source_connector_spark.operators.correlation import (
+    complete_only,
+    correlate_batch,
+    mask_unused_images,
+)
+from scylla_cdc_source_connector_spark.operators.projection import build_envelopes
+
+
+def cdc_envelopes(
+    changelog: DataFrame,
+    cfg: EngineConfig,
+    *,
+    processing_ts_ms: Column | None = None,
+) -> DataFrame:
+    """changelog rows → emitted envelope rows (batch / per-micro-batch).
+
+    Single shuffle (the correlation groupBy); duplicates collapse in the
+    same aggregation; projection is codegen'd.  Emission order within a
+    shard is recovered by sorting on (cdc$stream_id, cdc$time,
+    cdc$batch_seq_no) at the sink — matching the reference's per-task
+    ordering guarantee scope (SURVEY §7.3).
+    """
+    correlated = complete_only(
+        mask_unused_images(correlate_batch(changelog), cfg), cfg
+    )
+    return build_envelopes(correlated, cfg, processing_ts_ms=processing_ts_ms)

@@ -1,0 +1,157 @@
+"""Correlation operator tests — ports of TaskInfoTest (completion matrix)
+and CdcBatchPreimageMisalignmentIT (type-grouped batch ordering)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from scylla_cdc_source_connector_spark.config import EngineConfig, IncludeMode
+from scylla_cdc_source_connector_spark.fixtures import FixtureSpec, make_changelog
+from scylla_cdc_source_connector_spark.operators.correlation import (
+    complete_only,
+    correlate_batch,
+)
+from scylla_cdc_source_connector_spark.schemas import (
+    NON_PK_COLUMNS,
+    changelog_schema,
+)
+
+TS0 = dt.datetime(2024, 1, 1)
+
+
+def _row(clip, op, seq, transcript=None, t_us=0, **kw):
+    base = {
+        "cdc$stream_id": "s0001",
+        "cdc$time": TS0 + dt.timedelta(microseconds=t_us),
+        "cdc$time_us": 1_704_067_200_000_000 + t_us,
+        "cdc$operation": op,
+        "cdc$batch_seq_no": seq,
+        "generation": 0,
+        "clip_id": clip,
+        "bytes": None,
+        "sr_hz": None,
+        "dur_ms": None,
+        "codec": None,
+        "transcript": transcript,
+    }
+    for c in NON_PK_COLUMNS:
+        base[f"cdc$deleted_{c}"] = False
+    base.update(kw)
+    return base
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows), schema=changelog_schema())
+
+
+def test_misaligned_batch_pairs_by_rowkey(spark):
+    """Port of CdcBatchPreimageMisalignmentIT.java:21-98: a type-grouped
+    batch [pre_a, pre_b, delta_a, delta_b, post_a, post_b] at one cdc$time
+    must yield per-clip correctly paired before/after."""
+    rows = [
+        _row("a", 0, 0, "old-a"),
+        _row("b", 0, 1, "old-b"),
+        _row("a", 1, 2, "new-a"),
+        _row("b", 1, 3, "new-b"),
+        _row("a", 9, 4, "new-a"),
+        _row("b", 9, 5, "new-b"),
+    ]
+    out = correlate_batch(_df(spark, rows)).orderBy("clip_id").collect()
+    assert len(out) == 2
+    a, b = out
+    assert a["clip_id"] == "a"
+    assert a["pre_image"]["transcript"] == "old-a"
+    assert a["post_image"]["transcript"] == "new-a"
+    assert a["delta"]["cdc$operation"] == 1
+    assert b["pre_image"]["transcript"] == "old-b"
+    assert b["post_image"]["transcript"] == "new-b"
+
+
+def test_completion_matrix(spark):
+    """TaskInfoTest port: which groups survive per (op, include modes)."""
+    rows = [
+        # insert with post
+        _row("ins_full", 2, 0, "x", t_us=1),
+        _row("ins_full", 9, 1, "x", t_us=1),
+        # insert without post (incomplete when after required)
+        _row("ins_nopost", 2, 0, "x", t_us=2),
+        # update with both
+        _row("upd_full", 0, 0, "o", t_us=3),
+        _row("upd_full", 1, 1, "n", t_us=3),
+        _row("upd_full", 9, 2, "n", t_us=3),
+        # update missing pre
+        _row("upd_nopre", 1, 0, "n", t_us=4),
+        _row("upd_nopre", 9, 1, "n", t_us=4),
+        # delete with pre
+        _row("del_full", 0, 0, "o", t_us=5),
+        _row("del_full", 4, 1, None, t_us=5),
+        # delete without pre
+        _row("del_nopre", 4, 0, None, t_us=6),
+        # partition delete, no pre (qualifies: no clustering key)
+        _row("pdel", 5, 0, None, t_us=7),
+    ]
+    df = _df(spark, rows)
+
+    def survivors(cfg):
+        out = complete_only(correlate_batch(df), cfg)
+        return sorted(r["clip_id"] for r in out.select("clip_id").collect())
+
+    # Basic mode: every delta dispatches (TaskInfo.Basic:108-154)
+    cfg = EngineConfig()
+    assert survivors(cfg) == sorted(
+        ["ins_full", "ins_nopost", "upd_full", "upd_nopre", "del_full", "del_nopre", "pdel"]
+    )
+
+    # Before mode (TaskInfo.Before:170-260): INSERT complete w/o pre;
+    # UPDATE/DELETE need pre; PARTITION_DELETE per flag (off)
+    cfg = EngineConfig(include_before=IncludeMode.FULL)
+    assert survivors(cfg) == sorted(
+        ["ins_full", "ins_nopost", "upd_full", "del_full", "pdel"]
+    )
+
+    # After mode (TaskInfo.After:275-340): INSERT/UPDATE need post; DELETE
+    # complete w/o post
+    cfg = EngineConfig(include_after=IncludeMode.FULL)
+    assert survivors(cfg) == sorted(
+        ["ins_full", "upd_full", "upd_nopre", "del_full", "del_nopre", "pdel"]
+    )
+
+    # BeforeAfter (TaskInfo.BeforeAfter:357-458)
+    cfg = EngineConfig(include_before=IncludeMode.FULL, include_after=IncludeMode.FULL)
+    assert survivors(cfg) == sorted(["ins_full", "upd_full", "del_full", "pdel"])
+
+    # version-gated preimage wait for partition deletes
+    # (ScyllaChangesConsumer.java:98-102)
+    cfg = EngineConfig(
+        include_before=IncludeMode.FULL, wait_preimage_for_partition_delete=True
+    )
+    assert "pdel" not in survivors(cfg)
+
+
+def test_exact_duplicates_collapse(spark):
+    rows = [
+        _row("a", 2, 0, "x", t_us=1),
+        _row("a", 2, 0, "x", t_us=1),
+        _row("a", 2, 0, "x", t_us=1),
+    ]
+    out = correlate_batch(_df(spark, rows)).collect()
+    assert len(out) == 1
+
+
+def test_correlation_counts_on_fixture(spark, changelog_df, changelog_pdf):
+    """Every generated delta (deduped) appears exactly once, carrying its
+    images."""
+    cfg = EngineConfig(include_before=IncludeMode.FULL, include_after=IncludeMode.FULL)
+    out = complete_only(correlate_batch(changelog_df), cfg)
+    n_unique_deltas = (
+        changelog_pdf[changelog_pdf["cdc$operation"].isin([1, 2, 4, 5])]
+        .drop_duplicates(["clip_id", "cdc$time_us"])
+        .shape[0]
+    )
+    assert out.count() == n_unique_deltas
+    # updates must have both images
+    upd = out.where(F.col("delta.`cdc$operation`") == 1)
+    assert upd.where(F.col("pre_image").isNull() | F.col("post_image").isNull()).count() == 0

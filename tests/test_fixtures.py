@@ -1,0 +1,94 @@
+"""Fixture generator determinism + shape tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from scylla_cdc_source_connector_spark.fixtures import (
+    FixtureSpec,
+    make_changelog,
+    shard_of,
+)
+
+
+def test_deterministic():
+    spec = FixtureSpec(n_events=500, n_clips=50)
+    a = make_changelog(spec)
+    b = make_changelog(spec)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_operation_mix(changelog_pdf):
+    ops = changelog_pdf["cdc$operation"].value_counts(normalize=False)
+    deltas = changelog_pdf[changelog_pdf["cdc$operation"].isin([1, 2, 4, 5])]
+    n = len(deltas)
+    frac = deltas["cdc$operation"].value_counts(normalize=True)
+    assert 0.6 < frac.get(2, 0) < 0.8  # ~70% insert
+    assert 0.1 < frac.get(1, 0) < 0.3  # ~20% update
+    assert ops.get(0, 0) > 0 and ops.get(9, 0) > 0
+
+
+def test_images_accompany_deltas(changelog_pdf):
+    """Every UPDATE has pre+post at the same (clip, time); every DELETE a
+    pre; every INSERT a post."""
+    g = changelog_pdf.groupby(["clip_id", "cdc$time_us"])["cdc$operation"].agg(set)
+    for ops in g:
+        if 1 in ops:
+            assert 0 in ops and 9 in ops
+        if 4 in ops:
+            assert 0 in ops
+        if 2 in ops:
+            assert 9 in ops
+
+
+def test_type_grouped_batch_ordering(changelog_pdf):
+    """Within one (stream, cdc$time) batch: pres, then deltas, then posts
+    in cdc$batch_seq_no order; at least one multi-event batch exists."""
+    rank = {0: 0, 1: 1, 2: 1, 4: 1, 5: 1, 9: 2}
+    multi = 0
+    for (_, _), grp in changelog_pdf.drop_duplicates(
+        ["cdc$stream_id", "cdc$time_us", "cdc$batch_seq_no"]
+    ).groupby(["cdc$stream_id", "cdc$time_us"]):
+        grp = grp.sort_values("cdc$batch_seq_no")
+        ranks = [rank[o] for o in grp["cdc$operation"]]
+        assert ranks == sorted(ranks)
+        if grp["clip_id"].nunique() > 1:
+            multi += 1
+    assert multi > 0
+
+
+def test_generations_clean_time_boundary(changelog_pdf):
+    g0_max = changelog_pdf.loc[changelog_pdf["generation"] == 0, "cdc$time_us"].max()
+    g1_min = changelog_pdf.loc[changelog_pdf["generation"] == 1, "cdc$time_us"].min()
+    assert g0_max < g1_min
+
+
+def test_shard_routing_stable(changelog_pdf, small_spec):
+    ss = changelog_pdf["cdc$stream_id"]
+    expect = changelog_pdf["clip_id"].map(
+        lambda c: f"s{shard_of(c, small_spec.n_shards):04d}"
+    )
+    assert (ss == expect).all()
+
+
+def test_duplicates_present(changelog_pdf):
+    deltas = changelog_pdf[changelog_pdf["cdc$operation"].isin([1, 2, 4, 5])]
+    assert deltas.duplicated(["clip_id", "cdc$time_us", "cdc$operation"]).sum() > 0
+
+
+def test_hot_clips_skew(changelog_pdf, small_spec):
+    deltas = changelog_pdf[changelog_pdf["cdc$operation"].isin([1, 2, 4, 5])]
+    counts = deltas["clip_id"].value_counts()
+    n_hot = max(1, int(small_spec.n_clips * small_spec.hot_clip_frac))
+    hot_share = counts.head(n_hot).sum() / len(deltas)
+    assert hot_share > 0.15  # hot ids draw disproportionate traffic
+
+
+def test_null_transcript_tri_state(changelog_pdf):
+    nulled = changelog_pdf[
+        (changelog_pdf["cdc$operation"] == 1)
+        & changelog_pdf["cdc$deleted_transcript"]
+    ]
+    assert len(nulled) > 0
+    assert nulled["transcript"].isna().all()
