@@ -302,15 +302,13 @@ def make_changelog(
     return out
 
 
-def write_changelog_parquet(path: str, spec: FixtureSpec) -> pd.DataFrame:
-    """Materialize the changelog at `path` (parquet, arrival-ordered row
-    groups).  In production this is an Iceberg table partitioned by
-    (shard bucket, hours(cdc$time)); parquet stands in locally."""
+def arrow_changelog_schema():
+    """Canonical parquet/Arrow schema (µs timestamps — Spark's
+    TimestampType; pandas' default ns timestamps are NOT readable under the
+    declared Spark schema, so always write chunks through this)."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    pdf = make_changelog(spec)
-    schema = pa.schema(
+    return pa.schema(
         [
             pa.field("cdc$stream_id", pa.string(), False),
             pa.field("cdc$time", pa.timestamp("us"), False),
@@ -327,6 +325,24 @@ def write_changelog_parquet(path: str, spec: FixtureSpec) -> pd.DataFrame:
         ]
         + [pa.field(f"cdc$deleted_{c}", pa.bool_()) for c in NON_PK_COLUMNS]
     )
-    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+
+
+def write_changelog_chunk(pdf: pd.DataFrame, path: str) -> None:
+    """Write changelog rows to one parquet file in the canonical schema —
+    one 'arrival chunk' ≙ one CDC time window of the reference's scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pandas(
+        pdf, schema=arrow_changelog_schema(), preserve_index=False
+    )
     pq.write_table(table, path, row_group_size=64_000)
+
+
+def write_changelog_parquet(path: str, spec: FixtureSpec) -> pd.DataFrame:
+    """Materialize the changelog at `path` (parquet, arrival-ordered row
+    groups).  In production this is an Iceberg table partitioned by
+    (shard bucket, hours(cdc$time)); parquet stands in locally."""
+    pdf = make_changelog(spec)
+    write_changelog_chunk(pdf, path)
     return pdf

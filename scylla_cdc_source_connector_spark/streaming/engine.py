@@ -1,0 +1,142 @@
+"""The streaming CDC engine: source → watermark → stateful correlation →
+envelope projection → exactly-once sink, sequenced per generation.
+
+Lifecycle mirror of SURVEY §3.2:
+  spark.readStream (changelog dir; Iceberg in production, parquet file
+  source locally) → withWatermark(confidence window) → correlation state
+  machine → envelope select → foreachBatch exactly-once sink (checkpointed).
+
+Generation rollover (SURVEY §2.1 "Generation", ScyllaConnector.java:70-97 /
+ScyllaMasterTransport.areTasksFullyConsumedUntil:50-70): the stream set is
+fixed within a generation; generation N+1 may only start after every shard
+of generation N is fully consumed.  Locally this is driver-side sequencing:
+one availableNow run per generation, gated on the lineage high-water marks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scylla_cdc_source_connector_spark.config import EngineConfig
+from scylla_cdc_source_connector_spark.operators.projection import build_envelopes
+from scylla_cdc_source_connector_spark.schemas import changelog_schema
+from scylla_cdc_source_connector_spark.streaming.correlation_state import (
+    correlate_stream,
+    reassemble_correlated,
+)
+from scylla_cdc_source_connector_spark.streaming.sink import make_sink
+
+
+def generation_cfg(cfg: EngineConfig, generation: int) -> EngineConfig:
+    """Per-generation sink namespaces: streaming batch_ids restart per
+    query, so output/lineage dirs must not collide across generations."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg,
+        output_dir=os.path.join(cfg.output_dir, f"gen-{generation}"),
+        lineage_dir=os.path.join(cfg.lineage_dir, f"gen-{generation}"),
+    )
+
+
+def read_changelog_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1 sharded windowed scan, Spark-native.
+
+    Locally a parquet file-stream (each file ≙ one CDC time window of
+    arrivals); in production `spark.readStream.format("iceberg")` over the
+    changelog table with `streaming-skip-delete-snapshots` and
+    startingTimestamp for the initial-lookback option (S3).  Partition
+    pruning on (shard bucket, hours(cdc$time)) plays the role of the
+    reference's `cdc$stream_id IN (...) AND cdc$time >= ... < ...` CQL
+    pushdown (README.md:1357-1370)."""
+    reader = spark.readStream.schema(changelog_schema())
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_envelopes(changelog: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Streaming plan: watermarked stateful correlation + projection.
+    Dedup of exact duplicate log rows happens inside the correlation state
+    (last-writer-wins slots) — the generation-aware stateful dedup join of
+    the north_rule; images the config doesn't need are ignored by the
+    state machine just like TaskInfo.Basic/Before/After no-op setters."""
+    correlated = reassemble_correlated(correlate_stream(changelog, cfg))
+    return build_envelopes(correlated, cfg)
+
+
+def run_stream(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    input_path: str,
+    *,
+    generation: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start one streaming query writing to the exactly-once sink.
+    Returns the StreamingQuery (await it / stop it at the call site)."""
+    changelog = read_changelog_stream(
+        spark, input_path, max_files_per_trigger=max_files_per_trigger
+    )
+    if generation is not None:
+        changelog = changelog.filter(F.col("generation") == generation)
+        checkpoint = os.path.join(cfg.checkpoint_dir, f"gen-{generation}")
+        cfg = generation_cfg(cfg, generation)
+    else:
+        checkpoint = cfg.checkpoint_dir
+
+    env = streaming_envelopes(changelog, cfg)
+    writer = (
+        env.writeStream.foreachBatch(make_sink(cfg))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .queryName(f"{cfg.connector_name}-gen{generation}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{cfg.query_window_ms} milliseconds")
+    return writer.start()
+
+
+def run_generations(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    input_path: str,
+    generations: list[int],
+    *,
+    timeout_s: float = 600.0,
+) -> list[int]:
+    """Drain generations strictly in order (the generation gate).
+
+    Each generation runs as an availableNow query to completion before the
+    next starts — generation N+1's rows are never emitted before N is fully
+    consumed, mirroring areTasksFullyConsumedUntil
+    (ScyllaMasterTransport.java:50-70).  Returns emitted-count per
+    generation."""
+    from scylla_cdc_source_connector_spark.streaming.sink import read_lineage
+
+    emitted = []
+    for gen in sorted(generations):
+        q = run_stream(spark, cfg, input_path, generation=gen, available_now=True)
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"generation {gen} did not drain in {timeout_s}s")
+        n = sum(
+            s["n_records"]
+            for rec in read_lineage(generation_cfg(cfg, gen))
+            for s in rec["shards"]
+            if s["generation"] == gen
+        )
+        emitted.append(n)
+    return emitted

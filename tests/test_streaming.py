@@ -1,0 +1,240 @@
+"""Structured Streaming engine tests: batch/stream parity, exactly-once
+resume after a simulated crash, generation rollover gate, late-data drop.
+
+Ports of the reference's offset-resume behavior
+(ScyllaConnectorTask.getPreviousOffsets:153-213), generation gate
+(ScyllaMasterTransport.areTasksFullyConsumedUntil:50-70), and confidence
+window (ScyllaConnectorConfig.java:171-184)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_cdc_source_connector_spark.config import EngineConfig, IncludeMode
+from scylla_cdc_source_connector_spark.fixtures import FixtureSpec, make_changelog
+from scylla_cdc_source_connector_spark.plans.pipeline import cdc_envelopes
+from scylla_cdc_source_connector_spark.streaming import sink as sink_mod
+from scylla_cdc_source_connector_spark.streaming.engine import (
+    generation_cfg,
+    run_generations,
+    run_stream,
+)
+from scylla_cdc_source_connector_spark.schemas import NON_PK_COLUMNS
+
+BASE_US = 1_704_067_200_000_000
+
+
+def _write_chunks(pdf: pd.DataFrame, d: str, n_chunks: int):
+    """Write the changelog as n_chunks arrival-ordered parquet files."""
+    os.makedirs(d, exist_ok=True)
+    size = (len(pdf) + n_chunks - 1) // n_chunks
+    paths = []
+    for i in range(n_chunks):
+        chunk = pdf.iloc[i * size : (i + 1) * size]
+        p = os.path.join(d, f"chunk-{i:03d}.parquet")
+        _write_one(chunk, p)
+        paths.append(p)
+    return paths
+
+
+def _write_one(pdf: pd.DataFrame, path: str):
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    write_changelog_chunk(pdf, path)
+
+
+def _cfg(tmp, name, **kw) -> EngineConfig:
+    return EngineConfig(
+        include_before=IncludeMode.FULL,
+        include_after=IncludeMode.FULL,
+        checkpoint_dir=f"{tmp}/{name}/ckpt",
+        output_dir=f"{tmp}/{name}/out",
+        lineage_dir=f"{tmp}/{name}/lineage",
+        **kw,
+    )
+
+
+def _emit_keys(df):
+    return {
+        (r["clip_id"], r["cdc$time_us"], r["value"]["op"])
+        for r in df.select("clip_id", "`cdc$time_us`", "value.op").withColumnRenamed(
+            "op", "value_op"
+        ).collect()
+        for r in [r]
+    }
+
+
+@pytest.fixture(scope="module")
+def stream_spec():
+    return FixtureSpec(n_events=1_200, n_clips=150, n_shards=8, n_generations=2)
+
+
+@pytest.fixture(scope="module")
+def stream_pdf(stream_spec):
+    return make_changelog(stream_spec)
+
+
+def test_stream_matches_batch(spark, tmp_root, stream_pdf):
+    """Row-for-row parity: streaming (chunked arrivals, cross-batch
+    correlation) equals the single-shot batch plan."""
+    d = f"{tmp_root}/stream_in"
+    _write_chunks(stream_pdf, d, n_chunks=5)
+    cfg = _cfg(tmp_root, "parity")
+
+    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = sink_mod.read_emitted(spark, cfg)
+    batch_ref = cdc_envelopes(
+        spark.read.parquet(d), cfg, processing_ts_ms=F.lit(0)
+    )
+
+    got_keys = {
+        (r["clip_id"], r["cdc$time_us"], r["op"])
+        for r in got.select("clip_id", "`cdc$time_us`", F.col("value.op").alias("op")).collect()
+    }
+    ref_keys = {
+        (r["clip_id"], r["cdc$time_us"], r["op"])
+        for r in batch_ref.select("clip_id", "`cdc$time_us`", F.col("value.op").alias("op")).collect()
+    }
+    assert got_keys == ref_keys
+    # no duplicates in the emitted stream
+    assert got.count() == len(got_keys)
+    # spot-check full envelope equality on updates (before/after content)
+    g = {
+        (r["clip_id"], r["cdc$time_us"]): (r["b"], r["a"])
+        for r in got.where("value.op='u'")
+        .select("clip_id", "`cdc$time_us`",
+                F.col("value.before.transcript").alias("b"),
+                F.col("value.after.transcript").alias("a"))
+        .collect()
+    }
+    w = {
+        (r["clip_id"], r["cdc$time_us"]): (r["b"], r["a"])
+        for r in batch_ref.where("value.op='u'")
+        .select("clip_id", "`cdc$time_us`",
+                F.col("value.before.transcript").alias("b"),
+                F.col("value.after.transcript").alias("a"))
+        .collect()
+    }
+    assert g == w
+
+
+def test_exactly_once_after_crash(spark, tmp_root, stream_pdf):
+    """Kill/restart: delete the last batch's lineage commit AND checkpoint
+    commit marker (crash between output write and commit) → replay is
+    idempotent; then feed more data and finish.  No loss, no dupes —
+    strictly better than the reference's at-least-once (pom.xml:135-137)."""
+    d = f"{tmp_root}/eo_in"
+    half = len(stream_pdf) // 2
+    _write_chunks(stream_pdf.iloc[:half], d, n_chunks=2)
+    cfg = _cfg(tmp_root, "eo")
+
+    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    bids = sink_mod.committed_batch_ids(cfg)
+    assert len(bids) >= 2
+    last = bids[-1]
+    # simulate crash after parquet write, before lineage+checkpoint commit
+    os.remove(sink_mod.lineage_path(cfg, last))
+    for p in (
+        os.path.join(cfg.checkpoint_dir, "commits", str(last)),
+        os.path.join(cfg.checkpoint_dir, "commits", f".{last}.crc"),
+    ):
+        if os.path.exists(p):
+            os.remove(p)
+
+    # restart: replays batch `last` idempotently, then drains the rest
+    chunk2 = stream_pdf.iloc[half:]
+    _write_one(chunk2, os.path.join(d, "chunk-late.parquet"))
+    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = sink_mod.read_emitted(spark, cfg)
+    ref = cdc_envelopes(spark.read.parquet(d), cfg, processing_ts_ms=F.lit(0))
+    assert got.count() == ref.count()
+    got_keys = [
+        (r["clip_id"], r["cdc$time_us"])
+        for r in got.select("clip_id", "`cdc$time_us`").collect()
+    ]
+    assert len(got_keys) == len(set(got_keys)), "duplicate emissions"
+
+
+def test_generation_rollover_gate(spark, tmp_root, stream_pdf):
+    """Gen N+1 records commit only after gen N fully drained
+    (areTasksFullyConsumedUntil analog)."""
+    d = f"{tmp_root}/gen_in"
+    _write_chunks(stream_pdf, d, n_chunks=3)
+    cfg = _cfg(tmp_root, "gens")
+
+    emitted = run_generations(spark, cfg, d, [0, 1], timeout_s=300)
+    assert all(n > 0 for n in emitted)
+
+    lin0 = sink_mod.read_lineage(generation_cfg(cfg, 0))
+    lin1 = sink_mod.read_lineage(generation_cfg(cfg, 1))
+    assert max(r["committed_at_ms"] for r in lin0) <= min(
+        r["committed_at_ms"] for r in lin1
+    )
+    # emitted totals = batch reference per generation
+    full = spark.read.parquet(d)
+    for gen, n in enumerate(emitted):
+        ref_n = cdc_envelopes(
+            full.where(F.col("generation") == gen), cfg, processing_ts_ms=F.lit(0)
+        ).count()
+        assert n == ref_n, (gen, n, ref_n)
+
+
+def test_late_data_beyond_watermark_dropped(spark, tmp_root):
+    """Confidence-window semantics: a delta arriving with event time older
+    than watermark (30 s) is dropped; one within the window is emitted."""
+    cfg = _cfg(tmp_root, "late")
+    d = f"{tmp_root}/late_in"
+    os.makedirs(d, exist_ok=True)
+
+    def row(clip, t_s, op=2, seq=0):
+        t_us = BASE_US + t_s * 1_000_000
+        r = {
+            "cdc$stream_id": "s0001",
+            "cdc$time": dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t_s),
+            "cdc$time_us": t_us,
+            "cdc$operation": op,
+            "cdc$batch_seq_no": seq,
+            "generation": 0,
+            "clip_id": clip,
+            "bytes": None,
+            "sr_hz": 8000,
+            "dur_ms": 100,
+            "codec": "pcm_s16le",
+            "transcript": f"{clip}@{t_s}",
+        }
+        for c in NON_PK_COLUMNS:
+            r[f"cdc$deleted_{c}"] = False
+        return r
+
+    cfg = _cfg(tmp_root, "late", )
+    import dataclasses
+    cfg = dataclasses.replace(cfg, include_before=IncludeMode.NONE, include_after=IncludeMode.NONE)
+
+    # batch 1 advances watermark to 100-30 = 70 s
+    _write_one(pd.DataFrame([row("w", 0), row("x", 100)]), f"{d}/f0.parquet")
+    # batch 2: t=50 (< wm 70: DROP), t=95 (>= wm: keep)
+    _write_one(pd.DataFrame([row("too_late", 50), row("ok_late", 95)]), f"{d}/f1.parquet")
+
+    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = sink_mod.read_emitted(spark, cfg)
+    clips = {r["clip_id"] for r in got.select("clip_id").collect()}
+    assert "ok_late" in clips
+    assert "too_late" not in clips
+    assert {"w", "x"} <= clips
