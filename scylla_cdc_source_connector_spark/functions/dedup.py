@@ -1,0 +1,220 @@
+"""Deduplication families for web-scale corpora.
+
+- exact:        hash-groupBy on a normalized fingerprint (1 shuffle)
+- minhash+LSH:  shingle → K minhashes (columnar, no explode) → band
+                signatures → candidate pairs via band-bucket self-join →
+                exact Jaccard verify.  The LSH join is the scale path: it
+                shuffles only (band, signature) buckets, never the cross
+                product.
+- simhash:      64-bit token-vote fingerprint; near-dups = small Hamming
+                distance within prefix buckets
+- n-gram Jaccard: exact pairwise verify (used on LSH candidates only)
+- embedding cosine near-dup: see similarity.py (bucketed by hyperplane LSH)
+
+All hashing uses xxhash64 (stable across Spark runs/partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scylla_cdc_source_connector_spark.functions.text import (
+    fingerprint,
+    shingles_expr,
+    tokens_expr,
+)
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest id per normalized-text fingerprint (deterministic
+    survivor).  One hash aggregation."""
+    return (
+        fingerprint(df, text_col)
+        .groupBy("doc_fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """K minhash values per doc, computed columnar: for seed k, minhash_k =
+    min over shingles of xxhash64(shingle, k).  No explode, no UDF —
+    `transform` + `array_min` stay in codegen."""
+    sh = shingles_expr(F.col(text_col), shingle_n)
+
+    # closure factory: a default-arg lambda would make pyspark pass the
+    # element index as the 2nd arg, clobbering k
+    def _mh(k):
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(k))))
+
+    mh = F.array(*[_mh(k) for k in range(n_hashes)])
+    return df.select(F.col(id_col), sh.alias("shingles"), mh.alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates.
+    Shuffle key = (band, band_signature) — bucket sizes stay tiny for
+    non-dup corpora, so the self-join never approaches the cross product."""
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.col("minhash")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ]
+                    ).alias("bucket"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    )
+    banded = sigs.select(F.col(id_col), F.col("shingles"), bands.alias("bb")).select(
+        id_col, "shingles", "bb.band", "bb.bucket"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with exact-Jaccard verification of LSH candidates.
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold."""
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, n_hashes=n_hashes
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, id_col=id_col, n_bands=n_bands, rows_per_band=n_hashes // n_bands
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        jaccard_expr(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_expr(text: Column, n_bits: int = 64) -> Column:
+    """64-bit simhash: per-token xxhash64; each bit position votes +1/-1;
+    sign of the vote sets the bit.  Pure expression tree (64 folds over the
+    token-hash array)."""
+    tok_hashes = F.transform(tokens_expr(F.lower(text)), lambda t: F.xxhash64(t))
+
+    def _votes(i):
+        return F.aggregate(
+            tok_hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_terms = []
+    for i in range(n_bits):
+        # shift JVM-side: a python literal 1<<63 overflows py4j's signed long
+        bit = F.shiftleft(F.lit(1).cast("long"), i)
+        bit_terms.append(F.when(_votes(i) > 0, bit).otherwise(F.lit(0).cast("long")))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def dedup_simhash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by simhash: bucket by the top prefix_bits (near-dups
+    almost always share the prefix for small Hamming radii), verify Hamming
+    distance via bit_count(xor) <= max_hamming."""
+    sh = df.select(
+        F.col(id_col), simhash_expr(F.col(text_col)).alias("simhash")
+    ).withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.  O(n²) verify — the correctness
+    oracle for the LSH variants; at scale use dedup_minhash_lsh, which
+    calls the same jaccard_expr only on LSH candidates."""
+    sh = df.select(
+        F.col(id_col), shingles_expr(F.col(text_col), shingle_n).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jaccard_expr(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,72 @@
+"""Post-transforms (SMT ports, SURVEY §2.6).
+
+- extract_new_record_state ≙ transforms/ScyllaExtractNewRecordState.java:
+  74-117 — unwrap the envelope to the row's new state (after.*), unwrapping
+  legacy `.Cell` structs ({value: v} → v, :168-184); advanced mode values
+  pass through.  Deletes become tombstones (null state) and are dropped by
+  default like Debezium's drop.tombstones=true.
+- flatten_columns ≙ transforms/ScyllaFlattenColumns.java:39-96 — unwrap
+  Cell structs inside before/after only, keep the rest of the envelope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scylla_cdc_source_connector_spark.schemas import PK_COLUMNS
+
+
+def _is_cell(field_type: T.DataType) -> bool:
+    return (
+        isinstance(field_type, T.StructType)
+        and len(field_type.fields) == 1
+        and field_type.fields[0].name == "value"
+    )
+
+
+def _unwrapped(col: Column, struct_type: T.StructType) -> Column:
+    fields = []
+    for f in struct_type.fields:
+        if _is_cell(f.dataType):
+            fields.append(col[f.name]["value"].alias(f.name))
+        else:
+            fields.append(col[f.name].alias(f.name))
+    return F.when(col.isNotNull(), F.struct(*fields))
+
+
+def extract_new_record_state(
+    envelopes: DataFrame, *, drop_tombstones: bool = True
+) -> DataFrame:
+    """Envelope rows → flat new-state rows (one column per base column).
+    Cell structs are unwrapped; deletes → tombstone rows (all non-key
+    columns null) or dropped."""
+    after_t = None
+    for f in envelopes.schema["value"].dataType.fields:
+        if f.name == "after":
+            after_t = f.dataType
+    out_cols = [F.col("topic"), F.col("key"), F.col("value.op").alias("op")]
+    for f in after_t.fields:
+        src = F.col(f"value.after.{f.name}")
+        if _is_cell(f.dataType):
+            src = src["value"]
+        out_cols.append(src.alias(f.name))
+    out = envelopes.select(*out_cols)
+    if drop_tombstones:
+        out = out.filter(F.col("op") != "d")
+    return out.drop("op")
+
+
+def flatten_columns(envelopes: DataFrame) -> DataFrame:
+    """Unwrap Cell structs inside value.before / value.after, preserving the
+    rest of the envelope (no-op for advanced-format envelopes)."""
+    value_t: T.StructType = envelopes.schema["value"].dataType
+    new_value_fields = []
+    for f in value_t.fields:
+        col = F.col(f"value.{f.name}")
+        if f.name in ("before", "after") and isinstance(f.dataType, T.StructType):
+            if any(_is_cell(sf.dataType) for sf in f.dataType.fields):
+                col = _unwrapped(col, f.dataType)
+        new_value_fields.append(col.alias(f.name))
+    return envelopes.withColumn("value", F.struct(*new_value_fields))
