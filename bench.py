@@ -103,10 +103,10 @@ def run_bench(spark, sf_dir: str) -> dict:
         os.makedirs(stream_in, exist_ok=True)
         shutil.copy(cl_path, os.path.join(stream_in, "chunk-000.parquet"))
 
-    def _stream2():
+    def _stream(mode: str):
         from scylla_cdc_source_connector_spark.streaming.engine import run_stream
 
-        root = "/tmp/sccs_bench_stream"
+        root = f"/tmp/sccs_bench_stream_{mode}"
         shutil.rmtree(root, ignore_errors=True)
         scfg = EngineConfig(
             include_before=IncludeMode.FULL,
@@ -115,12 +115,46 @@ def run_bench(spark, sf_dir: str) -> dict:
             output_dir=f"{root}/out",
             lineage_dir=f"{root}/lin",
         )
-        q = run_stream(spark, scfg, stream_in)
+        q = run_stream(spark, scfg, stream_in, mode=mode)
         q.awaitTermination(3600)
 
-    timed("cdc_pipeline_streaming", _stream2)
+    # headline: vectorized foreachBatch correlation (zero-Python hot path)
+    timed("cdc_pipeline_streaming", lambda: _stream("vectorized"))
     extra["events_per_sec_streaming"] = round(
         n_changelog_rows / timings["cdc_pipeline_streaming"], 1
+    )
+
+    # reference-shaped per-group state machine, capped input (it is the
+    # slow path by construction; measured for the comparison record)
+    stateful_rows = min(n_changelog_rows, 5000)
+    stateful_in = "/tmp/sccs_bench_stream_in_stateful"
+    if not os.path.isdir(stateful_in) or not os.listdir(stateful_in):
+        os.makedirs(stateful_in, exist_ok=True)
+        pdf = __import__("pandas").read_parquet(cl_path).head(stateful_rows)
+        from scylla_cdc_source_connector_spark.fixtures import (
+            write_changelog_chunk,
+        )
+
+        write_changelog_chunk(pdf, os.path.join(stateful_in, "chunk-000.parquet"))
+
+    def _stream_stateful():
+        from scylla_cdc_source_connector_spark.streaming.engine import run_stream
+
+        root = "/tmp/sccs_bench_stream_stateful"
+        shutil.rmtree(root, ignore_errors=True)
+        scfg = EngineConfig(
+            include_before=IncludeMode.FULL,
+            include_after=IncludeMode.FULL,
+            checkpoint_dir=f"{root}/ck",
+            output_dir=f"{root}/out",
+            lineage_dir=f"{root}/lin",
+        )
+        q = run_stream(spark, scfg, stateful_in, mode="stateful")
+        q.awaitTermination(3600)
+
+    timed("cdc_pipeline_streaming_stateful_5k", _stream_stateful)
+    extra["events_per_sec_stateful"] = round(
+        stateful_rows / timings["cdc_pipeline_streaming_stateful_5k"], 1
     )
 
     # 3. audio validation path (vectorized decode + stats over postimages)

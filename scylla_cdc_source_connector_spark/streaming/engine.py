@@ -27,7 +27,10 @@ from scylla_cdc_source_connector_spark.streaming.correlation_state import (
     correlate_stream,
     reassemble_correlated,
 )
-from scylla_cdc_source_connector_spark.streaming.sink import make_sink
+from scylla_cdc_source_connector_spark.streaming.sink import (
+    make_correlating_sink,
+    make_sink,
+)
 
 
 def generation_cfg(cfg: EngineConfig, generation: int) -> EngineConfig:
@@ -81,9 +84,21 @@ def run_stream(
     generation: int | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    mode: str = "vectorized",
 ):
     """Start one streaming query writing to the exactly-once sink.
-    Returns the StreamingQuery (await it / stop it at the call site)."""
+    Returns the StreamingQuery (await it / stop it at the call site).
+
+    mode="vectorized" (default): correlation runs as the codegen'd hash
+    aggregation inside foreachBatch with an explicit pending-state table
+    for cross-micro-batch waits (make_correlating_sink) — zero Python on
+    the hot path, the 10^12-row configuration.
+    mode="stateful": applyInPandasWithState correlation operator
+    (streaming/correlation_state.py) — per-group Python; kept as the
+    literal mapping of the reference's per-RowKey TaskInfo state machine.
+    """
+    if mode not in ("vectorized", "stateful"):
+        raise ValueError(f"unknown correlation mode: {mode!r}")
     changelog = read_changelog_stream(
         spark, input_path, max_files_per_trigger=max_files_per_trigger
     )
@@ -94,9 +109,12 @@ def run_stream(
     else:
         checkpoint = cfg.checkpoint_dir
 
-    env = streaming_envelopes(changelog, cfg)
+    if mode == "vectorized":
+        out, sink_fn = changelog, make_correlating_sink(cfg)
+    else:
+        out, sink_fn = streaming_envelopes(changelog, cfg), make_sink(cfg)
     writer = (
-        env.writeStream.foreachBatch(make_sink(cfg))
+        out.writeStream.foreachBatch(sink_fn)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .queryName(f"{cfg.connector_name}-gen{generation}")

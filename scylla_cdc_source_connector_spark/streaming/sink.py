@@ -47,6 +47,13 @@ def batch_output_path(cfg: EngineConfig, batch_id: int) -> str:
     return os.path.join(cfg.output_dir, f"batch_id={batch_id}")
 
 
+def pending_path(cfg: EngineConfig, batch_id: int) -> str:
+    """Carry-over state of the vectorized correlator: raw changelog rows of
+    groups still incomplete AFTER processing batch_id (versioned per batch
+    so a replayed batch rebuilds identical state — exactly-once)."""
+    return os.path.join(cfg.output_dir, "_pending", f"batch_id={batch_id}")
+
+
 def committed_batch_ids(cfg: EngineConfig) -> list[int]:
     if not os.path.isdir(cfg.lineage_dir):
         return []
@@ -92,43 +99,8 @@ def make_sink(cfg: EngineConfig):
             # before checkpoint advance): idempotent no-op
             return
 
-        shards = []
-        n = 0
-        if not batch_df.isEmpty():
-            # per-shard ordered emit: co-locate each stream, sort by
-            # (event time, batch seq) — reference per-task order scope
-            ordered = batch_df.repartition(
-                F.col("`cdc$stream_id`")
-            ).sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
-            ordered.write.mode("overwrite").parquet(
-                batch_output_path(cfg, batch_id)
-            )
-
-            # per-shard offsets (SourceInfo.offset() analog)
-            stats = (
-                batch_df.groupBy("`cdc$stream_id`", "generation")
-                .agg(
-                    F.min("`cdc$time_us`").alias("window_start_us"),
-                    F.max("`cdc$time_us`").alias("window_end_us"),
-                    F.max_by("clip_id", "`cdc$time_us`").alias(
-                        "last_change_clip_id"
-                    ),
-                    F.count("*").alias("n_records"),
-                )
-                .collect()
-            )
-            for r in stats:
-                shards.append(
-                    {
-                        "shard_id": r["cdc$stream_id"],
-                        "generation": r["generation"],
-                        "window_start_us": r["window_start_us"],
-                        "window_end_us": r["window_end_us"],
-                        "last_change_clip_id": r["last_change_clip_id"],
-                        "n_records": r["n_records"],
-                    }
-                )
-                n += r["n_records"]
+        # per-shard ordered emit + offsets (SourceInfo.offset() analog)
+        n, shards = _write_batch(batch_df, batch_id, cfg)
 
         # atomic lineage commit: tmp + rename (heartbeat on empty batches)
         rec = {
@@ -144,6 +116,159 @@ def make_sink(cfg: EngineConfig):
         os.replace(tmp, lineage_path(cfg, batch_id))
 
     return sink
+
+
+def make_correlating_sink(cfg: EngineConfig):
+    """foreachBatch body over the RAW changelog stream — the vectorized
+    (default) correlation mode.
+
+    The per-group Python of applyInPandasWithState is the reference's
+    per-row consume() loop reborn (ScyllaChangesConsumer.java:187-249) —
+    at 10^12 rows that is the bottleneck.  This sink instead runs the
+    whole-stage-codegen'd `correlate_batch` hash aggregation (ONE shuffle,
+    map-side partial agg, zero Python) inside each micro-batch and carries
+    the cross-batch waits — groups whose write batch was split by a
+    micro-batch boundary — in an explicit pending-state table:
+
+      batch N input  = micro-batch rows ∪ pending(batch N-1)
+      complete groups → envelopes → idempotent batch_id=N output
+      incomplete, not expired → pending(batch N), committed in the same
+      lineage record (tmp+rename) → replay-safe
+
+    Stale eviction (C4, ScyllaChangesConsumer.java:147-185): incomplete
+    groups older than hwm − incomplete_task_timeout are dropped, where
+    hwm = max event time seen so far (the engine-maintained watermark,
+    persisted in lineage as `max_event_us` — the streaming analog of the
+    confidence window S2).
+    """
+    from scylla_cdc_source_connector_spark.operators.correlation import (
+        correlate_batch,
+        is_complete_expr,
+        mask_unused_images,
+    )
+    from scylla_cdc_source_connector_spark.operators.projection import (
+        build_envelopes,
+    )
+
+    os.makedirs(cfg.lineage_dir, exist_ok=True)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    def sink(raw_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        if os.path.exists(lineage_path(cfg, batch_id)):
+            return  # replayed, already-committed batch: idempotent no-op
+        spark = raw_df.sparkSession
+
+        # resume state comes from the LATEST committed lineage record only:
+        # hwm is monotone, and a later batch without pending means earlier
+        # pending state was consumed (each batch rewrites the pending table)
+        bids = committed_batch_ids(cfg)
+        if bids:
+            with open(lineage_path(cfg, bids[-1])) as fh:
+                latest = json.load(fh)
+        else:
+            latest = {}
+        prev_hwm = latest.get("max_event_us", 0)
+        prev_pending = (
+            latest["batch_id"] if latest.get("has_pending") else None
+        )
+        # confidence-window enforcement (S2): drop input rows older than the
+        # watermark = max event time of prior batches − confidence window,
+        # exactly Spark's withWatermark semantics (watermark advances at
+        # batch boundaries).  Pending rows were already admitted.
+        if prev_hwm > 0:
+            raw_df = raw_df.filter(
+                F.col("`cdc$time_us`")
+                >= prev_hwm - cfg.confidence_window_ms * 1000
+            )
+        all_rows = raw_df
+        if prev_pending is not None and os.path.isdir(
+            pending_path(cfg, prev_pending)
+        ):
+            all_rows = raw_df.unionByName(
+                spark.read.parquet(pending_path(cfg, prev_pending))
+            )
+
+        corr = mask_unused_images(correlate_batch(all_rows), cfg)
+        corr.persist()
+        try:
+            max_ev = corr.agg(F.max("`cdc$time_us`")).first()[0]
+            hwm = max(prev_hwm, max_ev or 0)
+            complete = is_complete_expr(cfg)
+
+            env = build_envelopes(corr.filter(complete), cfg)
+            n, shards = _write_batch(env, batch_id, cfg)
+
+            # carry incomplete, unexpired groups; expired ones are dropped
+            # like the reference's stale-task cleanup
+            ttl_floor = hwm - cfg.incomplete_task_timeout_ms * 1000
+            keep = corr.filter(~complete).filter(
+                F.col("`cdc$time_us`") >= ttl_floor
+            )
+            keep_keys = keep.select("clip_id", "`cdc$time`")
+            n_keep = keep_keys.count()
+            if n_keep:
+                # semi-join is broadcast by AQE: keep_keys is tiny (only
+                # boundary-split groups survive a batch)
+                all_rows.join(
+                    keep_keys, ["clip_id", "cdc$time"], "left_semi"
+                ).write.mode("overwrite").parquet(pending_path(cfg, batch_id))
+        finally:
+            corr.unpersist()
+
+        rec = {
+            "batch_id": batch_id,
+            "n_records": n,
+            "shards": shards,
+            "max_event_us": hwm,
+            "has_pending": bool(n_keep),
+            "committed_at_ms": int(time.time() * 1000),
+            "sink_seconds": round(time.time() - t0, 3),
+        }
+        tmp = lineage_path(cfg, batch_id) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, lineage_path(cfg, batch_id))
+
+    return sink
+
+
+def _write_batch(
+    env_df: DataFrame, batch_id: int, cfg: EngineConfig
+) -> tuple[int, list[dict]]:
+    """Idempotent per-batch output write + per-shard offset stats
+    (shared by make_sink and make_correlating_sink)."""
+    shards: list[dict] = []
+    n = 0
+    if env_df.isEmpty():
+        return n, shards
+    ordered = env_df.repartition(
+        F.col("`cdc$stream_id`")
+    ).sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
+    ordered.write.mode("overwrite").parquet(batch_output_path(cfg, batch_id))
+    stats = (
+        env_df.groupBy("`cdc$stream_id`", "generation")
+        .agg(
+            F.min("`cdc$time_us`").alias("window_start_us"),
+            F.max("`cdc$time_us`").alias("window_end_us"),
+            F.max_by("clip_id", "`cdc$time_us`").alias("last_change_clip_id"),
+            F.count("*").alias("n_records"),
+        )
+        .collect()
+    )
+    for r in stats:
+        shards.append(
+            {
+                "shard_id": r["cdc$stream_id"],
+                "generation": r["generation"],
+                "window_start_us": r["window_start_us"],
+                "window_end_us": r["window_end_us"],
+                "last_change_clip_id": r["last_change_clip_id"],
+                "n_records": r["n_records"],
+            }
+        )
+        n += r["n_records"]
+    return n, shards
 
 
 def max_consumed_time_us(cfg: EngineConfig, generation: int) -> dict[str, int]:

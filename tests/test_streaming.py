@@ -82,14 +82,16 @@ def stream_pdf(stream_spec):
     return make_changelog(stream_spec)
 
 
-def test_stream_matches_batch(spark, tmp_root, stream_pdf):
+@pytest.mark.parametrize("mode", ["vectorized", "stateful"])
+def test_stream_matches_batch(spark, tmp_root, stream_pdf, mode):
     """Row-for-row parity: streaming (chunked arrivals, cross-batch
-    correlation) equals the single-shot batch plan."""
+    correlation) equals the single-shot batch plan — in BOTH correlation
+    modes (codegen'd foreachBatch aggregation / applyInPandasWithState)."""
     d = f"{tmp_root}/stream_in"
     _write_chunks(stream_pdf, d, n_chunks=5)
-    cfg = _cfg(tmp_root, "parity")
+    cfg = _cfg(tmp_root, f"parity_{mode}")
 
-    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1)
+    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1, mode=mode)
     q.awaitTermination(300)
     assert not q.isActive
 
@@ -194,10 +196,11 @@ def test_generation_rollover_gate(spark, tmp_root, stream_pdf):
         assert n == ref_n, (gen, n, ref_n)
 
 
-def test_late_data_beyond_watermark_dropped(spark, tmp_root):
+@pytest.mark.parametrize("mode", ["vectorized", "stateful"])
+def test_late_data_beyond_watermark_dropped(spark, tmp_root, mode):
     """Confidence-window semantics: a delta arriving with event time older
     than watermark (30 s) is dropped; one within the window is emitted."""
-    cfg = _cfg(tmp_root, "late")
+    cfg = _cfg(tmp_root, f"late_{mode}")
     d = f"{tmp_root}/late_in"
     os.makedirs(d, exist_ok=True)
 
@@ -221,7 +224,7 @@ def test_late_data_beyond_watermark_dropped(spark, tmp_root):
             r[f"cdc$deleted_{c}"] = False
         return r
 
-    cfg = _cfg(tmp_root, "late", )
+    cfg = _cfg(tmp_root, f"late_{mode}")
     import dataclasses
     cfg = dataclasses.replace(cfg, include_before=IncludeMode.NONE, include_after=IncludeMode.NONE)
 
@@ -230,7 +233,7 @@ def test_late_data_beyond_watermark_dropped(spark, tmp_root):
     # batch 2: t=50 (< wm 70: DROP), t=95 (>= wm: keep)
     _write_one(pd.DataFrame([row("too_late", 50), row("ok_late", 95)]), f"{d}/f1.parquet")
 
-    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1)
+    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1, mode=mode)
     q.awaitTermination(300)
 
     got = sink_mod.read_emitted(spark, cfg)
