@@ -245,6 +245,69 @@ def q_cdc_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 before-struct reconstruction analog
+    (ScyllaChangeRecordEmitter.java:529-575): for each UPDATE the 'before'
+    value of an unmodified column is the key's previous state — here
+    recovered per key with lag() ordered by (ts, event_id)."""
+    p = _proxy(spark, sf_dir)
+    w = Window.partitionBy("clip_id").orderBy("ts_ms", "event_id")
+    return (
+        p.withColumn("before_value", F.lag("value").over(w))
+        .filter((F.col("op") == "u") & F.col("before_value").isNotNull())
+        .select(
+            "clip_id",
+            "ts_ms",
+            "event_id",
+            "before_value",
+            F.col("value").alias("after_value"),
+        )
+    )
+
+
+def q_cdc_op_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key change-type bigrams (c→u, u→d, ...) — the CEP-style pattern
+    count over the ordered change stream."""
+    p = _proxy(spark, sf_dir)
+    w = Window.partitionBy("clip_id").orderBy("ts_ms", "event_id")
+    return (
+        p.withColumn("prev_op", F.lag("op").over(w))
+        .filter(F.col("prev_op").isNotNull())
+        .groupBy("prev_op", "op")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_cdc_heartbeat_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 heartbeat semantics (ScyllaWorkerTransport.moveStateToNextWindow:
+    58-79): per shard, how many 30 s scan windows in [min, max] carried no
+    data — exactly the windows whose offsets only advance via heartbeat."""
+    p = _proxy(spark, sf_dir).withColumn(
+        "slot", F.floor(F.col("ts_ms") / F.lit(30_000)).cast("long")
+    )
+    return p.groupBy("shard_id").agg(
+        F.count_distinct("slot").alias("n_active_windows"),
+        (
+            (F.max("slot") - F.min("slot") + F.lit(1))
+            - F.count_distinct("slot")
+        ).alias("n_heartbeat_windows"),
+    )
+
+
+def q_topk_per_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per shard (row_number top-k — the bounded
+    per-partition pattern used for per-shard hot-item reports)."""
+    p = _proxy(spark, sf_dir)
+    w = Window.partitionBy("shard_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("shard_id", "rank", "event_id", "value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -271,6 +334,24 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylla_cdc_source_connector_spark.functions.text import lang_id
 
     return lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style): min/max over
+    the md5 hashes of all 8-char grams — a content-defined signature that
+    survives small edits elsewhere in the document.  Pure codegen
+    (sequence + transform + array_min), no UDF."""
+    docs = _docs(spark, sf_dir)
+    n = F.greatest(F.length("text") - F.lit(7), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.md5(F.substr(F.col("text"), i, F.lit(8))),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(grams).alias("fp_min"),
+        F.array_max(grams).alias("fp_max"),
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,7 +451,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_shard_offsets": q_cdc_shard_offsets,
         "cdc_hot_keys_salted": q_cdc_hot_keys_salted,
         "cdc_confidence_window": q_cdc_confidence_window,
+        "cdc_before_after": q_cdc_before_after,
+        "cdc_op_transitions": q_cdc_op_transitions,
+        "cdc_heartbeat_windows": q_cdc_heartbeat_windows,
+        "topk_per_shard": q_topk_per_shard,
         "cdc_full_pipeline": q_cdc_full_pipeline,
+        "text_fingerprint": q_text_fingerprint,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -471,6 +557,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT op, count(*) AS n_kept FROM ({proxy})
             WHERE ts_ms <= (SELECT max(ts_ms) - 30000 FROM ({proxy}))
             GROUP BY op
+        """,
+        "cdc_before_after": f"""
+            SELECT clip_id, ts_ms, event_id, before_value, after_value FROM (
+              SELECT clip_id, ts_ms, event_id, op,
+                     lag(value) OVER (PARTITION BY clip_id
+                                      ORDER BY ts_ms, event_id) AS before_value,
+                     value AS after_value
+              FROM ({proxy})
+            ) WHERE op = 'u' AND before_value IS NOT NULL
+        """,
+        "cdc_op_transitions": f"""
+            SELECT prev_op, op, count(*) AS n FROM (
+              SELECT op, lag(op) OVER (PARTITION BY clip_id
+                                       ORDER BY ts_ms, event_id) AS prev_op
+              FROM ({proxy})
+            ) WHERE prev_op IS NOT NULL GROUP BY prev_op, op
+        """,
+        "cdc_heartbeat_windows": f"""
+            SELECT shard_id,
+                   count(DISTINCT slot) AS n_active_windows,
+                   (max(slot) - min(slot) + 1) - count(DISTINCT slot)
+                     AS n_heartbeat_windows
+            FROM (SELECT shard_id, ts_ms // 30000 AS slot FROM ({proxy}))
+            GROUP BY shard_id
+        """,
+        "topk_per_shard": f"""
+            SELECT shard_id, rank, event_id, value FROM (
+              SELECT shard_id, event_id, value,
+                     row_number() OVER (PARTITION BY shard_id
+                                        ORDER BY value DESC, event_id ASC)
+                       AS rank
+              FROM ({proxy})
+            ) WHERE rank <= 3
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   list_aggregate(g, 'min') AS fp_min,
+                   list_aggregate(g, 'max') AS fp_max
+            FROM (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(length(text) - 7, 1) + 1),
+                       i -> md5(text[i : i + 7])
+                     ) AS g
+              FROM documents
+            )
         """,
         # cdc_full_pipeline: rows-only (stateful correlation over the real
         # audio changelog; semantics pinned by tests/test_projection_golden)

@@ -45,7 +45,8 @@ def _norm(v):
 def _rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        # (is-null, repr-keyed value) keeps None sortable against any type
+        tuple((r[i] is None, str(_norm(r[i]))) for i in order) for r in rows
     ), [cols[i] for i in order]
 
 
