@@ -294,6 +294,121 @@ def q_cdc_heartbeat_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_modified_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 modified-column detection (ScyllaChangeRecordEmitter.java:361-398):
+    column modified iff value non-null OR cdc$deleted_<col>.  Proxy: value
+    nulled on event_id%5==0, deleted flag on event_id%7==0."""
+    p = _proxy(spark, sf_dir)
+    value_mod = F.when(F.col("event_id") % 5 != 0, F.col("value"))
+    deleted = F.col("event_id") % 7 == 0
+    modified = value_mod.isNotNull() | deleted
+    return p.groupBy("op").agg(
+        F.sum(modified.cast("long")).alias("n_modified"),
+        F.sum((~modified).cast("long")).alias("n_unmodified"),
+        F.sum(deleted.cast("long")).alias("n_deleted_flag"),
+    )
+
+
+def q_cdc_only_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 only-updated projection (fillStructWithOnlyUpdatedColumns,
+    ScyllaChangeRecordEmitter.java:435-460): modified columns keep the
+    image value, unmodified become null; PKs always present."""
+    p = _proxy(spark, sf_dir)
+    value_mod = F.when(F.col("event_id") % 5 != 0, F.col("value"))
+    deleted = F.col("event_id") % 7 == 0
+    modified = value_mod.isNotNull() | deleted
+    return p.filter(F.col("op") == "u").select(
+        "clip_id",
+        "ts_ms",
+        "event_id",
+        F.when(modified, value_mod).alias("after_value"),
+    )
+
+
+def q_cdc_task_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 task planning (TaskConfigBuilder.java:19-46): sorted shard streams
+    chunked into <= maxTasks tasks of ceil(n/maxTasks) each; here
+    maxTasks=3 over the 8 proxy shards."""
+    max_tasks = 3
+    p = _proxy(spark, sf_dir)
+    shards = p.groupBy("shard_id").agg(F.count("*").alias("n_records"))
+    w = Window.orderBy("shard_id")
+    wn = Window.partitionBy(F.lit(1))
+    ranked = shards.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_shards_total", F.count("*").over(wn)
+    )
+    part_size = F.ceil(F.col("n_shards_total") / F.lit(max_tasks))
+    return (
+        ranked.withColumn(
+            "task_id", F.floor((F.col("rk") - 1) / part_size).cast("int")
+        )
+        .groupBy("task_id")
+        .agg(
+            F.count("*").alias("n_shards"),
+            F.sum("n_records").alias("n_records"),
+            F.min("shard_id").alias("first_shard"),
+            F.max("shard_id").alias("last_shard"),
+        )
+    )
+
+
+def q_cdc_initial_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 initial lookback (ScyllaConnectorConfig.java:199-213): on first
+    start, begin at now - lookback instead of stream start — batch analog
+    keeps only the trailing 1 h of the stream."""
+    p = _proxy(spark, sf_dir)
+    mx = p.agg(F.max("ts_ms").alias("max_ts_ms"))
+    return (
+        p.join(F.broadcast(mx))
+        .filter(F.col("ts_ms") >= F.col("max_ts_ms") - 3_600_000)
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_records"), F.min("ts_ms").alias("first_ts_ms"))
+    )
+
+
+def q_smt_extract_new_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 ScyllaExtractNewRecordState (transforms/
+    ScyllaExtractNewRecordState.java:74-117): envelope -> flat after.* row,
+    tombstones (delete envelopes) dropped."""
+    p = _proxy(spark, sf_dir)
+    env = p.select(
+        "clip_id",
+        "op",
+        F.struct(
+            F.col("value").alias("value"), F.col("user_id").alias("user_id")
+        ).alias("after"),
+        "ts_ms",
+    )
+    return env.filter(F.col("op") != "d").select(
+        "clip_id", "op", F.col("after.value").alias("value"),
+        F.col("after.user_id").alias("user_id"), "ts_ms",
+    )
+
+
+def q_cdc_generation_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation accounting (ScyllaMasterTransport.
+    areTasksFullyConsumedUntil:50-70): generation = epoch half of the
+    stream; per (generation, shard) high-water marks — gen N+1 may start
+    only when every shard's high water passed gen N's end, which the
+    boundary construction makes checkable."""
+    p = _proxy(spark, sf_dir)
+    bounds = p.agg(
+        F.min("ts_ms").alias("mn"), F.max("ts_ms").alias("mx")
+    )
+    gen = F.when(
+        F.col("ts_ms") < (F.col("mn") + F.col("mx")) / 2, F.lit(0)
+    ).otherwise(F.lit(1))
+    return (
+        p.join(F.broadcast(bounds))
+        .withColumn("generation", gen)
+        .groupBy("generation", "shard_id")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.max("ts_ms").alias("high_water_ts_ms"),
+        )
+    )
+
+
 def q_topk_per_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by value per shard (row_number top-k — the bounded
     per-partition pattern used for per-shard hot-item reports)."""
@@ -430,6 +545,56 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (rows-only: coarse quantization isn't
+    SQL-practical; recall vs brute force is pytest-verified)."""
+    from scylla_cdc_source_connector_spark.functions.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload -> mapInPandas feature
+    extraction (decode kernel is the documented deterministic fake; see
+    functions/multimodal.py).  Payload derives from the documents table so
+    the oracle can reproduce the metadata arithmetic."""
+    from scylla_cdc_source_connector_spark.functions.multimodal import (
+        IMAGE_FEATURES_SCHEMA,
+        image_features_batches,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        F.encode(F.md5("text"), "utf-8").alias("payload"),
+    )
+    out = docs.mapInPandas(image_features_batches, IMAGE_FEATURES_SCHEMA)
+    return out.select("item_id", "width", "height", "n_channels", "decode_ok")
+
+
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: 1->N row fan-out over fixed-size byte
+    windows of an opaque payload (stub for ffmpeg frame extraction), md5
+    frame fingerprints."""
+    from scylla_cdc_source_connector_spark.functions.multimodal import (
+        VIDEO_FRAMES_SCHEMA,
+        video_frame_sample_batches,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        F.encode(F.repeat(F.md5("text"), 20), "utf-8").alias("payload"),
+    )
+    out = docs.mapInPandas(
+        video_frame_sample_batches(sample_every=1, frame_bytes=256),
+        VIDEO_FRAMES_SCHEMA,
+    )
+    return out.select("item_id", "frame_index", "frame_fingerprint")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -454,6 +619,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_before_after": q_cdc_before_after,
         "cdc_op_transitions": q_cdc_op_transitions,
         "cdc_heartbeat_windows": q_cdc_heartbeat_windows,
+        "cdc_modified_columns": q_cdc_modified_columns,
+        "cdc_only_updated": q_cdc_only_updated,
+        "cdc_task_planning": q_cdc_task_planning,
+        "cdc_initial_lookback": q_cdc_initial_lookback,
+        "smt_extract_new_state": q_smt_extract_new_state,
+        "cdc_generation_rollover": q_cdc_generation_rollover,
         "topk_per_shard": q_topk_per_shard,
         "cdc_full_pipeline": q_cdc_full_pipeline,
         "text_fingerprint": q_text_fingerprint,
@@ -466,7 +637,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_video_frames": q_multimodal_video_frames,
     }
 
 
@@ -590,6 +764,74 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
               FROM ({proxy})
             ) WHERE rank <= 3
+        """,
+        "cdc_modified_columns": f"""
+            SELECT op,
+                   sum(CASE WHEN modified THEN 1 ELSE 0 END) AS n_modified,
+                   sum(CASE WHEN modified THEN 0 ELSE 1 END) AS n_unmodified,
+                   sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS n_deleted_flag
+            FROM (
+              SELECT op,
+                     (CASE WHEN event_id % 5 <> 0 THEN value END) IS NOT NULL
+                       OR (event_id % 7 = 0) AS modified,
+                     event_id % 7 = 0 AS deleted
+              FROM ({proxy})
+            ) GROUP BY op
+        """,
+        "cdc_only_updated": f"""
+            SELECT clip_id, ts_ms, event_id,
+                   CASE WHEN (CASE WHEN event_id % 5 <> 0 THEN value END)
+                             IS NOT NULL OR event_id % 7 = 0
+                        THEN (CASE WHEN event_id % 5 <> 0 THEN value END)
+                   END AS after_value
+            FROM ({proxy}) WHERE op = 'u'
+        """,
+        "cdc_task_planning": f"""
+            WITH shards AS (
+              SELECT shard_id, count(*) AS n_records
+              FROM ({proxy}) GROUP BY shard_id
+            ), ranked AS (
+              SELECT shard_id, n_records,
+                     row_number() OVER (ORDER BY shard_id) AS rk,
+                     count(*) OVER () AS n_total
+              FROM shards
+            )
+            SELECT CAST(floor((rk - 1) / ceil(n_total / 3.0)) AS INT) AS task_id,
+                   count(*) AS n_shards, sum(n_records) AS n_records,
+                   min(shard_id) AS first_shard, max(shard_id) AS last_shard
+            FROM ranked GROUP BY 1
+        """,
+        "cdc_initial_lookback": f"""
+            SELECT shard_id, count(*) AS n_records, min(ts_ms) AS first_ts_ms
+            FROM ({proxy})
+            WHERE ts_ms >= (SELECT max(ts_ms) - 3600000 FROM ({proxy}))
+            GROUP BY shard_id
+        """,
+        "smt_extract_new_state": f"""
+            SELECT clip_id, op, value, user_id, ts_ms
+            FROM ({proxy}) WHERE op <> 'd'
+        """,
+        "cdc_generation_rollover": f"""
+            SELECT CASE WHEN ts_ms < (SELECT (min(ts_ms) + max(ts_ms)) / 2
+                                      FROM ({proxy}))
+                        THEN 0 ELSE 1 END AS generation,
+                   shard_id, count(*) AS n_records,
+                   max(ts_ms) AS high_water_ts_ms
+            FROM ({proxy}) GROUP BY 1, 2
+        """,
+        "multimodal_image_meta": """
+            SELECT CAST(doc_id AS VARCHAR) AS item_id,
+                   8 + ascii(substring(md5(text), 2, 1)) % 8 AS width,
+                   8 + ascii(substring(md5(text), 1, 1)) % 8 AS height,
+                   3 AS n_channels, TRUE AS decode_ok
+            FROM documents
+        """,
+        "multimodal_video_frames": """
+            SELECT CAST(doc_id AS VARCHAR) AS item_id,
+                   f.i AS frame_index,
+                   md5(substring(repeat(md5(text), 20), f.i * 256 + 1, 256))
+                     AS frame_fingerprint
+            FROM documents, (VALUES (0), (1)) f(i)
         """,
         "text_fingerprint": """
             SELECT doc_id,

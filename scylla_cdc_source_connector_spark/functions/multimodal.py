@@ -67,18 +67,22 @@ def image_features_batches(
 
 
 #: frame-sampling output schema (video = opaque binary + frame count meta)
-VIDEO_FRAMES_SCHEMA = "item_id string, frame_index int, frame_fingerprint long"
+VIDEO_FRAMES_SCHEMA = "item_id string, frame_index int, frame_fingerprint string"
 
 
 def video_frame_sample_batches(
     sample_every: int = 10,
+    frame_bytes: int = 256,
 ):
     """Returns a mapInPandas body sampling every Nth 'frame' of the payload
     (frames are stubbed as fixed-size byte windows; a real build plugs
-    ffmpeg here).  Shows the 1→N row fan-out shape of frame extraction."""
+    ffmpeg here).  Shows the 1→N row fan-out shape of frame extraction.
+    Fingerprint is md5 of the frame bytes — deterministic across processes
+    (unlike salted hash()) and reproducible by any SQL oracle."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        frame_bytes = 256
+        import hashlib
+
         for pdf in batches:
             ids, idxs, fps = [], [], []
             for item_id, raw in zip(pdf["item_id"].values, pdf["payload"].values):
@@ -86,12 +90,9 @@ def video_frame_sample_batches(
                 n_frames = max(1, len(data) // frame_bytes)
                 for i in range(0, n_frames, sample_every):
                     chunk = data[i * frame_bytes : (i + 1) * frame_bytes]
-                    import zlib
-
                     ids.append(item_id)
                     idxs.append(i)
-                    # crc32: deterministic across processes (hash() is salted)
-                    fps.append(zlib.crc32(chunk))
+                    fps.append(hashlib.md5(chunk).hexdigest())
             yield pd.DataFrame(
                 {"item_id": ids, "frame_index": idxs, "frame_fingerprint": fps}
             )

@@ -1,0 +1,151 @@
+"""Training-data-pipeline operator tests: ANN recall (LSH / IVF vs the
+exact brute-force baseline), near-dup recall, and multimodal plumbing
+(schema, fan-out, determinism) — the §5.3 analog of the reference's
+operator-level unit tests for our added operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def _topk_sets(df, k=10):
+    rows = df.filter(F.col("rank") <= k).collect()
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(approx: dict, exact: dict) -> float:
+    hits = total = 0
+    for q, truth in exact.items():
+        total += len(truth)
+        hits += len(truth & approx.get(q, set()))
+    return hits / max(total, 1)
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    from scylla_cdc_source_connector_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = _topk_sets(brute_force_topk(emb, queries, k=10))
+    approx = _topk_sets(ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6))
+    r = _recall(approx, exact)
+    # probing 6/16 cells must beat random cell coverage by a wide margin
+    assert r >= 0.5, f"IVF recall {r:.2f} too low"
+
+
+def test_ivf_full_probe_is_exact(spark, emb):
+    """n_probe == n_centroids probes every cell => identical to brute force."""
+    from scylla_cdc_source_connector_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = _topk_sets(brute_force_topk(emb, queries, k=5), k=5)
+    approx = _topk_sets(
+        ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8), k=5
+    )
+    assert approx == exact
+
+
+def test_lsh_recall_vs_brute_force(spark, emb):
+    from scylla_cdc_source_connector_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = _topk_sets(brute_force_topk(emb, queries, k=10))
+    approx = _topk_sets(lsh_topk(emb, queries, k=10, n_planes=6))
+    assert _recall(approx, exact) > 0.0  # buckets prune aggressively at 6 planes
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
+    from scylla_cdc_source_connector_spark.functions.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    subset = docs.filter(F.col("doc_id") < 300)
+    # same shingle definition as the minhash path (trigrams)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ngram_jaccard(subset, threshold=0.7, shingle_n=3).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_minhash_lsh(subset, threshold=0.7).collect()
+    }
+    if exact:
+        # high-jaccard pairs are exactly what banding is designed to catch
+        assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_image_features_plumbing(spark, docs):
+    from scylla_cdc_source_connector_spark.functions.multimodal import (
+        IMAGE_FEATURES_SCHEMA,
+        image_features_batches,
+    )
+
+    inp = docs.limit(20).select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        F.encode(F.md5("text"), "utf-8").alias("payload"),
+    )
+    out = inp.mapInPandas(image_features_batches, IMAGE_FEATURES_SCHEMA)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["decode_ok"]
+        assert 8 <= r["width"] <= 15 and 8 <= r["height"] <= 15
+        assert r["n_channels"] == 3
+        assert 0.0 <= r["mean_luma"] <= 255.0
+
+
+def test_image_features_empty_payload_flagged(spark):
+    from scylla_cdc_source_connector_spark.functions.multimodal import (
+        IMAGE_FEATURES_SCHEMA,
+        image_features_batches,
+    )
+
+    inp = spark.createDataFrame(
+        [("x", bytearray(b""))], "item_id string, payload binary"
+    )
+    row = inp.mapInPandas(image_features_batches, IMAGE_FEATURES_SCHEMA).first()
+    assert not row["decode_ok"]
+
+
+def test_video_frame_fanout_deterministic(spark, docs):
+    from scylla_cdc_source_connector_spark.functions.multimodal import (
+        VIDEO_FRAMES_SCHEMA,
+        video_frame_sample_batches,
+    )
+
+    inp = docs.limit(10).select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        F.encode(F.repeat(F.md5("text"), 20), "utf-8").alias("payload"),
+    )
+    fn = video_frame_sample_batches(sample_every=1, frame_bytes=256)
+    a = sorted(map(tuple, inp.mapInPandas(fn, VIDEO_FRAMES_SCHEMA).collect()))
+    b = sorted(map(tuple, inp.mapInPandas(fn, VIDEO_FRAMES_SCHEMA).collect()))
+    assert a == b
+    # 640-byte payload, 256-byte frames -> exactly frames 0 and 1 per item
+    assert len(a) == 20
+    assert {t[1] for t in a} == {0, 1}
