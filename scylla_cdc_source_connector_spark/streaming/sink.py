@@ -37,6 +37,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scylla_cdc_source_connector_spark.config import EngineConfig
+from scylla_cdc_source_connector_spark.retry import with_retries
+
+
+def _commit_lineage(cfg: EngineConfig, batch_id: int, rec: dict) -> None:
+    """Atomic lineage commit (tmp + rename), retried with the reference's
+    backoff policy on transient I/O errors (K6) — a failed commit would
+    otherwise kill the streaming query even though the batch output is
+    already idempotently written."""
+
+    def write() -> None:
+        tmp = lineage_path(cfg, batch_id) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, lineage_path(cfg, batch_id))
+
+    with_retries(write)
 
 
 def lineage_path(cfg: EngineConfig, batch_id: int) -> str:
@@ -103,17 +119,17 @@ def make_sink(cfg: EngineConfig):
         n, shards = _write_batch(batch_df, batch_id, cfg)
 
         # atomic lineage commit: tmp + rename (heartbeat on empty batches)
-        rec = {
-            "batch_id": batch_id,
-            "n_records": n,
-            "shards": shards,
-            "committed_at_ms": int(time.time() * 1000),
-            "sink_seconds": round(time.time() - t0, 3),
-        }
-        tmp = lineage_path(cfg, batch_id) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(rec, fh)
-        os.replace(tmp, lineage_path(cfg, batch_id))
+        _commit_lineage(
+            cfg,
+            batch_id,
+            {
+                "batch_id": batch_id,
+                "n_records": n,
+                "shards": shards,
+                "committed_at_ms": int(time.time() * 1000),
+                "sink_seconds": round(time.time() - t0, 3),
+            },
+        )
 
     return sink
 
@@ -216,19 +232,19 @@ def make_correlating_sink(cfg: EngineConfig):
         finally:
             corr.unpersist()
 
-        rec = {
-            "batch_id": batch_id,
-            "n_records": n,
-            "shards": shards,
-            "max_event_us": hwm,
-            "has_pending": bool(n_keep),
-            "committed_at_ms": int(time.time() * 1000),
-            "sink_seconds": round(time.time() - t0, 3),
-        }
-        tmp = lineage_path(cfg, batch_id) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(rec, fh)
-        os.replace(tmp, lineage_path(cfg, batch_id))
+        _commit_lineage(
+            cfg,
+            batch_id,
+            {
+                "batch_id": batch_id,
+                "n_records": n,
+                "shards": shards,
+                "max_event_us": hwm,
+                "has_pending": bool(n_keep),
+                "committed_at_ms": int(time.time() * 1000),
+                "sink_seconds": round(time.time() - t0, 3),
+            },
+        )
 
     return sink
 
