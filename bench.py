@@ -24,11 +24,19 @@ import time
 def _mk_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    # shuffle/spill on tmpfs: this sandbox's /tmp disk throttles writeback
+    # (the same 2 GB shuffle measured anywhere from 5 s to 150 s on it); a
+    # production cluster has NVMe + external shuffle service, so the
+    # RAM-backed local dir is the honest single-node stand-in
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/sccs-spark-local")
+    os.makedirs(local_dir, exist_ok=True)
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        .config("spark.local.dir", local_dir)
+        .config("spark.sql.warehouse.dir", "/tmp/sccs_warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -38,16 +46,21 @@ def _mk_spark(cpus: int):
     )
 
 
+N_BENCH_CHUNKS = 16
+
+
 def bench_changelog_path(sf_dir: str, n_events: int) -> str:
-    """Deterministic bench changelog cached per (sf, size)."""
+    """Deterministic bench changelog cached per (sf, size) — a DIRECTORY of
+    N_BENCH_CHUNKS arrival-ordered parquet files, so the scan parallelizes
+    without depending on row-group splits of one monolithic file."""
     from scylla_cdc_source_connector_spark.fixtures import (
         FixtureSpec,
         make_changelog,
         write_changelog_chunk,
     )
 
-    path = f"/tmp/sccs_bench_changelog_{n_events}.parquet"
-    if not os.path.exists(path):
+    path = f"/tmp/sccs_bench_changelog_{n_events}"
+    if not os.path.isdir(path) or len(os.listdir(path)) != N_BENCH_CHUNKS:
         spec = FixtureSpec(
             n_events=n_events,
             n_clips=max(200, n_events // 10),
@@ -56,7 +69,15 @@ def bench_changelog_path(sf_dir: str, n_events: int) -> str:
             min_dur_ms=200,
             max_dur_ms=500,
         )
-        write_changelog_chunk(make_changelog(spec), path)
+        pdf = make_changelog(spec)
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        size = (len(pdf) + N_BENCH_CHUNKS - 1) // N_BENCH_CHUNKS
+        for i in range(N_BENCH_CHUNKS):
+            write_changelog_chunk(
+                pdf.iloc[i * size : (i + 1) * size],
+                os.path.join(path, f"chunk-{i:03d}.parquet"),
+            )
     return path
 
 
@@ -96,17 +117,56 @@ def run_bench(spark, sf_dir: str) -> dict:
         n_changelog_rows / timings["cdc_pipeline_batch"], 1
     )
 
-    # 2. streaming end-to-end (availableNow, exactly-once sink)
-    # stream source needs a directory of just this changelog
-    stream_in = "/tmp/sccs_bench_stream_in"
-    if not os.path.isdir(stream_in) or not os.listdir(stream_in):
-        os.makedirs(stream_in, exist_ok=True)
-        shutil.copy(cl_path, os.path.join(stream_in, "chunk-000.parquet"))
+    # bucketed layout (the production Iceberg bucket(clip_id, N) stand-in):
+    # HashPartitioning(clip_id) satisfies the groupBy(clip_id, cdc$time)
+    # distribution, so the correlation runs with ZERO exchange — the
+    # payload never crosses a shuffle at all
+    tbl = f"sccs_changelog_b_{n_events}"
+    if not spark.catalog.tableExists(tbl):
+        (
+            changelog.write.bucketBy(32, "clip_id")
+            .sortBy("clip_id", "cdc$time")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    n_b = timed(
+        "cdc_pipeline_batch_bucketed",
+        lambda: cdc_envelopes(
+            spark.table(tbl), cfg, processing_ts_ms=F.lit(0)
+        ).count(),
+    )
+    assert n_b == n_emitted, (n_b, n_emitted)
+    extra["events_per_sec_batch_bucketed"] = round(
+        n_changelog_rows / timings["cdc_pipeline_batch_bucketed"], 1
+    )
 
-    def _stream(mode: str):
+    # 2. streaming end-to-end (availableNow, exactly-once sink)
+    # stream source reads a directory; 8 time-ordered chunks so the
+    # micro-batched latency run below gets real batch boundaries
+    n_stream_chunks = 8
+    stream_in = "/tmp/sccs_bench_stream_in"
+    if not os.path.isdir(stream_in) or len(os.listdir(stream_in)) != n_stream_chunks:
+        import pandas as pd
+
+        from scylla_cdc_source_connector_spark.fixtures import (
+            write_changelog_chunk,
+        )
+
+        shutil.rmtree(stream_in, ignore_errors=True)
+        os.makedirs(stream_in, exist_ok=True)
+        pdf = pd.read_parquet(cl_path).sort_values("cdc$time_us", kind="stable")
+        size = (len(pdf) + n_stream_chunks - 1) // n_stream_chunks
+        for i in range(n_stream_chunks):
+            write_changelog_chunk(
+                pdf.iloc[i * size : (i + 1) * size],
+                os.path.join(stream_in, f"chunk-{i:03d}.parquet"),
+            )
+
+    def _stream(mode: str, max_files_per_trigger: int | None = None):
         from scylla_cdc_source_connector_spark.streaming.engine import run_stream
 
-        root = f"/tmp/sccs_bench_stream_{mode}"
+        root = f"/tmp/sccs_bench_stream_{mode}_{max_files_per_trigger or 0}"
         shutil.rmtree(root, ignore_errors=True)
         scfg = EngineConfig(
             include_before=IncludeMode.FULL,
@@ -115,14 +175,51 @@ def run_bench(spark, sf_dir: str) -> dict:
             output_dir=f"{root}/out",
             lineage_dir=f"{root}/lin",
         )
-        q = run_stream(spark, scfg, stream_in, mode=mode)
+        q = run_stream(
+            spark,
+            scfg,
+            stream_in,
+            mode=mode,
+            max_files_per_trigger=max_files_per_trigger,
+        )
         q.awaitTermination(3600)
+        return q
 
-    # headline: vectorized foreachBatch correlation (zero-Python hot path)
+    def _batch_latency_pcts(q) -> dict:
+        """Emit-latency proxy from streaming progress: per-micro-batch wall
+        time (trigger to commit).  End-to-end latency on live data = this +
+        the 30 s confidence-window hold-back (BASELINE.md §B latency
+        floor); fixture event times are synthetic so event-time lag is not
+        meaningful here."""
+        durs = sorted(
+            p["durationMs"]["triggerExecution"]
+            for p in (q.recentProgress or [])
+            if p.get("durationMs", {}).get("triggerExecution") is not None
+            and p.get("numInputRows", 0) > 0
+        )
+        if not durs:
+            return {}
+        pct = lambda f: durs[min(int(f * len(durs)), len(durs) - 1)]  # noqa: E731
+        return {
+            "batch_latency_ms_p50": pct(0.50),
+            "batch_latency_ms_p95": pct(0.95),
+            "batch_latency_ms_max": durs[-1],
+            "n_batches": len(durs),
+        }
+
+    # headline: vectorized foreachBatch correlation (zero-Python hot path),
+    # one availableNow batch = max throughput
     timed("cdc_pipeline_streaming", lambda: _stream("vectorized"))
     extra["events_per_sec_streaming"] = round(
         n_changelog_rows / timings["cdc_pipeline_streaming"], 1
     )
+    # micro-batched run (1 file/trigger -> 8 batches incl. cross-batch
+    # pending-state carryover): per-batch emit-latency percentiles
+    q_mb = timed(
+        "cdc_streaming_microbatched",
+        lambda: _stream("vectorized", max_files_per_trigger=1),
+    )
+    extra["emit_latency"] = _batch_latency_pcts(q_mb)
 
     # reference-shaped per-group state machine, capped input (it is the
     # slow path by construction; measured for the comparison record)

@@ -67,11 +67,14 @@ def worker(input_dir: str, cpus: int) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/sccs-spark-local")
+    os.makedirs(local_dir, exist_ok=True)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        .config("spark.local.dir", local_dir)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

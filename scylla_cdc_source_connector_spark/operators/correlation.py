@@ -26,7 +26,7 @@ Two implementations:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from scylla_cdc_source_connector_spark.config import EngineConfig
@@ -42,22 +42,41 @@ from scylla_cdc_source_connector_spark.schemas import (
     OP_ROW_UPDATE,
 )
 
-#: columns carried inside the correlated `delta` struct
-_DELTA_FIELDS = (
-    ["`cdc$operation`", "`cdc$batch_seq_no`"]
-    + [f"`{c}`" for c in BASE_COLUMNS]
-    + [f"`cdc$deleted_{c}`" for c in NON_PK_COLUMNS]
-)
+def delta_struct_expr(*, with_values: bool) -> Column:
+    """The shuffled `delta` struct.
+
+    Advanced-format projection reads only the delta's METADATA and per-
+    column null-ness (modified-column detection,
+    ScyllaChangeRecordEmitter.java:361-398) — the values in before/after
+    always come from the images.  So by default the delta carries
+    `set_<col>` BOOLEANS instead of column values: the audio payload never
+    rides the shuffle a third time (payload elision — at 100 TB this is a
+    ~33% cut of exchange volume in full-image mode, and with include
+    modes = none Catalyst then prunes the payload from the scan entirely).
+
+    with_values=True (legacy format) additionally carries the values:
+    legacy Cell structs are filled FROM the delta
+    (ScyllaChangeRecordEmitterLegacy.fillStructWithChange:222-245).
+    """
+    fields = [F.col("`cdc$operation`"), F.col("`cdc$batch_seq_no`")]
+    fields += [
+        F.col(f"`{c}`").isNotNull().alias(f"set_{c}") for c in NON_PK_COLUMNS
+    ]
+    fields += [F.col(f"`cdc$deleted_{c}`") for c in NON_PK_COLUMNS]
+    if with_values:
+        fields += [F.col(f"`{c}`") for c in BASE_COLUMNS]
+    return F.struct(*fields)
 
 
-def correlate_batch(changelog: DataFrame) -> DataFrame:
+def correlate_batch(changelog: DataFrame, *, delta_values: bool = False) -> DataFrame:
     """Group CDC log rows by (clip_id, cdc$time) and pivot the operation
     types into pre_image / delta / post_image structs.
 
     Output columns:
       clip_id, cdc$time, cdc$time_us, cdc$stream_id, generation,
       pre_image struct<base cols>, post_image struct<base cols>,
-      delta struct<cdc$operation, cdc$batch_seq_no, base cols, deleted flags>
+      delta struct<cdc$operation, cdc$batch_seq_no, set flags, deleted
+      flags[, base cols when delta_values]>
 
     One shuffle, pure JVM.  Rows whose group has no delta (orphaned images —
     possible when a window boundary splits a batch) are dropped here; the
@@ -66,7 +85,7 @@ def correlate_batch(changelog: DataFrame) -> DataFrame:
     op = F.col("`cdc$operation`")
     seq = F.col("`cdc$batch_seq_no`")
     base_struct = F.struct(*[F.col(f"`{c}`") for c in BASE_COLUMNS])
-    delta_struct = F.struct(*[F.col(c) for c in _DELTA_FIELDS])
+    delta_struct = delta_struct_expr(with_values=delta_values)
 
     # "last one wins" per slot — setChange/setPreImage/setPostImage overwrite
     # on repeated arrival (TaskInfo setters), and within a batch arrival

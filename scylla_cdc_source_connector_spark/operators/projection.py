@@ -51,8 +51,10 @@ from scylla_cdc_source_connector_spark.schemas import (
 
 
 def _modified(delta: Column, col: str) -> Column:
-    """getModifiedColumns, columnar (ScyllaChangeRecordEmitter.java:361-398)."""
-    return delta[col].isNotNull() | F.coalesce(
+    """getModifiedColumns, columnar (ScyllaChangeRecordEmitter.java:361-398).
+    Reads the correlated delta's `set_<col>` null-ness FLAG (payload values
+    are elided from the delta struct — see correlation.delta_struct_expr)."""
+    return delta[f"set_{col}"] | F.coalesce(
         delta[f"cdc$deleted_{col}"], F.lit(False)
     )
 
@@ -161,8 +163,10 @@ def build_envelopes(
     )
 
     # ---- key / payload-key / headers (P2/P8) -------------------------------
-    # anyImage = post > pre > delta (TaskInfo.getAnyImage, TaskInfo.java:71-79)
-    any_pk = F.coalesce(post["clip_id"], pre["clip_id"], delta["clip_id"])
+    # anyImage = post > pre > delta (TaskInfo.getAnyImage, TaskInfo.java:71-79);
+    # the delta's pk IS the correlation group key (payload-elided delta
+    # carries no base columns)
+    any_pk = F.coalesce(post["clip_id"], pre["clip_id"], F.col("clip_id"))
     key = (
         F.struct(any_pk.alias("clip_id"))
         if PkPlacement.KAFKA_KEY in cfg.pk_placements

@@ -45,3 +45,39 @@ def cdc_envelopes(
         mask_unused_images(correlate_batch(changelog), cfg), cfg
     )
     return build_envelopes(correlated, cfg, processing_ts_ms=processing_ts_ms)
+
+
+def cdc_legacy_envelopes(
+    changelog: DataFrame,
+    cfg: EngineConfig,
+    *,
+    processing_ts_ms: Column | None = None,
+    experimental_preimages: bool = False,
+) -> DataFrame:
+    """Legacy-format pipeline: Cell-wrapped envelopes.  The legacy emitter
+    fills cells FROM the delta
+    (ScyllaChangeRecordEmitterLegacy.fillStructWithChange:222-245), so the
+    correlation shuffles delta VALUES here (delta_values=True) — the
+    advanced path's payload elision doesn't apply."""
+    from scylla_cdc_source_connector_spark.operators.legacy import (
+        build_legacy_envelopes,
+    )
+
+    correlated = correlate_batch(changelog, delta_values=True)
+    # legacy holds only a preimage slot (C5, ScyllaChangesConsumerLegacy);
+    # postimages are always ignored, preimages only under the experimental
+    # flag — image masking here follows that, not the include modes
+    correlated = correlated.withColumn(
+        "post_image", F.lit(None).cast(correlated.schema["post_image"].dataType)
+    )
+    if not experimental_preimages:
+        correlated = correlated.withColumn(
+            "pre_image", F.lit(None).cast(correlated.schema["pre_image"].dataType)
+        )
+    correlated = complete_only(correlated, cfg)
+    return build_legacy_envelopes(
+        correlated,
+        cfg,
+        processing_ts_ms=processing_ts_ms,
+        experimental_preimages=experimental_preimages,
+    )

@@ -65,6 +65,16 @@ def _flat_fields(prefix: str) -> list[T.StructField]:
     return out
 
 
+def _delta_flag_fields() -> list[T.StructField]:
+    """The delta slot stores per-column SET FLAGS, not values — the
+    payload elision of operators.correlation.delta_struct_expr applied to
+    the state store: advanced projection only reads delta null-ness, so
+    state never holds a second copy of the audio payload."""
+    out = [T.StructField("d__has", T.BooleanType())]
+    out += [T.StructField(f"d__set_{n}", T.BooleanType()) for n, _ in _IMG_FIELDS]
+    return out
+
+
 def state_schema() -> T.StructType:
     fields = [
         T.StructField("cdc_time_us", T.LongType()),
@@ -77,7 +87,7 @@ def state_schema() -> T.StructType:
     ]
     fields += _flat_fields("pre__")
     fields += _flat_fields("post__")
-    fields += _flat_fields("d__")
+    fields += _delta_flag_fields()
     fields += [
         T.StructField(f"d__deleted_{c}", T.BooleanType()) for c in NON_PK_COLUMNS
     ]
@@ -96,7 +106,7 @@ def output_schema() -> T.StructType:
     ]
     fields += _flat_fields("pre__")
     fields += _flat_fields("post__")
-    fields += _flat_fields("d__")
+    fields += _delta_flag_fields()
     fields += [
         T.StructField(f"d__deleted_{c}", T.BooleanType()) for c in NON_PK_COLUMNS
     ]
@@ -190,16 +200,21 @@ def make_correlator(cfg: EngineConfig):
                 t_us = int(rd["cdc$time_us"])
                 stream_id = rd["cdc$stream_id"]
                 gen = int(rd["generation"])
-                img = [True] + [_pyval(rd[n]) for n, _ in _IMG_FIELDS]
                 if op == OP_PRE_IMAGE:
                     if needs_pre and (pre_seq is None or seq >= pre_seq):
-                        pre, pre_seq = img, seq
+                        pre = [True] + [_pyval(rd[n]) for n, _ in _IMG_FIELDS]
+                        pre_seq = seq
                 elif op == OP_POST_IMAGE:
                     if needs_post and (post_seq is None or seq >= post_seq):
-                        post, post_seq = img, seq
+                        post = [True] + [_pyval(rd[n]) for n, _ in _IMG_FIELDS]
+                        post_seq = seq
                 elif op in DELTA_OPS:
                     if d_seq is None or seq >= d_seq:
-                        dlt, d_op, d_seq = img, op, seq
+                        # delta slot: set FLAGS only (payload elision)
+                        dlt = [True] + [
+                            _pyval(rd[n]) is not None for n, _ in _IMG_FIELDS
+                        ]
+                        d_op, d_seq = op, seq
                         ddel = [
                             bool(rd.get(f"cdc$deleted_{c}") or False)
                             for c in NON_PK_COLUMNS
@@ -216,10 +231,13 @@ def make_correlator(cfg: EngineConfig):
                 "d_op": d_op,
                 "d_seq": d_seq,
             }
-            for prefix, slot in (("pre__", pre), ("post__", post), ("d__", dlt)):
+            for prefix, slot in (("pre__", pre), ("post__", post)):
                 out[f"{prefix}has"] = bool(slot[0])
                 for i, (n, _) in enumerate(_IMG_FIELDS):
                     out[f"{prefix}{n}"] = slot[1 + i] if slot[0] else None
+            out["d__has"] = bool(dlt[0])
+            for i, (n, _) in enumerate(_IMG_FIELDS):
+                out[f"d__set_{n}"] = bool(dlt[1 + i]) if dlt[0] else False
             for i, c in enumerate(NON_PK_COLUMNS):
                 out[f"d__deleted_{c}"] = bool(ddel[i]) if ddel else False
             yield pd.DataFrame([out])
@@ -271,19 +289,15 @@ def reassemble_correlated(flat: DataFrame) -> DataFrame:
     """Flat correlator output → the nested (pre_image, post_image, delta)
     shape shared with operators.correlation.correlate_batch, so
     build_envelopes works identically on both paths."""
-    delta_fields = (
+    # field order matches operators.correlation.delta_struct_expr
+    # (with_values=False): metadata, set flags, deleted flags
+    ordered = (
         [F.col("d_op").alias("cdc$operation"), F.col("d_seq").alias("cdc$batch_seq_no")]
-        + [F.col("clip_id").alias("clip_id")]
-        + [F.col(f"`d__{n}`").alias(n) for n, _ in _IMG_FIELDS]
+        + [F.col(f"`d__set_{n}`").alias(f"set_{n}") for n, _ in _IMG_FIELDS]
         + [
             F.col(f"`d__deleted_{c}`").alias(f"cdc$deleted_{c}")
             for c in NON_PK_COLUMNS
         ]
-    )
-    # field order must match _DELTA_FIELDS in operators/correlation.py
-    ordered = (
-        [delta_fields[0], delta_fields[1], delta_fields[2]]
-        + delta_fields[3:]
     )
     return flat.select(
         "clip_id",

@@ -1,0 +1,116 @@
+"""Progress / lag metrics over the sink's lineage and emitted output
+(SURVEY §7.2 item 7; north_rule: "resumable from checkpoint with
+per-partition lineage + metrics").
+
+The reference exposes lag as the difference between the envelope's
+top-level ts_ms (processing time) and source.ts_ms (DB time from the
+change's timeuuid) — README.md:188-194 — and moves offsets on heartbeats
+when windows are empty (ScyllaWorkerTransport.java:58-79).  Here:
+
+- emit_lag_percentiles: distributed percentiles (approxQuantile, no
+  collect) of ts_ms − source.ts_ms over emitted envelopes;
+- shard_progress: per-shard high-water marks / record counts folded from
+  the lineage records — the SourceInfo.offset() view of progress;
+- heartbeat_batches: committed batches that carried no records (offset
+  progress without data — K4);
+- streaming_query_summary: throughput + batch-duration percentiles from
+  a StreamingQuery's recentProgress.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scylla_cdc_source_connector_spark.config import EngineConfig
+from scylla_cdc_source_connector_spark.streaming.sink import (
+    read_emitted,
+    read_lineage,
+)
+
+
+def emit_lag_percentiles(
+    emitted: DataFrame, *, probabilities: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> dict[str, float]:
+    """Lag = envelope processing ts_ms − source.ts_ms (README.md:188-194),
+    as approximate percentiles computed executor-side."""
+    lag = emitted.select(
+        (F.col("value.ts_ms") - F.col("value.source.ts_ms")).cast("double").alias("lag_ms")
+    )
+    if lag.isEmpty():
+        return {}
+    qs = lag.approxQuantile("lag_ms", list(probabilities), 0.001)
+    return {f"p{int(p * 100)}_ms": v for p, v in zip(probabilities, qs)}
+
+
+def shard_progress(cfg: EngineConfig) -> dict[str, dict]:
+    """Fold lineage into per-shard progress: the engine's answer to
+    `SELECT * FROM offsets` (SourceInfo.java:32-63 partition/offset maps)."""
+    out: dict[str, dict] = {}
+    for rec in read_lineage(cfg):
+        for s in rec["shards"]:
+            cur = out.setdefault(
+                s["shard_id"],
+                {
+                    "generation": s["generation"],
+                    "window_start_us": s["window_start_us"],
+                    "window_end_us": s["window_end_us"],
+                    "n_records": 0,
+                    "n_batches": 0,
+                    "last_change_clip_id": None,
+                },
+            )
+            cur["generation"] = max(cur["generation"], s["generation"])
+            cur["window_start_us"] = min(cur["window_start_us"], s["window_start_us"])
+            if s["window_end_us"] >= cur["window_end_us"]:
+                cur["window_end_us"] = s["window_end_us"]
+                cur["last_change_clip_id"] = s["last_change_clip_id"]
+            cur["n_records"] += s["n_records"]
+            cur["n_batches"] += 1
+    return out
+
+
+def heartbeat_batches(cfg: EngineConfig) -> list[int]:
+    """Batch ids committed with zero records — pure offset progress, the
+    heartbeat analog (K4)."""
+    return [rec["batch_id"] for rec in read_lineage(cfg) if rec["n_records"] == 0]
+
+
+def emitted_lag_report(
+    spark: SparkSession, cfg: EngineConfig
+) -> dict[str, float]:
+    """Convenience: lag percentiles over everything the sink has committed."""
+    return emit_lag_percentiles(read_emitted(spark, cfg))
+
+
+def streaming_query_summary(query) -> dict:
+    """Throughput + per-batch duration percentiles from recentProgress
+    (the observable the driver's dashboards scrape)."""
+    seen: set = set()
+    progresses = []
+    # recentProgress can report the terminal batch twice — dedupe by batchId
+    for p in query.recentProgress or []:
+        if p.get("numInputRows", 0) > 0 and p.get("batchId") not in seen:
+            seen.add(p.get("batchId"))
+            progresses.append(p)
+    if not progresses:
+        return {"n_batches": 0}
+    durs = sorted(
+        p["durationMs"]["triggerExecution"]
+        for p in progresses
+        if p.get("durationMs", {}).get("triggerExecution") is not None
+    )
+    rows = sum(p["numInputRows"] for p in progresses)
+    total_s = sum(durs) / 1000.0
+
+    def pct(f: float) -> float:
+        return durs[min(int(f * len(durs)), len(durs) - 1)]
+
+    return {
+        "n_batches": len(progresses),
+        "input_rows": rows,
+        "rows_per_sec": round(rows / total_s, 1) if total_s else None,
+        "batch_ms_p50": pct(0.5),
+        "batch_ms_p95": pct(0.95),
+        "batch_ms_max": durs[-1],
+    }

@@ -204,6 +204,10 @@ def make_correlating_sink(cfg: EngineConfig):
             all_rows = raw_df.unionByName(
                 spark.read.parquet(pending_path(cfg, prev_pending))
             )
+        # cache the micro-batch input: the pending-state write below re-uses
+        # it, and without this the file source is scanned (and it reports
+        # numInputRows) a second time
+        all_rows.persist()
 
         corr = mask_unused_images(correlate_batch(all_rows), cfg)
         corr.persist()
@@ -231,6 +235,7 @@ def make_correlating_sink(cfg: EngineConfig):
                 ).write.mode("overwrite").parquet(pending_path(cfg, batch_id))
         finally:
             corr.unpersist()
+            all_rows.unpersist()
 
         _commit_lineage(
             cfg,

@@ -196,6 +196,40 @@ def test_generation_rollover_gate(spark, tmp_root, stream_pdf):
         assert n == ref_n, (gen, n, ref_n)
 
 
+def test_metrics_surface(spark, tmp_root, stream_pdf):
+    """Lineage-folded shard progress, emit-lag percentiles, heartbeat
+    detection, query-progress summary (K4 + README.md:188-194 lag)."""
+    from scylla_cdc_source_connector_spark.streaming import metrics
+
+    d = f"{tmp_root}/metrics_in"
+    _write_chunks(stream_pdf, d, n_chunks=3)
+    cfg = _cfg(tmp_root, "metrics")
+    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    prog = metrics.shard_progress(cfg)
+    assert prog, "no shard progress"
+    emitted = sink_mod.read_emitted(spark, cfg)
+    assert sum(s["n_records"] for s in prog.values()) == emitted.count()
+    for s in prog.values():
+        assert s["window_end_us"] >= s["window_start_us"]
+        assert s["last_change_clip_id"] is not None
+
+    lag = metrics.emitted_lag_report(spark, cfg)
+    # processing ts (now) - synthetic 2024 event times: positive, monotone
+    assert lag["p50_ms"] > 0
+    assert lag["p50_ms"] <= lag["p95_ms"] <= lag["p99_ms"]
+
+    assert metrics.heartbeat_batches(cfg) == [
+        r["batch_id"] for r in sink_mod.read_lineage(cfg) if r["n_records"] == 0
+    ]
+
+    summary = metrics.streaming_query_summary(q)
+    assert summary["n_batches"] >= 3
+    assert summary["input_rows"] == len(stream_pdf)
+    assert summary["batch_ms_p50"] <= summary["batch_ms_max"]
+
+
 @pytest.mark.parametrize("mode", ["vectorized", "stateful"])
 def test_late_data_beyond_watermark_dropped(spark, tmp_root, mode):
     """Confidence-window semantics: a delta arriving with event time older
