@@ -26,6 +26,17 @@ from scylla_cdc_source_connector_spark.functions.text import (
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input arrives
+    in fewer partitions (a single small file ⇒ 1 partition ⇒ the per-doc
+    hashing work serializes on one core).  At scale the corpus already has
+    ≥ cores partitions and this is a no-op — no extra shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -46,18 +57,32 @@ def minhash_signatures(
     n_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """K minhash values per doc, computed columnar: for seed k, minhash_k =
-    min over shingles of xxhash64(shingle, k).  No explode, no UDF —
-    `transform` + `array_min` stay in codegen."""
-    sh = shingles_expr(F.col(text_col), shingle_n)
+    """K minhash values per doc, computed columnar: no explode, no UDF —
+    `transform` + `array_min` stay in codegen.
+
+    Shingle STRINGS are hashed to 64-bit longs exactly once
+    (`sh_hashes`); each of the K minhashes then re-mixes the long with its
+    seed — K passes over a long array instead of K rounds of string
+    hashing (the string pass dominates: shingles average tens of bytes,
+    re-hashing them K times was ~30 ms/doc).  Jaccard downstream operates
+    on the hash sets (64-bit collisions are negligible)."""
+    shingled = _spread(df).select(
+        F.col(id_col), shingles_expr(F.col(text_col), shingle_n).alias("shingles")
+    )
+    hashed = shingled.select(
+        F.col(id_col),
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("sh_hashes"),
+    )
 
     # closure factory: a default-arg lambda would make pyspark pass the
     # element index as the 2nd arg, clobbering k
     def _mh(k):
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(k))))
+        return F.array_min(
+            F.transform(F.col("sh_hashes"), lambda h: F.xxhash64(h, F.lit(k)))
+        )
 
     mh = F.array(*[_mh(k) for k in range(n_hashes)])
-    return df.select(F.col(id_col), sh.alias("shingles"), mh.alias("minhash"))
+    return hashed.select(F.col(id_col), F.col("sh_hashes"), mh.alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -86,12 +111,15 @@ def lsh_candidate_pairs(
             ]
         )
     )
-    banded = sigs.select(F.col(id_col), F.col("shingles"), bands.alias("bb")).select(
-        id_col, "shingles", "bb.band", "bb.bucket"
+    # band-bucket join on SLIM (id, band, bucket) rows only; the shingle
+    # hash arrays rejoin after pair dedup — candidate duplication across
+    # bands never copies the arrays
+    banded = sigs.select(F.col(id_col), bands.alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -101,10 +129,14 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sigs.select(F.col(id_col), F.col("sh_hashes"))
+    return (
+        pairs.join(sets.withColumnsRenamed({id_col: "id_a", "sh_hashes": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({id_col: "id_b", "sh_hashes": "sh_b"}), "id_b")
+        .select("id_a", "id_b", "sh_a", "sh_b")
     )
 
 
@@ -138,11 +170,12 @@ def dedup_minhash_lsh(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash_expr(text: Column, n_bits: int = 64) -> Column:
-    """64-bit simhash: per-token xxhash64; each bit position votes +1/-1;
-    sign of the vote sets the bit.  Pure expression tree (64 folds over the
-    token-hash array)."""
-    tok_hashes = F.transform(tokens_expr(F.lower(text)), lambda t: F.xxhash64(t))
+def simhash_from_hashes(tok_hashes: Column, n_bits: int = 64) -> Column:
+    """64-bit simhash from a precomputed token-hash array: each bit
+    position votes +1/-1; sign of the vote sets the bit.  Pure expression
+    tree (64 folds over the long array).  Pass a MATERIALIZED column (not
+    an inline transform) — the 64 folds each reference it, and inlining
+    would recompute the token hashing 64x."""
 
     def _votes(i):
         return F.aggregate(
@@ -174,8 +207,14 @@ def dedup_simhash(
     """Near-dup pairs by simhash: bucket by the top prefix_bits (near-dups
     almost always share the prefix for small Hamming radii), verify Hamming
     distance via bit_count(xor) <= max_hamming."""
-    sh = df.select(
-        F.col(id_col), simhash_expr(F.col(text_col)).alias("simhash")
+    hashed = _spread(df).select(
+        F.col(id_col),
+        F.transform(
+            tokens_expr(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+        ).alias("tok_hashes"),
+    )
+    sh = hashed.select(
+        F.col(id_col), simhash_from_hashes(F.col("tok_hashes")).alias("simhash")
     ).withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
     a, b = sh.alias("a"), sh.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
