@@ -245,6 +245,44 @@ def q_cdc_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_legacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy-format pipeline (rows-only): Cell-wrapped envelopes over the
+    synthetic audio changelog + ScyllaExtractNewRecordState unwrap
+    (P9 + T1; tri-state semantics pytest-verified in
+    tests/test_legacy_golden.py)."""
+    import os
+    import tempfile
+
+    from scylla_cdc_source_connector_spark.config import EngineConfig
+    from scylla_cdc_source_connector_spark.fixtures import (
+        FixtureSpec,
+        make_changelog,
+        write_changelog_chunk,
+    )
+    from scylla_cdc_source_connector_spark.operators.smt import (
+        extract_new_record_state,
+    )
+    from scylla_cdc_source_connector_spark.plans.pipeline import (
+        cdc_legacy_envelopes,
+    )
+
+    _utc(spark)
+    n_events = _events(spark, sf_dir).count()
+    spec = FixtureSpec(
+        n_events=min(n_events, 20_000), n_clips=max(50, n_events // 10)
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"sccs_changelog_{spec.n_events}_{spec.n_clips}.parquet"
+    )
+    if not os.path.exists(path):
+        write_changelog_chunk(make_changelog(spec), path)
+    df = spark.read.parquet(path)
+    env = cdc_legacy_envelopes(df, EngineConfig(), processing_ts_ms=F.lit(0))
+    return extract_new_record_state(env).select(
+        "clip_id", "sr_hz", "dur_ms", "codec", "transcript"
+    )
+
+
 def q_cdc_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 before-struct reconstruction analog
     (ScyllaChangeRecordEmitter.java:529-575): for each UPDATE the 'before'
@@ -627,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_generation_rollover": q_cdc_generation_rollover,
         "topk_per_shard": q_topk_per_shard,
         "cdc_full_pipeline": q_cdc_full_pipeline,
+        "cdc_legacy_pipeline": q_cdc_legacy_pipeline,
         "text_fingerprint": q_text_fingerprint,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
