@@ -143,6 +143,45 @@ AUDIO_STATS_SCHEMA = (
 )
 
 
+def _stats_codec_group(raws: list[bytes], codec: str):
+    """Decode a whole same-codec group as ONE concatenated numpy pass and
+    compute per-clip stats with segmented reductions (np.*.reduceat) — no
+    per-clip numpy calls, so python overhead is O(#segments), not O(#clips
+    × #ops)."""
+    lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=len(raws))
+    big = np.frombuffer(b"".join(raws), dtype=np.uint8)
+    pcm = decode(big.tobytes(), codec)
+    n_samples = lens if codec != "pcm_s16le" else lens // 2
+    starts = np.zeros(len(raws), dtype=np.int64)
+    np.cumsum(n_samples[:-1], out=starts[1:])
+
+    pcm16 = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
+    rt = decode(encode(pcm16, codec), codec)
+
+    nz = n_samples > 0
+    # reduceat requires indices < len; clamp empty-segment starts, mask after
+    idx = np.minimum(starts, max(len(pcm) - 1, 0))
+    sq = pcm.astype(np.float64) ** 2
+    err = (pcm.astype(np.float64) - rt.astype(np.float64)) ** 2
+    if len(pcm):
+        sum_sq = np.add.reduceat(sq, idx)
+        sum_err = np.add.reduceat(err, idx)
+        peaks = np.maximum.reduceat(np.abs(pcm), idx)
+    else:
+        sum_sq = sum_err = peaks = np.zeros(len(raws))
+    # reduceat merges an empty segment with the next; recompute as 0 there
+    sum_sq = np.where(nz, sum_sq, 0.0)
+    sum_err = np.where(nz, sum_err, 0.0)
+    peaks = np.where(nz, peaks, 0.0)
+
+    rms = np.sqrt(np.divide(sum_sq, np.maximum(n_samples, 1)))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        snr = 10.0 * np.log10(np.divide(sum_sq, sum_err))
+    snr = np.where(sum_err == 0.0, np.inf, snr)
+    snr = np.where(sum_sq == 0.0, np.where(sum_err == 0.0, np.inf, -np.inf), snr)
+    return n_samples.astype(np.int64), rms, peaks.astype(np.float64), snr
+
+
 def audio_stats_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -150,45 +189,55 @@ def audio_stats_batches(
     decode→re-encode→decode roundtrip SNR (a self-contained validity proxy
     for the SNR ≥ 30 dB invariant when the reference PCM isn't carried).
 
-    Input columns: clip_id, bytes, codec.  Arrow-batched; the per-clip loop
-    is over rows *within* a batch but all sample math is numpy-vectorized.
+    Input columns: clip_id, bytes, codec.  Arrow-batched; rows are grouped
+    by codec and each group is decoded as ONE concatenated numpy array with
+    per-clip segmented reductions — zero per-row numpy dispatch.
     """
     for pdf in batches:
-        out = {
-            "clip_id": [],
-            "n_samples": [],
-            "rms": [],
-            "peak": [],
-            "decode_ok": [],
-            "roundtrip_snr_db": [],
-        }
-        for clip_id, raw, codec in zip(
-            pdf["clip_id"].values, pdf["bytes"].values, pdf["codec"].values
-        ):
-            out["clip_id"].append(clip_id)
-            if raw is None or codec is None:
-                out["n_samples"].append(0)
-                out["rms"].append(0.0)
-                out["peak"].append(0.0)
-                out["decode_ok"].append(False)
-                out["roundtrip_snr_db"].append(float("nan"))
+        n = len(pdf)
+        n_samples = np.zeros(n, dtype=np.int64)
+        rms = np.zeros(n, dtype=np.float64)
+        peak = np.zeros(n, dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        snr = np.full(n, np.nan)
+
+        codecs = pdf["codec"].values
+        raws = pdf["bytes"].values
+        valid = np.fromiter(
+            (
+                r is not None
+                and c in SUPPORTED_CODECS
+                # odd-length s16le payloads are corrupt; flagging them here
+                # also keeps the concatenated group decode aligned
+                and not (c == "pcm_s16le" and len(r) % 2)
+                for r, c in zip(raws, codecs)
+            ),
+            dtype=bool,
+            count=n,
+        )
+        for codec in SUPPORTED_CODECS:
+            sel = valid & (codecs == codec)
+            if not sel.any():
                 continue
-            try:
-                pcm = decode(bytes(raw), codec)
-                pcm16 = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
-                rt = decode(encode(pcm16, codec), codec)
-                out["n_samples"].append(int(len(pcm)))
-                out["rms"].append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
-                out["peak"].append(float(np.max(np.abs(pcm))) if len(pcm) else 0.0)
-                out["decode_ok"].append(True)
-                out["roundtrip_snr_db"].append(snr_db(pcm, rt))
-            except UnsupportedCodecError:
-                out["n_samples"].append(0)
-                out["rms"].append(0.0)
-                out["peak"].append(0.0)
-                out["decode_ok"].append(False)
-                out["roundtrip_snr_db"].append(float("nan"))
-        yield pd.DataFrame(out)
+            pos = np.flatnonzero(sel)
+            group = [bytes(raws[i]) for i in pos]
+            ns, r_, p_, s_ = _stats_codec_group(group, codec)
+            n_samples[pos] = ns
+            rms[pos] = r_
+            peak[pos] = p_
+            snr[pos] = s_
+            ok[pos] = True
+
+        yield pd.DataFrame(
+            {
+                "clip_id": pdf["clip_id"].values,
+                "n_samples": n_samples.astype("int32"),
+                "rms": rms,
+                "peak": peak,
+                "decode_ok": ok,
+                "roundtrip_snr_db": snr,
+            }
+        )
 
 
 #: output schema of decode_pcm_batches
