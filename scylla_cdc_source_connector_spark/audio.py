@@ -93,16 +93,31 @@ def alaw_decode(data: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# lookup tables — G.711 is an 8-bit code, so decode is a 256-entry LUT and
+# encode a 65536-entry LUT, both precomputed once from the formula
+# implementations above (which remain the spec reference and are pinned by
+# known-value tests).  The formula path costs a log2 per sample (~60 s per
+# 160M samples); the LUT path is a single fancy-index gather (~0.3 s).
+# --------------------------------------------------------------------------
+_ULAW_DECODE_LUT = ulaw_decode(np.arange(256, dtype=np.uint8))
+_ALAW_DECODE_LUT = alaw_decode(np.arange(256, dtype=np.uint8))
+_PCM16_RANGE = np.arange(-32768, 32768, dtype=np.int16)
+_ULAW_ENCODE_LUT = ulaw_encode(_PCM16_RANGE)
+_ALAW_ENCODE_LUT = alaw_encode(_PCM16_RANGE)
+
+
+# --------------------------------------------------------------------------
 # encode/decode dispatch
 # --------------------------------------------------------------------------
 def encode(pcm: np.ndarray, codec: str) -> bytes:
     """int16 PCM samples → encoded bytes for the given codec."""
     if codec == "pcm_s16le":
         return pcm.astype("<i2").tobytes()
+    idx = pcm.astype(np.int32) + 32768
     if codec == "ulaw":
-        return ulaw_encode(pcm).tobytes()
+        return _ULAW_ENCODE_LUT[idx].tobytes()
     if codec == "alaw":
-        return alaw_encode(pcm).tobytes()
+        return _ALAW_ENCODE_LUT[idx].tobytes()
     raise UnsupportedCodecError(f"codec {codec!r}; supported: {SUPPORTED_CODECS}")
 
 
@@ -111,9 +126,9 @@ def decode(data: bytes, codec: str) -> np.ndarray:
     if codec == "pcm_s16le":
         pcm = np.frombuffer(data, dtype="<i2")
     elif codec == "ulaw":
-        pcm = ulaw_decode(np.frombuffer(data, dtype=np.uint8))
+        pcm = _ULAW_DECODE_LUT[np.frombuffer(data, dtype=np.uint8)]
     elif codec == "alaw":
-        pcm = alaw_decode(np.frombuffer(data, dtype=np.uint8))
+        pcm = _ALAW_DECODE_LUT[np.frombuffer(data, dtype=np.uint8)]
     else:
         raise UnsupportedCodecError(f"codec {codec!r}; supported: {SUPPORTED_CODECS}")
     return pcm.astype(np.float32) / 32768.0
@@ -143,30 +158,72 @@ AUDIO_STATS_SCHEMA = (
 )
 
 
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, n: int, dtype) -> np.ndarray:
+    """Reusable per-process scratch buffer.  mapInPandas workers are
+    long-lived, so buffers amortize across Arrow batches — freshly
+    mmap'd multi-hundred-MB allocations pay first-touch page faults that
+    this sandbox's kernel services at only tens of MB/s (measured: the
+    same 640 MB gather is 0.2 s warm, 8-90 s against fresh memory)."""
+    a = _SCRATCH.get(name)
+    if a is None or a.size < n or a.dtype != np.dtype(dtype):
+        _SCRATCH[name] = a = np.empty(int(n * 1.25) + 16, dtype)
+    return a[:n]
+
+
 def _stats_codec_group(raws: list[bytes], codec: str):
     """Decode a whole same-codec group as ONE concatenated numpy pass and
     compute per-clip stats with segmented reductions (np.*.reduceat) — no
     per-clip numpy calls, so python overhead is O(#segments), not O(#clips
-    × #ops)."""
+    × #ops).  All large intermediates live in reused scratch buffers."""
     lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=len(raws))
-    big = np.frombuffer(b"".join(raws), dtype=np.uint8)
-    pcm = decode(big.tobytes(), codec)
+    enc0 = np.frombuffer(b"".join(raws), dtype=np.uint8)
+    n = int(lens.sum()) if codec != "pcm_s16le" else int(lens.sum()) // 2
     n_samples = lens if codec != "pcm_s16le" else lens // 2
     starts = np.zeros(len(raws), dtype=np.int64)
     np.cumsum(n_samples[:-1], out=starts[1:])
 
-    pcm16 = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
-    rt = decode(encode(pcm16, codec), codec)
+    pcm = _scratch("pcm_f32", n, np.float32)
+    if codec == "pcm_s16le":
+        pcm16 = enc0.view("<i2")
+        np.multiply(pcm16, np.float32(1.0 / 32768.0), out=pcm, casting="unsafe")
+        # s16 → float → s16 is exact: the roundtrip error is identically 0
+        rt = pcm
+    else:
+        lut_d = _ULAW_DECODE_LUT if codec == "ulaw" else _ALAW_DECODE_LUT
+        lut_e = _ULAW_ENCODE_LUT if codec == "ulaw" else _ALAW_ENCODE_LUT
+        dec16 = _scratch("dec_i16", n, np.int16)
+        np.take(lut_d, enc0, out=dec16)
+        np.multiply(dec16, np.float32(1.0 / 32768.0), out=pcm, casting="unsafe")
+        # roundtrip: float32 → int16 → encode LUT → decode LUT.  The clip /
+        # re-quantization is exact for G.711 levels, so index via the int
+        # samples directly (decoded levels are already in [-32768, 32767]).
+        idx32 = _scratch("idx_i32", n, np.int32)
+        np.add(dec16, 32768, out=idx32, casting="unsafe")
+        enc2 = _scratch("enc_u8", n, np.uint8)
+        np.take(lut_e, idx32, out=enc2)
+        rt16 = _scratch("rt_i16", n, np.int16)
+        np.take(lut_d, enc2, out=rt16)
+        rt = _scratch("rt_f32", n, np.float32)
+        np.multiply(rt16, np.float32(1.0 / 32768.0), out=rt, casting="unsafe")
 
     nz = n_samples > 0
     # reduceat requires indices < len; clamp empty-segment starts, mask after
-    idx = np.minimum(starts, max(len(pcm) - 1, 0))
-    sq = pcm.astype(np.float64) ** 2
-    err = (pcm.astype(np.float64) - rt.astype(np.float64)) ** 2
-    if len(pcm):
-        sum_sq = np.add.reduceat(sq, idx)
-        sum_err = np.add.reduceat(err, idx)
-        peaks = np.maximum.reduceat(np.abs(pcm), idx)
+    idx = np.minimum(starts, max(n - 1, 0))
+    if n:
+        work = _scratch("work_f32", n, np.float32)
+        np.multiply(pcm, pcm, out=work)
+        sum_sq = np.add.reduceat(work, idx, dtype=np.float64)
+        if rt is pcm:
+            sum_err = np.zeros(len(raws))
+        else:
+            np.subtract(pcm, rt, out=work)
+            np.multiply(work, work, out=work)
+            sum_err = np.add.reduceat(work, idx, dtype=np.float64)
+        np.abs(pcm, out=work)
+        peaks = np.maximum.reduceat(work, idx).astype(np.float64)
     else:
         sum_sq = sum_err = peaks = np.zeros(len(raws))
     # reduceat merges an empty segment with the next; recompute as 0 there
