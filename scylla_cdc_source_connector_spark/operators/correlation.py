@@ -42,7 +42,7 @@ from scylla_cdc_source_connector_spark.schemas import (
     OP_ROW_UPDATE,
 )
 
-def delta_struct_expr(*, with_values: bool) -> Column:
+def delta_struct_expr(*, with_values: bool, with_flags: bool = True) -> Column:
     """The shuffled `delta` struct.
 
     Advanced-format projection reads only the delta's METADATA and per-
@@ -51,24 +51,47 @@ def delta_struct_expr(*, with_values: bool) -> Column:
     always come from the images.  So by default the delta carries
     `set_<col>` BOOLEANS instead of column values: the audio payload never
     rides the shuffle a third time (payload elision — at 100 TB this is a
-    ~33% cut of exchange volume in full-image mode, and with include
-    modes = none Catalyst then prunes the payload from the scan entirely).
+    ~33% cut of exchange volume in full-image mode).
+
+    with_flags=False drops even the set/deleted booleans — correct
+    whenever the projection never calls modified-column detection (no
+    only-updated mode and no before-reconstruction).  That lets Catalyst
+    prune the payload columns from the SCAN itself: the default-mode
+    pipeline (include before/after = none) then never reads the audio
+    bytes at all.
 
     with_values=True (legacy format) additionally carries the values:
     legacy Cell structs are filled FROM the delta
     (ScyllaChangeRecordEmitterLegacy.fillStructWithChange:222-245).
     """
     fields = [F.col("`cdc$operation`"), F.col("`cdc$batch_seq_no`")]
-    fields += [
-        F.col(f"`{c}`").isNotNull().alias(f"set_{c}") for c in NON_PK_COLUMNS
-    ]
-    fields += [F.col(f"`cdc$deleted_{c}`") for c in NON_PK_COLUMNS]
+    if with_flags or with_values:
+        fields += [
+            F.col(f"`{c}`").isNotNull().alias(f"set_{c}") for c in NON_PK_COLUMNS
+        ]
+        fields += [F.col(f"`cdc$deleted_{c}`") for c in NON_PK_COLUMNS]
     if with_values:
         fields += [F.col(f"`{c}`") for c in BASE_COLUMNS]
     return F.struct(*fields)
 
 
-def correlate_batch(changelog: DataFrame, *, delta_values: bool = False) -> DataFrame:
+def needs_delta_flags(cfg: EngineConfig) -> bool:
+    """Modified-column detection is consulted only by the only-updated
+    projections (P4) and before-reconstruction for updates (P5)."""
+    from scylla_cdc_source_connector_spark.config import IncludeMode
+
+    return (
+        cfg.include_before is not IncludeMode.NONE
+        or cfg.include_after is IncludeMode.ONLY_UPDATED
+    )
+
+
+def correlate_batch(
+    changelog: DataFrame,
+    *,
+    delta_values: bool = False,
+    delta_flags: bool = True,
+) -> DataFrame:
     """Group CDC log rows by (clip_id, cdc$time) and pivot the operation
     types into pre_image / delta / post_image structs.
 
@@ -85,7 +108,9 @@ def correlate_batch(changelog: DataFrame, *, delta_values: bool = False) -> Data
     op = F.col("`cdc$operation`")
     seq = F.col("`cdc$batch_seq_no`")
     base_struct = F.struct(*[F.col(f"`{c}`") for c in BASE_COLUMNS])
-    delta_struct = delta_struct_expr(with_values=delta_values)
+    delta_struct = delta_struct_expr(
+        with_values=delta_values, with_flags=delta_flags
+    )
 
     # "last one wins" per slot — setChange/setPreImage/setPostImage overwrite
     # on repeated arrival (TaskInfo setters), and within a batch arrival

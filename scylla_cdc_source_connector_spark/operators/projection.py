@@ -151,16 +151,23 @@ def build_envelopes(
     )
 
     # ---- before -----------------------------------------------------------
-    if cfg.include_before is IncludeMode.ONLY_UPDATED:
-        before_update = _only_updated(pre, delta, pk_before)
+    if cfg.include_before is IncludeMode.NONE:
+        # always-null, typed like the image struct; crucially this variant
+        # references NO delta set/deleted flags, so correlate_batch can run
+        # with delta_flags=False and Catalyst prunes the payload from the
+        # scan (needs_delta_flags)
+        before = F.when(F.lit(False), _full_image(pre, pk_before)).alias("before")
     else:
-        before_update = _before_for_update(pre, post, delta, pk_before)
-    before = (
-        F.when(op == OP_CODE_CREATE, F.lit(None))
-        .when(op == OP_CODE_DELETE, _full_image(pre, pk_before))
-        .otherwise(before_update)
-        .alias("before")
-    )
+        if cfg.include_before is IncludeMode.ONLY_UPDATED:
+            before_update = _only_updated(pre, delta, pk_before)
+        else:
+            before_update = _before_for_update(pre, post, delta, pk_before)
+        before = (
+            F.when(op == OP_CODE_CREATE, F.lit(None))
+            .when(op == OP_CODE_DELETE, _full_image(pre, pk_before))
+            .otherwise(before_update)
+            .alias("before")
+        )
 
     # ---- key / payload-key / headers (P2/P8) -------------------------------
     # anyImage = post > pre > delta (TaskInfo.getAnyImage, TaskInfo.java:71-79);

@@ -23,6 +23,7 @@ from scylla_cdc_source_connector_spark.operators.correlation import (
     complete_only,
     correlate_batch,
     mask_unused_images,
+    needs_delta_flags,
 )
 from scylla_cdc_source_connector_spark.operators.projection import build_envelopes
 
@@ -42,7 +43,10 @@ def cdc_envelopes(
     ordering guarantee scope (SURVEY §7.3).
     """
     correlated = complete_only(
-        mask_unused_images(correlate_batch(changelog), cfg), cfg
+        mask_unused_images(
+            correlate_batch(changelog, delta_flags=needs_delta_flags(cfg)), cfg
+        ),
+        cfg,
     )
     return build_envelopes(correlated, cfg, processing_ts_ms=processing_ts_ms)
 

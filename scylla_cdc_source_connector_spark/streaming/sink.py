@@ -161,6 +161,7 @@ def make_correlating_sink(cfg: EngineConfig):
         correlate_batch,
         is_complete_expr,
         mask_unused_images,
+        needs_delta_flags,
     )
     from scylla_cdc_source_connector_spark.operators.projection import (
         build_envelopes,
@@ -209,7 +210,9 @@ def make_correlating_sink(cfg: EngineConfig):
         # numInputRows) a second time
         all_rows.persist()
 
-        corr = mask_unused_images(correlate_batch(all_rows), cfg)
+        corr = mask_unused_images(
+            correlate_batch(all_rows, delta_flags=needs_delta_flags(cfg)), cfg
+        )
         corr.persist()
         try:
             max_ev = corr.agg(F.max("`cdc$time_us`")).first()[0]
