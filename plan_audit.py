@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Physical-plan audit: prints exchange counts, scan ReadSchema, and
+pushed filters for the engine's key plans.  PLANS.md is generated from
+this output — rerun after plan-affecting changes:
+
+    python plan_audit.py [changelog_path]
+
+Checks encode the scale invariants the engine is designed around:
+  1. correlation+envelope = ONE exchange (zero on a bucketed layout)
+  2. default include modes read NO payload columns from the scan
+  3. partition predicates reach the parquet scan (PushedFilters)
+  4. salted aggregation = exactly two exchanges (salted partial + combine)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+
+def _capture(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def audit(df, name: str) -> dict:
+    txt = _capture(df)
+    simple = _capture(df, "simple")
+    out = {
+        "name": name,
+        "exchanges": len(re.findall(r"\(\d+\) Exchange", txt)),
+        "read_schemas": re.findall(r"ReadSchema: (.*)", txt),
+        "pushed_filters": [
+            p for p in re.findall(r"PushedFilters: (.*)", txt) if p != "[]"
+        ],
+        # '*(n)' markers in simple mode = whole-stage-codegen'd spans
+        "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", simple))),
+    }
+    print(f"===== {name}")
+    # (codegen span count is unreliable under AQE's unfinalized plans —
+    # kept in the dict for interactive use, not printed/asserted)
+    print(f"exchanges: {out['exchanges']}")
+    for s in out["read_schemas"][:2]:
+        print("ReadSchema:", s[:400])
+    for p in out["pushed_filters"][:2]:
+        print("PushedFilters:", p[:200])
+    print()
+    return out
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sccs_bench_changelog_100000"
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.warehouse.dir", "/tmp/sccs_warehouse")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from scylla_cdc_source_connector_spark.config import EngineConfig, IncludeMode
+    from scylla_cdc_source_connector_spark.operators.skew import salted_agg
+    from scylla_cdc_source_connector_spark.plans.pipeline import cdc_envelopes
+
+    cl = spark.read.parquet(path)
+    cfg_ff = EngineConfig(
+        include_before=IncludeMode.FULL, include_after=IncludeMode.FULL
+    )
+
+    r1 = audit(cdc_envelopes(cl, cfg_ff, processing_ts_ms=F.lit(0)),
+               "cdc pipeline, include=full/full")
+    assert r1["exchanges"] == 1, "expected exactly ONE exchange"
+
+    r2 = audit(cdc_envelopes(cl, EngineConfig(), processing_ts_ms=F.lit(0))
+               .select("clip_id", "value.op"),
+               "cdc pipeline, include=none/none (default)")
+    assert r2["exchanges"] == 1
+    assert "bytes" not in r2["read_schemas"][0], "payload must be pruned"
+
+    # bucketed layout: registered per-session (in-memory catalog), so build
+    # a small one here — plan SHAPE is independent of size
+    tbl = "sccs_plan_audit_bucketed"
+    if not spark.catalog.tableExists(tbl):
+        (
+            cl.limit(20_000).write.bucketBy(8, "clip_id")
+            .sortBy("clip_id", "cdc$time")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    r3 = audit(cdc_envelopes(spark.table(tbl), cfg_ff, processing_ts_ms=F.lit(0)),
+               "cdc pipeline on bucketed-by-clip_id table")
+    assert r3["exchanges"] == 0, "bucketed layout must run exchange-free"
+
+    r4 = audit(cdc_envelopes(cl.filter(F.col("generation") == 0), cfg_ff,
+                             processing_ts_ms=F.lit(0)),
+               "generation predicate pushdown")
+    assert any("generation" in p for p in r4["pushed_filters"])
+
+    r5 = audit(salted_agg(cl.select("clip_id", "generation"), ["clip_id"],
+                          {"n": ("count", "")}, n_salt=8),
+               "skew-salted two-phase aggregation")
+    assert r5["exchanges"] == 2, "salted agg = salted partial + final combine"
+
+    print("ALL PLAN INVARIANTS HOLD")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
