@@ -155,3 +155,58 @@ def test_correlation_counts_on_fixture(spark, changelog_df, changelog_pdf):
     # updates must have both images
     upd = out.where(F.col("delta.`cdc$operation`") == 1)
     assert upd.where(F.col("pre_image").isNull() | F.col("post_image").isNull()).count() == 0
+
+
+def test_completion_predicate_parity_exhaustive(spark):
+    """The streaming state machine's python completion predicate
+    (correlation_state._is_complete) and the batch path's columnar
+    expression (is_complete_expr) must agree on EVERY (op, has_pre,
+    has_post, include-mode) combination — TaskInfoTest's matrix, checked
+    across both implementations."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_source_connector_spark.operators.correlation import (
+        is_complete_expr,
+    )
+    from scylla_cdc_source_connector_spark.streaming.correlation_state import (
+        _is_complete,
+    )
+
+    ops = [1, 2, 4, 5, 0, 9, 99]  # update, insert, delete, partition-del, images, junk
+    cfgs = [
+        EngineConfig(),
+        EngineConfig(include_before=IncludeMode.FULL),
+        EngineConfig(include_after=IncludeMode.FULL),
+        EngineConfig(
+            include_before=IncludeMode.ONLY_UPDATED,
+            include_after=IncludeMode.FULL,
+        ),
+        EngineConfig(wait_preimage_for_partition_delete=True),
+    ]
+    cases = list(itertools.product(ops, [False, True], [False, True]))
+    rows = [
+        {
+            "case_id": i,
+            "pre_image": {"x": 1} if has_pre else None,
+            "post_image": {"x": 1} if has_post else None,
+            "delta": {"cdc$operation": op},
+        }
+        for i, (op, has_pre, has_post) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "case_id int, pre_image struct<x:int>, post_image struct<x:int>, "
+        "delta struct<`cdc$operation`:int>",
+    )
+    for cfg in cfgs:
+        got = {
+            r["case_id"]: r["c"]
+            for r in df.select(
+                "case_id", is_complete_expr(cfg).alias("c")
+            ).collect()
+        }
+        for i, (op, has_pre, has_post) in enumerate(cases):
+            want = _is_complete(cfg, op, has_pre, has_post)
+            assert bool(got[i]) == bool(want), (cfg, op, has_pre, has_post)
