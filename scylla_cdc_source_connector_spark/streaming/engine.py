@@ -109,6 +109,19 @@ def run_stream(
     else:
         checkpoint = cfg.checkpoint_dir
 
+    # S3 initial lookback (ScyllaConnectorConfig.java:199-213, applied
+    # ScyllaConnectorTask.java:197-210): on FIRST start — no offsets/
+    # checkpoint yet — begin at now - lookback instead of stream start.
+    # Resumed starts keep the checkpoint's file-source offsets, so the
+    # filter is attached only on the fresh-start path like the reference.
+    if cfg.initial_lookback_ms > 0 and not os.path.isdir(
+        os.path.join(checkpoint, "offsets")
+    ):
+        import time as _time
+
+        floor_us = int(_time.time() * 1_000_000) - cfg.initial_lookback_ms * 1000
+        changelog = changelog.filter(F.col("`cdc$time_us`") >= floor_us)
+
     if mode == "vectorized":
         out, sink_fn = changelog, make_correlating_sink(cfg)
     else:

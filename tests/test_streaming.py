@@ -196,6 +196,32 @@ def test_generation_rollover_gate(spark, tmp_root, stream_pdf):
         assert n == ref_n, (gen, n, ref_n)
 
 
+def test_initial_lookback_fresh_start_only(spark, tmp_root, stream_pdf):
+    """S3 (ScyllaConnectorTask.java:197-210): with initial_lookback_ms set
+    and no prior checkpoint, rows older than now - lookback are skipped;
+    recent rows still emit.  Fixture event times are in 2024, so a 1-hour
+    lookback from wall-clock now excludes ALL fixture rows, while a huge
+    lookback includes them all."""
+    import dataclasses
+
+    d = f"{tmp_root}/lookback_in"
+    _write_chunks(stream_pdf.iloc[:400], d, n_chunks=1)
+
+    cfg = dataclasses.replace(
+        _cfg(tmp_root, "lookback_all"), initial_lookback_ms=10**12
+    )
+    q = run_stream(spark, cfg, d, available_now=True)
+    q.awaitTermination(300)
+    assert sink_mod.read_emitted(spark, cfg).count() > 0
+
+    cfg2 = dataclasses.replace(
+        _cfg(tmp_root, "lookback_none"), initial_lookback_ms=3_600_000
+    )
+    q = run_stream(spark, cfg2, d, available_now=True)
+    q.awaitTermination(300)
+    assert sink_mod.read_emitted(spark, cfg2).count() == 0
+
+
 def test_metrics_surface(spark, tmp_root, stream_pdf):
     """Lineage-folded shard progress, emit-lag percentiles, heartbeat
     detection, query-progress summary (K4 + README.md:188-194 lag)."""
