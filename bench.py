@@ -128,6 +128,10 @@ def run_bench(spark, sf_dir: str) -> dict:
     # payload never crosses a shuffle at all
     tbl = f"sccs_changelog_b_{n_events}"
     if not spark.catalog.tableExists(tbl):
+        # the in-memory catalog forgets tables between sessions while the
+        # warehouse files persist; clear the stale location or saveAsTable
+        # fails with LOCATION_ALREADY_EXISTS
+        shutil.rmtree(f"/tmp/sccs_warehouse/{tbl}", ignore_errors=True)
         (
             changelog.write.bucketBy(32, "clip_id")
             .sortBy("clip_id", "cdc$time")
