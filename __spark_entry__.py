@@ -595,6 +595,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-bucketed embedding near-dup (rows-only: the scale path —
+    candidates share a sign-pattern bucket, verified exactly; the exact
+    variant embedding_near_dup is the oracle-checked baseline)."""
+    from scylla_cdc_source_connector_spark.functions.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return cosine_near_dup_pairs(emb, threshold=0.5, n_planes=8).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload -> mapInPandas feature
     extraction (decode kernel is the documented deterministic fake; see
@@ -678,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_video_frames": q_multimodal_video_frames,
     }
