@@ -91,6 +91,11 @@ def main() -> None:
     # a small one here — plan SHAPE is independent of size
     tbl = "sccs_plan_audit_bucketed"
     if not spark.catalog.tableExists(tbl):
+        # in-memory catalog forgets tables between sessions; clear the
+        # stale warehouse location or saveAsTable fails
+        import shutil
+
+        shutil.rmtree(f"/tmp/sccs_warehouse/{tbl}", ignore_errors=True)
         (
             cl.limit(20_000).write.bucketBy(8, "clip_id")
             .sortBy("clip_id", "cdc$time")
