@@ -123,6 +123,8 @@ def worker(input_dir: str, meta_dir: str, cpus: int) -> None:
         .config("spark.sql.session.timeZone", "UTC")
         # keep scan splits small enough that 4N cores stay busy
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # ~20 kB binary payloads: bound column-vector memory (see bench.py)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .appName(f"scylla-cdc-spark-scale-{cpus}")
         .getOrCreate()
     )
