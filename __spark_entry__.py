@@ -821,9 +821,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_modified_columns": f"""
             SELECT op,
-                   sum(CASE WHEN modified THEN 1 ELSE 0 END) AS n_modified,
-                   sum(CASE WHEN modified THEN 0 ELSE 1 END) AS n_unmodified,
-                   sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS n_deleted_flag
+                   CAST(sum(CASE WHEN modified THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+                   CAST(sum(CASE WHEN modified THEN 0 ELSE 1 END) AS BIGINT) AS n_unmodified,
+                   CAST(sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted_flag
             FROM (
               SELECT op,
                      (CASE WHEN event_id % 5 <> 0 THEN value END) IS NOT NULL
@@ -851,7 +851,7 @@ def oracle_sql() -> dict[str, str]:
               FROM shards
             )
             SELECT CAST(floor((rk - 1) / ceil(n_total / 3.0)) AS INT) AS task_id,
-                   count(*) AS n_shards, sum(n_records) AS n_records,
+                   count(*) AS n_shards, CAST(sum(n_records) AS BIGINT) AS n_records,
                    min(shard_id) AS first_shard, max(shard_id) AS last_shard
             FROM ranked GROUP BY 1
         """,

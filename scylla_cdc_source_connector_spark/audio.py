@@ -177,11 +177,28 @@ def _stats_codec_group(raws: list[bytes], codec: str):
     """Decode a whole same-codec group as ONE concatenated numpy pass and
     compute per-clip stats with segmented reductions (np.*.reduceat) — no
     per-clip numpy calls, so python overhead is O(#segments), not O(#clips
-    × #ops).  All large intermediates live in reused scratch buffers."""
-    lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=len(raws))
+    × #ops).  All large intermediates live in reused scratch buffers.
+
+    Zero-length payloads are excluded from the concatenated pass up front
+    (their stats are the fixed point n=0/rms=0/peak=0/snr=inf) — clamping
+    their reduceat start index instead would silently truncate the
+    neighboring clip's segment when the empty row is last in the group.
+    """
+    m = len(raws)
+    lens_all = np.fromiter((len(r) for r in raws), dtype=np.int64, count=m)
+    n_samples_all = lens_all if codec != "pcm_s16le" else lens_all // 2
+    nz_pos = np.flatnonzero(n_samples_all > 0)
+    rms_all = np.zeros(m, dtype=np.float64)
+    peaks_all = np.zeros(m, dtype=np.float64)
+    snr_all = np.full(m, np.inf)
+    if len(nz_pos) == 0:
+        return n_samples_all.astype(np.int64), rms_all, peaks_all, snr_all
+    if len(nz_pos) < m:
+        raws = [raws[i] for i in nz_pos]
+    lens = lens_all[nz_pos]
     enc0 = np.frombuffer(b"".join(raws), dtype=np.uint8)
     n = int(lens.sum()) if codec != "pcm_s16le" else int(lens.sum()) // 2
-    n_samples = lens if codec != "pcm_s16le" else lens // 2
+    n_samples = n_samples_all[nz_pos]
     starts = np.zeros(len(raws), dtype=np.int64)
     np.cumsum(n_samples[:-1], out=starts[1:])
 
@@ -209,34 +226,29 @@ def _stats_codec_group(raws: list[bytes], codec: str):
         rt = _scratch("rt_f32", n, np.float32)
         np.multiply(rt16, np.float32(1.0 / 32768.0), out=rt, casting="unsafe")
 
-    nz = n_samples > 0
-    # reduceat requires indices < len; clamp empty-segment starts, mask after
-    idx = np.minimum(starts, max(n - 1, 0))
-    if n:
-        work = _scratch("work_f32", n, np.float32)
-        np.multiply(pcm, pcm, out=work)
-        sum_sq = np.add.reduceat(work, idx, dtype=np.float64)
-        if rt is pcm:
-            sum_err = np.zeros(len(raws))
-        else:
-            np.subtract(pcm, rt, out=work)
-            np.multiply(work, work, out=work)
-            sum_err = np.add.reduceat(work, idx, dtype=np.float64)
-        np.abs(pcm, out=work)
-        peaks = np.maximum.reduceat(work, idx).astype(np.float64)
+    # every segment is non-empty here, so the reduceat boundaries are exact
+    work = _scratch("work_f32", n, np.float32)
+    np.multiply(pcm, pcm, out=work)
+    sum_sq = np.add.reduceat(work, starts, dtype=np.float64)
+    if rt is pcm:
+        sum_err = np.zeros(len(raws))
     else:
-        sum_sq = sum_err = peaks = np.zeros(len(raws))
-    # reduceat merges an empty segment with the next; recompute as 0 there
-    sum_sq = np.where(nz, sum_sq, 0.0)
-    sum_err = np.where(nz, sum_err, 0.0)
-    peaks = np.where(nz, peaks, 0.0)
+        np.subtract(pcm, rt, out=work)
+        np.multiply(work, work, out=work)
+        sum_err = np.add.reduceat(work, starts, dtype=np.float64)
+    np.abs(pcm, out=work)
+    peaks = np.maximum.reduceat(work, starts).astype(np.float64)
 
-    rms = np.sqrt(np.divide(sum_sq, np.maximum(n_samples, 1)))
+    rms = np.sqrt(np.divide(sum_sq, n_samples))
     with np.errstate(divide="ignore", invalid="ignore"):
         snr = 10.0 * np.log10(np.divide(sum_sq, sum_err))
     snr = np.where(sum_err == 0.0, np.inf, snr)
     snr = np.where(sum_sq == 0.0, np.where(sum_err == 0.0, np.inf, -np.inf), snr)
-    return n_samples.astype(np.int64), rms, peaks.astype(np.float64), snr
+
+    rms_all[nz_pos] = rms
+    peaks_all[nz_pos] = peaks
+    snr_all[nz_pos] = snr
+    return n_samples_all.astype(np.int64), rms_all, peaks_all, snr_all
 
 
 def audio_stats_batches(

@@ -79,6 +79,43 @@ def test_fixture_clips_decode_to_reference_pcm(small_spec):
         assert audio.snr_db(ref, dec) >= 30.0, row["codec"]
 
 
+def test_stats_group_empty_payload_does_not_truncate_neighbor():
+    """Regression: a zero-length payload as the LAST row of a codec group
+    must not steal the previous clip's final sample (the old reduceat
+    clamp handed pcm[-1] to the masked empty segment)."""
+    pcm = np.array([30000, -25000, 29000], dtype=np.int16)
+    raw = audio.encode(pcm, "pcm_s16le")
+    ref = pcm.astype(np.float32) / 32768.0
+    exp_rms = float(np.sqrt(np.mean((ref.astype(np.float64)) ** 2)))
+    exp_peak = float(np.max(np.abs(ref)))
+
+    for group in ([raw, b""], [b"", raw], [b"", raw, b""], [raw]):
+        pos = group.index(raw)
+        ns, rms, peak, snr = audio._stats_codec_group(group, "pcm_s16le")
+        assert ns[pos] == 3
+        assert rms[pos] == pytest.approx(exp_rms, rel=1e-6), group
+        assert peak[pos] == pytest.approx(exp_peak, rel=1e-6), group
+        assert snr[pos] == np.inf
+        for i in range(len(group)):
+            if i != pos:
+                assert ns[i] == 0 and rms[i] == 0.0 and peak[i] == 0.0
+                assert snr[i] == np.inf
+
+    # all-empty group is the fixed point
+    ns, rms, peak, snr = audio._stats_codec_group([b"", b""], "ulaw")
+    assert (ns == 0).all() and (rms == 0).all() and (peak == 0).all()
+    assert (snr == np.inf).all()
+
+    # lossy codec path: empty neighbor must not perturb SNR segmentation
+    enc = audio.encode(pcm, "ulaw")
+    ns, rms, peak, snr = audio._stats_codec_group([enc, b""], "ulaw")
+    solo_ns, solo_rms, solo_peak, solo_snr = audio._stats_codec_group([enc], "ulaw")
+    assert ns[0] == solo_ns[0]
+    assert rms[0] == pytest.approx(solo_rms[0])
+    assert peak[0] == pytest.approx(solo_peak[0])
+    assert snr[0] == pytest.approx(solo_snr[0])
+
+
 def test_audio_stats_mapinpandas(spark, changelog_df):
     """Spark-side plumbing: mapInPandas decode over POST_IMAGE rows."""
     src = changelog_df.where("`cdc$operation` = 9").select(

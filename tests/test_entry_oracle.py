@@ -50,6 +50,39 @@ def _rows_to_multiset(cols, rows):
     ), [cols[i] for i in order]
 
 
+#: Spark simpleString dtype → numpy-ish kind, for the driver-faithful
+#: dtype check ('i' int, 'f' float, 'b' bool, 'M' timestamp, 'O' other)
+_SPARK_KIND = {
+    "tinyint": "i", "smallint": "i", "int": "i", "bigint": "i",
+    "float": "f", "double": "f", "boolean": "b", "timestamp": "M",
+    "timestamp_ntz": "M", "date": "M",
+}
+
+
+def _dtype_kinds_match(sdf, duck_pdf):
+    """The round driver hashes values AFTER Arrow/pandas conversion, where
+    DuckDB HUGEINT (sum over INT) becomes float64 while Spark bigint stays
+    int64 — '3854.0' vs '3854' hash-mismatches even though fetchall() shows
+    identical python ints.  Compare dtype *kinds* per column to catch that
+    class locally.  Columns with nulls are skipped (pandas upcasts nullable
+    ints to float64, which the driver's hash tolerates via the null path).
+    """
+    spark_kinds = {
+        f.name: _SPARK_KIND.get(f.dataType.simpleString(), "O")
+        for f in sdf.schema.fields
+    }
+    problems = []
+    for col in duck_pdf.columns:
+        if duck_pdf[col].isnull().any():
+            continue
+        dk = duck_pdf[col].dtype.kind
+        dk = {"u": "i"}.get(dk, dk)
+        sk = spark_kinds.get(col, "O")
+        if {sk, dk} == {"i", "f"}:
+            problems.append((col, sk, dk))
+    return problems
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
 def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
@@ -59,7 +92,17 @@ def test_query_matches_oracle(spark, duck, name):
 
     res = duck.sql(entry_mod.oracle_sql()[name])
     duck_cols = res.columns
-    duck_rows = res.fetchall()
+    duck_pdf = res.df()
+    duck_rows = duck.sql(entry_mod.oracle_sql()[name]).fetchall()
+
+    dtype_problems = _dtype_kinds_match(sdf, duck_pdf)
+    assert not dtype_problems, (
+        name,
+        "int/float dtype-kind mismatch — the driver's value hash will "
+        "differ even if fetchall values look identical; CAST the oracle "
+        "aggregate (DuckDB sum(INT) returns HUGEINT→float64)",
+        dtype_problems,
+    )
 
     assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
     assert len(spark_rows) == len(duck_rows), (
