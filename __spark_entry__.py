@@ -557,13 +557,13 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only; recall measured in
-    tests)."""
+    """Banded hyperplane-LSH approximate top-k (rows-only; recall >= 0.8
+    vs brute force pinned in tests)."""
     from scylla_cdc_source_connector_spark.functions.similarity import lsh_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries, k=10, n_planes=6).select(
+    return lsh_topk(emb, queries, k=10).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -596,15 +596,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-bucketed embedding near-dup (rows-only: the scale path —
-    candidates share a sign-pattern bucket, verified exactly; the exact
-    variant embedding_near_dup is the oracle-checked baseline)."""
+    """Banded hyperplane-LSH embedding near-dup (rows-only: the scale path
+    — a pair is a candidate when ANY band's sign bits match, then verified
+    with the exact cosine; the exact variant embedding_near_dup is the
+    oracle-checked baseline and the pytest recall reference)."""
     from scylla_cdc_source_connector_spark.functions.similarity import (
         cosine_near_dup_pairs,
     )
 
     emb = _emb(spark, sf_dir)
-    return cosine_near_dup_pairs(emb, threshold=0.5, n_planes=8).select(
+    return cosine_near_dup_pairs(emb, threshold=0.35).select(
         "id_a", "id_b", "cosine"
     )
 

@@ -32,7 +32,14 @@ def _spread(df: DataFrame) -> DataFrame:
     hashing work serializes on one core).  At scale the corpus already has
     ≥ cores partitions and this is a no-op — no extra shuffle."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() only lists the scan's files — it never converts the plan
+    # to an RDD the way df.rdd.getNumPartitions() would (which forces a
+    # full analysis/translation pass just to decide a repartition)
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = target
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

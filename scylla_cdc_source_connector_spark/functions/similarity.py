@@ -2,13 +2,18 @@
 
 - brute-force cosine top-k: broadcast the (small) query set, score every
   row with a codegen'd zip_with/aggregate dot product, take top-k per query
-  with a window.  The baseline — exact, one scan, no shuffle except the
-  final top-k.
-- LSH-bucketed ANN: deterministic random-hyperplane signatures; candidates
-  share a signature bucket, scored exactly within buckets.  The scale path:
-  the join shuffles only bucket keys.
-- embedding-cosine near-dup: pairs above a cosine threshold via the same
-  bucketing.
+  with a TWO-PHASE window (partial per input partition, then final) so no
+  single reducer ever sees all N candidates of one query.
+- LSH-bucketed ANN: deterministic random-hyperplane signatures, BANDED the
+  same way dedup.py bands minhash — a pair is a candidate if ANY band's
+  sign-bits agree (OR over bands), then verified with the exact cosine.
+  Single-bucket matching (all planes must agree) has recall
+  (1 - theta/pi)^n_planes, which is exponentially small at moderate
+  thresholds; banding with b bands of r planes lifts it to
+  1 - (1 - p^r)^b.
+- IVF: coarse centroids collected to the driver (C is tiny) and inlined as
+  literal arrays, so cell assignment is a pure per-row argmax expression —
+  one scan, zero joins, zero shuffles.
 """
 
 from __future__ import annotations
@@ -45,6 +50,34 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / F.greatest(na * nb, F.lit(1e-30))
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase top-k over (query_id, neighbor_id, cosine) rows.
+
+    Phase 1 ranks within (query_id, input-partition) so each reducer holds
+    at most k rows per (query, partition); phase 2 ranks the surviving
+    (#partitions x k) rows per query.  With a single window, one reducer
+    receives ALL N candidates of a query — flat at 5 queries, catastrophic
+    at 10^6.  Ties break identically in both phases (desc cosine, asc
+    neighbor_id), so the result is exactly the global top-k.
+    """
+    order = [F.desc("cosine"), F.asc("neighbor_id")]
+    w_part = Window.partitionBy("query_id", "__pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__prank", F.row_number().over(w_part))
+        .filter(F.col("__prank") <= k)
+        .drop("__pid", "__prank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+        )
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -54,7 +87,8 @@ def brute_force_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self).  queries must be
-    small — it is broadcast so the scan side never shuffles."""
+    small — it is broadcast so the scan side never shuffles; the top-k is
+    two-phase so no reducer materializes a full query's candidate list."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
@@ -66,14 +100,7 @@ def brute_force_topk(
         .withColumn("cosine", cosine_expr(F.col("vec"), F.col("query_vec")))
         .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
-    )
+    return _topk_per_query(scored, k)
 
 
 def hyperplane_signature(
@@ -81,7 +108,9 @@ def hyperplane_signature(
 ) -> Column:
     """Deterministic random-hyperplane LSH signature (sign pattern packed
     into a long).  Hyperplanes are literal constants — broadcast-free,
-    fully codegen'd."""
+    fully codegen'd.  NOTE: matching on the FULL signature has recall
+    (1 - theta/pi)^n_planes — use banded_hyperplane_buckets for candidate
+    generation; this packed form remains for compact fingerprinting."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     bits = []
@@ -99,6 +128,76 @@ def hyperplane_signature(
     return out
 
 
+def banded_hyperplane_buckets(
+    vec: Column,
+    *,
+    dim: int,
+    n_bands: int = 16,
+    planes_per_band: int = 5,
+    seed: int = 42,
+) -> Column:
+    """array<struct<band:int, bucket:long>> — one sign-bit bucket per band
+    of `planes_per_band` hyperplanes.  Two vectors are LSH candidates when
+    ANY band bucket matches (OR over bands), mirroring minhash banding in
+    dedup.py.  With per-plane agreement p = 1 - theta/pi, pair recall is
+    1 - (1 - p^r)^b: at cosine 0.5 (p = 2/3) the defaults give ~0.90 where
+    a single 8-plane bucket gives ~0.04.  All planes are literal constants,
+    so the whole signature is one codegen'd projection."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * planes_per_band, dim))
+
+    def _bit(i: int, shift: int) -> Column:
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot > 0, F.lit(1 << shift).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    structs = []
+    for b in range(n_bands):
+        bucket = _bit(b * planes_per_band, 0)
+        for r in range(1, planes_per_band):
+            bucket = bucket.bitwiseOR(_bit(b * planes_per_band + r, r))
+        structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    return F.array(*structs)
+
+
+def _banded(
+    df: DataFrame,
+    id_alias: str,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bands: int,
+    planes_per_band: int,
+    seed: int,
+) -> DataFrame:
+    """SLIM (id, band, bucket) rows — one per band, vectors dropped before
+    the explode so candidate duplication across bands never copies them."""
+    return (
+        df.select(
+            F.col(id_col).alias(id_alias),
+            F.explode(
+                banded_hyperplane_buckets(
+                    F.col(vec_col),
+                    dim=dim,
+                    n_bands=n_bands,
+                    planes_per_band=planes_per_band,
+                    seed=seed,
+                )
+            ).alias("bb"),
+        )
+        .select(id_alias, "bb.band", "bb.bucket")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -107,37 +206,52 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     k: int = 10,
-    n_planes: int = 10,
+    n_bands: int = 20,
+    planes_per_band: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the hyperplane bucket; exact
-    cosine within buckets.  Recall < 1 by construction — pair with
-    brute_force_topk to measure."""
-    sig = lambda df, idn, vn: df.select(  # noqa: E731
-        F.col(id_col).alias(idn),
-        F.col(vec_col).alias(vn),
-        hyperplane_signature(
-            F.col(vec_col), dim=dim, n_planes=n_planes, seed=seed
-        ).alias("bucket"),
+    """Approximate top-k: a corpus row is a candidate for a query when any
+    hyperplane band bucket matches; candidates are scored with the exact
+    cosine and reduced with the two-phase top-k.  Recall < 1 by
+    construction — pytest pins recall >= 0.8 against brute_force_topk.
+
+    Defaults (b=20, r=4) target the hard low-similarity regime (top-k
+    neighbors at cosine ~0.25-0.4, per-plane agreement p ~ 0.58-0.63 →
+    pair recall 1-(1-p^4)^20 ~ 0.9).  LSH pruning is inherently weak
+    there (the gap to p=0.5 for unrelated pairs is small); for
+    high-similarity retrieval raise planes_per_band to sharpen buckets."""
+    opts = dict(
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_bands=n_bands,
+        planes_per_band=planes_per_band,
+        seed=seed,
     )
-    e = sig(embeddings, "neighbor_id", "vec")
-    q = sig(queries, "query_id", "query_vec")
-    scored = (
-        e.alias("e")
-        .join(
-            F.broadcast(q).alias("q"),
-            (F.col("e.bucket") == F.col("q.bucket"))
-            & (F.col("neighbor_id") != F.col("query_id")),
+    e_b = _banded(embeddings, "neighbor_id", **opts)
+    q_b = _banded(queries, "query_id", **opts)
+    cand = (
+        e_b.join(
+            F.broadcast(q_b),
+            ["band", "bucket"],
         )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    e_vec = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    scored = (
+        cand.join(e_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
         .withColumn("cosine", cosine_expr(F.col("vec"), F.col("query_vec")))
         .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
-    )
+    return _topk_per_query(scored, k)
 
 
 def ivf_assign(
@@ -149,20 +263,38 @@ def ivf_assign(
     out_col: str = "cell",
 ) -> DataFrame:
     """Coarse quantization: assign every vector to its nearest centroid
-    (max cosine).  Centroids are broadcast (they are tiny: C ≪ rows), so
-    assignment is one scan with zero shuffle — at 100 TB the cell id is
-    precomputed once and persisted as a partition column."""
-    c = centroids.select(
-        F.col("centroid_id"), F.col("centroid_vec").alias("__cvec")
+    (max cosine).  The centroid table is tiny (C << rows), so it is
+    collected once and inlined as literal arrays; assignment is then a
+    pure per-row argmax expression — ONE scan, ZERO joins, ZERO shuffles.
+    (A broadcast join + row_number window would replicate every row x C,
+    each copy carrying the full vector, then shuffle all C*N rows on the
+    vector id — a scale-killer.)  At 100 TB the cell id is precomputed
+    once and persisted as a partition column."""
+    rows = (
+        centroids.select("centroid_id", "centroid_vec")
+        .orderBy(F.asc("centroid_id"))
+        .collect()
     )
-    scored = embeddings.join(F.broadcast(c)).withColumn(
-        "__csim", cosine_expr(F.col(vec_col), F.col("__cvec"))
+    if not rows:
+        raise ValueError("ivf_assign: centroids is empty")
+    sims = F.array(
+        *[
+            cosine_expr(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in r["centroid_vec"]]),
+            )
+            for r in rows
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").alias(out_col))
+    cids = F.array(*[F.lit(int(r["centroid_id"])) for r in rows])
+    # array_position returns the FIRST index of the max — centroids are
+    # sorted by id, so ties break toward the lowest centroid_id (matching
+    # the previous desc-sim/asc-id window semantics)
+    pos = F.array_position(sims, F.array_max(sims)).cast("int")
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(cids, pos).alias(out_col),
     )
 
 
@@ -179,11 +311,12 @@ def ivf_topk(
     """IVF-style approximate top-k: deterministic coarse centroids (the
     first `n_centroids` vectors by id — reproducible without a training
     step; production swaps in k-means centroids), every vector assigned to
-    its nearest cell, each query probed against its `n_probe` nearest
-    cells only.  The candidate join shuffles on the small cell-id key
-    instead of broadcasting the full corpus — the scale path when the
-    query set is large.  Recall < 1 by construction; measured against
-    brute_force_topk in tests."""
+    its nearest cell by the zero-shuffle argmax, each query probed against
+    its `n_probe` nearest cells only.  The candidate join keys on the
+    small cell id; Catalyst/AQE picks broadcast vs shuffle from the probe
+    set's size, so large query sets degrade to a cell-key shuffle rather
+    than a broadcast of the whole probe table.  Recall < 1 by
+    construction; measured against brute_force_topk in tests."""
     w_id = Window.orderBy(F.asc(id_col))
     centroids = (
         embeddings.orderBy(F.asc(id_col))
@@ -199,7 +332,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"), "cell"
     )
 
-    # per-query probe list: n_probe nearest cells
+    # per-query probe list: n_probe nearest cells (Q x C rows — tiny)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
@@ -215,20 +348,12 @@ def ivf_topk(
     )
 
     scored = (
-        cells.join(
-            F.broadcast(probes),
-            on="cell",
-        )
+        cells.join(probes, on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_expr(F.col("vec"), F.col("query_vec")))
         .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
-    )
+    return _topk_per_query(scored, k)
 
 
 def cosine_near_dup_pairs(
@@ -238,30 +363,51 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     threshold: float = 0.95,
-    n_planes: int = 10,
+    n_bands: int = 20,
+    planes_per_band: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via hyperplane buckets (high
-    cosine ⇒ same sign pattern with high probability), verified exactly."""
-    sig = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col).alias("vec"),
-        hyperplane_signature(
-            F.col(vec_col), dim=dim, n_planes=n_planes, seed=seed
-        ).alias("bucket"),
+    """Embedding-cosine near-duplicate pairs: hyperplane-banded candidate
+    generation (any-band match, mirroring dedup.py's minhash banding) with
+    exact cosine verification.  The self-join runs on SLIM (id, band,
+    bucket) rows; vectors rejoin only for the surviving candidate pairs.
+
+    Defaults (b=20, r=4) keep pair recall >= ~0.9 down to threshold ~0.35
+    (pytest pins >= 0.8 vs the exact pairs).  At genuinely high thresholds
+    (0.9+) raise planes_per_band — sharper buckets mean far fewer false
+    candidates and recall stays ~1."""
+    banded = _banded(
+        embeddings,
+        "vid",
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_bands=n_bands,
+        planes_per_band=planes_per_band,
+        seed=seed,
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
         )
-        .withColumn("cosine", cosine_expr(F.col("a.vec"), F.col("b.vec")))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    return (
+        pairs.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")),
+            "id_b",
+        )
+        .withColumn("cosine", cosine_expr(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round("cosine", 4).alias("cosine"),
-        )
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )

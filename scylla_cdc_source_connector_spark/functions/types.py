@@ -91,10 +91,11 @@ def tuple_to_struct(*elements: Column) -> Column:
 def empty_udt_to_null(udt: Column, field_names: list[str]) -> Column:
     """UDT with every field null (Scylla's 'empty' value) → NULL struct
     (ScyllaChangeRecordEmitter.java:766-792)."""
-    any_set = None
+    if not field_names:
+        raise ValueError("empty_udt_to_null: field_names must be non-empty")
+    any_set = F.lit(False)
     for f in field_names:
-        cond = udt[f].isNotNull()
-        any_set = cond if any_set is None else (any_set | cond)
+        any_set = any_set | udt[f].isNotNull()
     return F.when(udt.isNotNull() & any_set, udt)
 
 

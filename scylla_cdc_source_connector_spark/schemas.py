@@ -14,6 +14,8 @@ Mirrors the reference's data model:
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import types as T
 
 # --- CDC operation codes (CdcBatchPreimageMisalignmentIT.java:57-62) -------

@@ -45,6 +45,25 @@ def generation_cfg(cfg: EngineConfig, generation: int) -> EngineConfig:
     )
 
 
+def checkpoint_has_offsets(spark: SparkSession, checkpoint: str) -> bool:
+    """True when the checkpoint already holds committed source offsets.
+
+    Resolved through the Hadoop FileSystem of the checkpoint URI — not
+    os.path — so HDFS/S3/abfs checkpoints (the production target) are
+    detected too.  With a local-only check, every restart against a remote
+    checkpoint looked like a fresh start and re-applied the initial
+    lookback with a new wall-clock 'now', silently dropping replayed rows
+    older than now - lookback (the reference applies lookback only when no
+    stored offsets exist, ScyllaConnectorTask.java:197-210)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(checkpoint + "/offsets")
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    # an offsets dir with no committed batch files is still a fresh start
+    return len(fs.listStatus(path)) > 0
+
+
 def read_changelog_stream(
     spark: SparkSession,
     path: str,
@@ -113,9 +132,10 @@ def run_stream(
     # ScyllaConnectorTask.java:197-210): on FIRST start — no offsets/
     # checkpoint yet — begin at now - lookback instead of stream start.
     # Resumed starts keep the checkpoint's file-source offsets, so the
-    # filter is attached only on the fresh-start path like the reference.
-    if cfg.initial_lookback_ms > 0 and not os.path.isdir(
-        os.path.join(checkpoint, "offsets")
+    # filter is attached only on the fresh-start path like the reference
+    # (detected via the checkpoint URI's own FileSystem, not os.path).
+    if cfg.initial_lookback_ms > 0 and not checkpoint_has_offsets(
+        spark, checkpoint
     ):
         import time as _time
 

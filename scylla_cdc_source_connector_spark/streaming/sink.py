@@ -261,25 +261,37 @@ def _write_batch(
     env_df: DataFrame, batch_id: int, cfg: EngineConfig
 ) -> tuple[int, list[dict]]:
     """Idempotent per-batch output write + per-shard offset stats
-    (shared by make_sink and make_correlating_sink)."""
+    (shared by make_sink and make_correlating_sink).
+
+    The envelope plan executes ONCE: env_df is persisted, the stats
+    aggregation both materializes the cache and doubles as the emptiness
+    probe, and the ordered write then reads from the cache.  (Running
+    isEmpty / write / stats as three separate actions re-executed the
+    whole upstream plan — in vectorized mode that re-ran the correlation
+    aggregation — three times per micro-batch.)  The stats .collect()
+    itself is a per-shard aggregate, bounded by shard count."""
     shards: list[dict] = []
     n = 0
-    if env_df.isEmpty():
-        return n, shards
-    ordered = env_df.repartition(
-        F.col("`cdc$stream_id`")
-    ).sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
-    ordered.write.mode("overwrite").parquet(batch_output_path(cfg, batch_id))
-    stats = (
-        env_df.groupBy("`cdc$stream_id`", "generation")
-        .agg(
-            F.min("`cdc$time_us`").alias("window_start_us"),
-            F.max("`cdc$time_us`").alias("window_end_us"),
-            F.max_by("clip_id", "`cdc$time_us`").alias("last_change_clip_id"),
-            F.count("*").alias("n_records"),
+    env_df.persist()
+    try:
+        stats = (
+            env_df.groupBy("`cdc$stream_id`", "generation")
+            .agg(
+                F.min("`cdc$time_us`").alias("window_start_us"),
+                F.max("`cdc$time_us`").alias("window_end_us"),
+                F.max_by("clip_id", "`cdc$time_us`").alias("last_change_clip_id"),
+                F.count("*").alias("n_records"),
+            )
+            .collect()
         )
-        .collect()
-    )
+        if not stats:
+            return n, shards
+        ordered = env_df.repartition(
+            F.col("`cdc$stream_id`")
+        ).sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
+        ordered.write.mode("overwrite").parquet(batch_output_path(cfg, batch_id))
+    finally:
+        env_df.unpersist()
     for r in stats:
         shards.append(
             {

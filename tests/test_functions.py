@@ -74,8 +74,40 @@ def test_lsh_recall_vs_brute_force(spark, emb):
 
     queries = emb.filter(F.col("vec_id") < 8)
     exact = _topk_sets(brute_force_topk(emb, queries, k=10))
-    approx = _topk_sets(lsh_topk(emb, queries, k=10, n_planes=6))
-    assert _recall(approx, exact) > 0.0  # buckets prune aggressively at 6 planes
+    approx = _topk_sets(lsh_topk(emb, queries, k=10))
+    r = _recall(approx, exact)
+    assert r >= 0.8, f"banded-LSH top-k recall {r:.2f} < 0.8"
+
+
+def test_embedding_near_dup_lsh_recall(spark, emb):
+    """Banded hyperplane LSH must recover >= 0.8 of the exact cosine
+    near-dup pairs (the round-1 single-bucket variant returned 0 rows)."""
+    from scylla_cdc_source_connector_spark.functions.similarity import (
+        cosine_expr,
+        cosine_near_dup_pairs,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 300)
+    a = sub.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = sub.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= 0.35)
+            .select("id_a", "id_b")
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(sub, threshold=0.35).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs at cosine >= 0.35"
+    # no false positives: every emitted pair is exact-verified
+    assert approx <= exact
+    r = len(exact & approx) / len(exact)
+    assert r >= 0.8, f"banded-LSH near-dup recall {r:.2f} < 0.8"
 
 
 def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
