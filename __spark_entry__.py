@@ -657,6 +657,63 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_full_pipeline(spark, "/root/testdata/sf0.001")
 
 
+def q_cdc_types_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 CQL type-matrix translation, oracle-checked (flattened to
+    scalars so the DuckDB hash compares values, not container encodings):
+    map→sorted {key,value} entries, non-frozen list (map<timeuuid,V>)→
+    insertion-ordered values, tuple→field_N struct, empty-UDT→NULL,
+    TIME ns→µs (ScyllaSchema.java:297-430,
+    ScyllaChangeRecordEmitter.java:620-795).  The end-to-end pipeline
+    variant (through correlation→envelope) is pinned by
+    tests/test_types_matrix.py."""
+    from scylla_cdc_source_connector_spark.functions.types import (
+        empty_udt_to_null,
+        map_to_entries,
+        nonfrozen_list_values,
+        time_to_micros,
+        tuple_to_struct,
+    )
+
+    p = _proxy(spark, sf_dir).filter(F.col("event_id") < 1000)
+    iv = F.floor(F.col("value")).cast("int")
+    uid = F.col("user_id").cast("int")
+    typed = p.select(
+        "event_id",
+        F.create_map(
+            F.format_string("t%da", F.pmod(iv, F.lit(3))), iv,
+            F.format_string("t%db", F.pmod(uid, F.lit(3))), uid,
+        ).alias("tags"),
+        # non-frozen list encoding: keys are time-ordered ids
+        F.create_map(
+            F.format_string("%03dv", F.pmod(iv, F.lit(7))), F.lit("v"),
+            F.format_string("%03du", F.pmod(uid, F.lit(9))), F.lit("u"),
+        ).alias("track"),
+        tuple_to_struct(iv, F.col("op")).alias("coords"),
+        F.struct(
+            F.when(F.pmod(iv, F.lit(5)) != 0, iv).alias("a"),
+            F.when(F.pmod(uid, F.lit(4)) != 0, F.col("op")).alias("b"),
+        ).alias("meta"),
+        (iv.cast("long") * 1_000_000).alias("time_ns"),
+    )
+    ent = map_to_entries(F.col("tags"))
+    lst = nonfrozen_list_values(F.col("track"))
+    meta = empty_udt_to_null(F.col("meta"), ["a", "b"])
+    return typed.select(
+        "event_id",
+        F.element_at(ent, 1)["key"].alias("tag_key_1"),
+        F.element_at(ent, 1)["value"].alias("tag_val_1"),
+        F.element_at(ent, 2)["key"].alias("tag_key_2"),
+        F.element_at(ent, 2)["value"].alias("tag_val_2"),
+        F.element_at(lst, 1).alias("track_first"),
+        F.element_at(lst, 2).alias("track_last"),
+        F.col("coords")["field_0"].alias("tuple_f0"),
+        F.col("coords")["field_1"].alias("tuple_f1"),
+        meta.isNull().alias("meta_is_null"),
+        meta["a"].alias("meta_a"),
+        time_to_micros(F.col("time_ns")).alias("time_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_change_typing": q_cdc_change_typing,
@@ -679,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_extract_new_state": q_smt_extract_new_state,
         "cdc_generation_rollover": q_cdc_generation_rollover,
         "topk_per_shard": q_topk_per_shard,
+        "cdc_types_matrix": q_cdc_types_matrix,
         "cdc_full_pipeline": q_cdc_full_pipeline,
         "cdc_legacy_pipeline": q_cdc_legacy_pipeline,
         "text_fingerprint": q_text_fingerprint,
@@ -861,6 +919,41 @@ def oracle_sql() -> dict[str, str]:
             FROM ({proxy})
             WHERE ts_ms >= (SELECT max(ts_ms) - 3600000 FROM ({proxy}))
             GROUP BY shard_id
+        """,
+        "cdc_types_matrix": f"""
+            WITH t AS (
+              SELECT event_id,
+                     't' || CAST(CAST(floor(value) AS INT) % 3 AS VARCHAR)
+                         || 'a' AS ka,
+                     CAST(floor(value) AS INT) AS va,
+                     't' || CAST(user_id % 3 AS VARCHAR) || 'b' AS kb,
+                     CAST(user_id AS INT) AS vb,
+                     printf('%03dv', CAST(floor(value) AS INT) % 7) AS la,
+                     printf('%03du', CAST(user_id % 9 AS INT)) AS lb,
+                     CAST(floor(value) AS INT) AS iv,
+                     CAST(user_id AS INT) AS uid,
+                     op
+              FROM ({proxy}) WHERE event_id < 1000
+            ), m AS (
+              SELECT *,
+                     CASE WHEN iv % 5 <> 0 THEN iv END AS udt_a,
+                     CASE WHEN uid % 4 <> 0 THEN op END AS udt_b
+              FROM t
+            )
+            SELECT event_id,
+                   CASE WHEN ka < kb THEN ka ELSE kb END AS tag_key_1,
+                   CASE WHEN ka < kb THEN va ELSE vb END AS tag_val_1,
+                   CASE WHEN ka < kb THEN kb ELSE ka END AS tag_key_2,
+                   CASE WHEN ka < kb THEN vb ELSE va END AS tag_val_2,
+                   CASE WHEN la < lb THEN 'v' ELSE 'u' END AS track_first,
+                   CASE WHEN la < lb THEN 'u' ELSE 'v' END AS track_last,
+                   iv AS tuple_f0,
+                   op AS tuple_f1,
+                   (udt_a IS NULL AND udt_b IS NULL) AS meta_is_null,
+                   CASE WHEN udt_a IS NOT NULL OR udt_b IS NOT NULL
+                        THEN udt_a END AS meta_a,
+                   CAST(iv AS BIGINT) * 1000 AS time_us
+            FROM m
         """,
         "smt_extract_new_state": f"""
             SELECT clip_id, op, value, user_id, ts_ms

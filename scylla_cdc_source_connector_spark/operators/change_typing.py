@@ -44,16 +44,38 @@ def op_code_expr(op_col: Column) -> Column:
     )
 
 
-def delta_filter(df: DataFrame, *, has_clustering_key: bool = False) -> DataFrame:
+def delta_filter(
+    df: DataFrame,
+    *,
+    has_clustering_key: bool = False,
+    table=None,
+) -> DataFrame:
     """F1+F2: keep only dispatchable delta rows.
 
     PARTITION_DELETE qualifies only for tables without a clustering key
-    (ours: clip_id-only PK, so it qualifies; the flag is plumbed so the
-    predicate constant-folds for a fixed schema)."""
+    (the default audio table is clip_id-only PK, so it qualifies; for a
+    table WITH a clustering key a partition delete spans many rows and is
+    inadmissible — ScyllaChangesConsumer.isSinglePartitionDelete:271-283).
+    Pass a TableModel to derive the flag; the predicate constant-folds
+    for a fixed schema either way."""
+    if table is not None:
+        has_clustering_key = table.has_clustering_key
     ops = [OP_ROW_INSERT, OP_ROW_UPDATE, OP_ROW_DELETE]
     if not has_clustering_key:
         ops.append(OP_PARTITION_DELETE)
     return df.filter(F.col("`cdc$operation`").isin(ops))
+
+
+def admissible_only(df: DataFrame, *, table=None) -> DataFrame:
+    """F2 pre-correlation form: drop INADMISSIBLE delta rows while KEEPING
+    image rows (delta_filter drops images too, which is wrong upstream of
+    correlation).  For a table with a clustering key, a partition delete
+    spans many rows and is not emitted as a single-row change
+    (ScyllaChangesConsumer.isSinglePartitionDelete:271-283); its preceding
+    images then leave an image-only group the correlation drops."""
+    if table is None or not table.has_clustering_key:
+        return df
+    return df.filter(F.col("`cdc$operation`") != OP_PARTITION_DELETE)
 
 
 def modified_expr(column: str) -> Column:

@@ -31,18 +31,23 @@ from pyspark.sql import functions as F
 
 from scylla_cdc_source_connector_spark.config import EngineConfig
 from scylla_cdc_source_connector_spark.schemas import (
-    BASE_COLUMNS,
+    DEFAULT_TABLE,
     DELTA_OPS,
-    NON_PK_COLUMNS,
     OP_PARTITION_DELETE,
     OP_POST_IMAGE,
     OP_PRE_IMAGE,
     OP_ROW_DELETE,
     OP_ROW_INSERT,
     OP_ROW_UPDATE,
+    TableModel,
 )
 
-def delta_struct_expr(*, with_values: bool, with_flags: bool = True) -> Column:
+def delta_struct_expr(
+    *,
+    with_values: bool,
+    with_flags: bool = True,
+    table: TableModel = DEFAULT_TABLE,
+) -> Column:
     """The shuffled `delta` struct.
 
     Advanced-format projection reads only the delta's METADATA and per-
@@ -67,11 +72,22 @@ def delta_struct_expr(*, with_values: bool, with_flags: bool = True) -> Column:
     fields = [F.col("`cdc$operation`"), F.col("`cdc$batch_seq_no`")]
     if with_flags or with_values:
         fields += [
-            F.col(f"`{c}`").isNotNull().alias(f"set_{c}") for c in NON_PK_COLUMNS
+            F.col(f"`{c}`").isNotNull().alias(f"set_{c}")
+            for c in table.non_pk_columns
         ]
-        fields += [F.col(f"`cdc$deleted_{c}`") for c in NON_PK_COLUMNS]
+        fields += [F.col(f"`cdc$deleted_{c}`") for c in table.non_pk_columns]
+        # collection-element deletions: modified iff any element deleted
+        # (ScyllaChangeRecordEmitter.java:391-396); only the boolean rides
+        # the shuffle — the element list itself is not part of the envelope
+        fields += [
+            (F.size(F.col(f"`cdc$deleted_elements_{c}`")) > 0).alias(
+                f"del_elems_{c}"
+            )
+            for c in table.collection_columns()
+            if c in table.non_pk_columns
+        ]
     if with_values:
-        fields += [F.col(f"`{c}`") for c in BASE_COLUMNS]
+        fields += [F.col(f"`{c}`") for c in table.base_columns]
     return F.struct(*fields)
 
 
@@ -91,12 +107,15 @@ def correlate_batch(
     *,
     delta_values: bool = False,
     delta_flags: bool = True,
+    table: TableModel = DEFAULT_TABLE,
 ) -> DataFrame:
-    """Group CDC log rows by (clip_id, cdc$time) and pivot the operation
-    types into pre_image / delta / post_image structs.
+    """Group CDC log rows by (pk columns..., cdc$time) and pivot the
+    operation types into pre_image / delta / post_image structs.  The
+    group key is the RowKey analog (RowKey.java:48-58): partition keys +
+    clustering keys (TableModel order) + the change's cdc$time.
 
     Output columns:
-      clip_id, cdc$time, cdc$time_us, cdc$stream_id, generation,
+      <pk columns>, cdc$time, cdc$time_us, cdc$stream_id, generation,
       pre_image struct<base cols>, post_image struct<base cols>,
       delta struct<cdc$operation, cdc$batch_seq_no, set flags, deleted
       flags[, base cols when delta_values]>
@@ -107,9 +126,9 @@ def correlate_batch(
     """
     op = F.col("`cdc$operation`")
     seq = F.col("`cdc$batch_seq_no`")
-    base_struct = F.struct(*[F.col(f"`{c}`") for c in BASE_COLUMNS])
+    base_struct = F.struct(*[F.col(f"`{c}`") for c in table.base_columns])
     delta_struct = delta_struct_expr(
-        with_values=delta_values, with_flags=delta_flags
+        with_values=delta_values, with_flags=delta_flags, table=table
     )
 
     # "last one wins" per slot — setChange/setPreImage/setPostImage overwrite
@@ -119,8 +138,9 @@ def correlate_batch(
     def last(cond, struct):
         return F.max_by(F.when(cond, struct), F.when(cond, seq))
 
+    pk_cols = [f"`{c}`" for c in table.pk_columns]
     return (
-        changelog.groupBy("clip_id", "`cdc$time`")
+        changelog.groupBy(*pk_cols, "`cdc$time`")
         .agg(
             last(op == OP_PRE_IMAGE, base_struct).alias("pre_image"),
             last(op == OP_POST_IMAGE, base_struct).alias("post_image"),

@@ -41,69 +41,84 @@ from scylla_cdc_source_connector_spark.config import (
 )
 from scylla_cdc_source_connector_spark.operators.change_typing import op_code_expr
 from scylla_cdc_source_connector_spark.schemas import (
-    BASE_COLUMNS,
-    NON_PK_COLUMNS,
+    DEFAULT_TABLE,
     OP_CODE_CREATE,
     OP_CODE_DELETE,
     OP_CODE_UPDATE,
-    PK_COLUMNS,
+    TableModel,
 )
 
 
-def _modified(delta: Column, col: str) -> Column:
+def _modified(delta: Column, col: str, table: TableModel) -> Column:
     """getModifiedColumns, columnar (ScyllaChangeRecordEmitter.java:361-398).
     Reads the correlated delta's `set_<col>` null-ness FLAG (payload values
-    are elided from the delta struct — see correlation.delta_struct_expr)."""
-    return delta[f"set_{col}"] | F.coalesce(
+    are elided from the delta struct — see correlation.delta_struct_expr).
+    A non-frozen collection column is also modified when any of its
+    elements was deleted (cdc$deleted_elements_<col>, :391-396)."""
+    m = delta[f"set_{col}"] | F.coalesce(
         delta[f"cdc$deleted_{col}"], F.lit(False)
     )
+    if col in table.collection_columns():
+        m = m | F.coalesce(delta[f"del_elems_{col}"], F.lit(False))
+    return m
 
 
-def _full_image(img: Column, include_pk: bool) -> Column:
+def _null_pk(c: str, table: TableModel) -> Column:
+    return F.lit(None).cast(table.field_type(c))
+
+
+def _full_image(img: Column, include_pk: bool, table: TableModel) -> Column:
     """fillStructWithFullImage (:473-497): full row; PKs per placement.
     Null struct when the image is null."""
+    pk = set(table.pk_columns)
     fields = []
-    for c in BASE_COLUMNS:
-        if c in PK_COLUMNS and not include_pk:
-            fields.append(F.lit(None).cast("string").alias(c))
+    for c in table.base_columns:
+        if c in pk and not include_pk:
+            fields.append(_null_pk(c, table).alias(c))
         else:
             fields.append(img[c].alias(c))
     return F.when(img.isNotNull(), F.struct(*fields))
 
 
-def _only_updated(img: Column, delta: Column, include_pk: bool) -> Column:
+def _only_updated(
+    img: Column, delta: Column, include_pk: bool, table: TableModel
+) -> Column:
     """fillStructWithOnlyUpdatedColumns (:435-460): modified non-PK columns
     (with the IMAGE's value), PKs per placement."""
+    pk = set(table.pk_columns)
     fields = []
-    for c in BASE_COLUMNS:
-        if c in PK_COLUMNS:
+    for c in table.base_columns:
+        if c in pk:
             fields.append(
-                (img[c] if include_pk else F.lit(None).cast("string")).alias(c)
+                (img[c] if include_pk else _null_pk(c, table)).alias(c)
             )
         else:
-            fields.append(F.when(_modified(delta, c), img[c]).alias(c))
+            fields.append(F.when(_modified(delta, c, table), img[c]).alias(c))
     return F.when(img.isNotNull(), F.struct(*fields))
 
 
 def _before_for_update(
-    pre: Column, post: Column, delta: Column, include_pk: bool
+    pre: Column, post: Column, delta: Column, include_pk: bool, table: TableModel
 ) -> Column:
     """fillBeforeStructForUpdate (:529-575): Scylla preimages carry OLD
     values only for modified columns; unchanged columns' old value == new
     value, so they come from the postimage."""
+    pk = set(table.pk_columns)
     merged_fields = []
-    for c in BASE_COLUMNS:
-        if c in PK_COLUMNS:
+    for c in table.base_columns:
+        if c in pk:
             merged_fields.append(
-                (post[c] if include_pk else F.lit(None).cast("string")).alias(c)
+                (post[c] if include_pk else _null_pk(c, table)).alias(c)
             )
         else:
             merged_fields.append(
-                F.when(_modified(delta, c), pre[c]).otherwise(post[c]).alias(c)
+                F.when(_modified(delta, c, table), pre[c])
+                .otherwise(post[c])
+                .alias(c)
             )
     return (
         F.when(pre.isNull(), F.lit(None))
-        .when(post.isNull(), _full_image(pre, include_pk))
+        .when(post.isNull(), _full_image(pre, include_pk, table))
         .otherwise(F.struct(*merged_fields))
     )
 
@@ -113,6 +128,7 @@ def build_envelopes(
     cfg: EngineConfig,
     *,
     processing_ts_ms: Column | None = None,
+    table: TableModel = DEFAULT_TABLE,
 ) -> DataFrame:
     """Correlated changes → Kafka-record-shaped envelope rows.
 
@@ -140,12 +156,12 @@ def build_envelopes(
 
     # ---- after ------------------------------------------------------------
     if cfg.include_after is IncludeMode.ONLY_UPDATED:
-        after_update = _only_updated(post, delta, pk_after)
+        after_update = _only_updated(post, delta, pk_after, table)
     else:
-        after_update = _full_image(post, pk_after)
+        after_update = _full_image(post, pk_after, table)
     after = (
         F.when(op == OP_CODE_DELETE, F.lit(None))
-        .when(op == OP_CODE_CREATE, _full_image(post, pk_after))
+        .when(op == OP_CODE_CREATE, _full_image(post, pk_after, table))
         .otherwise(after_update)
         .alias("after")
     )
@@ -156,15 +172,15 @@ def build_envelopes(
         # references NO delta set/deleted flags, so correlate_batch can run
         # with delta_flags=False and Catalyst prunes the payload from the
         # scan (needs_delta_flags)
-        before = F.when(F.lit(False), _full_image(pre, pk_before)).alias("before")
+        before = F.when(F.lit(False), _full_image(pre, pk_before, table)).alias("before")
     else:
         if cfg.include_before is IncludeMode.ONLY_UPDATED:
-            before_update = _only_updated(pre, delta, pk_before)
+            before_update = _only_updated(pre, delta, pk_before, table)
         else:
-            before_update = _before_for_update(pre, post, delta, pk_before)
+            before_update = _before_for_update(pre, post, delta, pk_before, table)
         before = (
             F.when(op == OP_CODE_CREATE, F.lit(None))
-            .when(op == OP_CODE_DELETE, _full_image(pre, pk_before))
+            .when(op == OP_CODE_DELETE, _full_image(pre, pk_before, table))
             .otherwise(before_update)
             .alias("before")
         )
@@ -172,21 +188,32 @@ def build_envelopes(
     # ---- key / payload-key / headers (P2/P8) -------------------------------
     # anyImage = post > pre > delta (TaskInfo.getAnyImage, TaskInfo.java:71-79);
     # the delta's pk IS the correlation group key (payload-elided delta
-    # carries no base columns)
-    any_pk = F.coalesce(post["clip_id"], pre["clip_id"], F.col("clip_id"))
+    # carries no base columns).  Key-schema order: partition keys then
+    # clustering keys (fillKeyStructFromImage iterates key fields in order).
+    any_pk = {
+        c: F.coalesce(post[c], pre[c], F.col(f"`{c}`"))
+        for c in table.pk_columns
+    }
+    key_fields = [any_pk[c].alias(c) for c in table.pk_columns]
     key = (
-        F.struct(any_pk.alias("clip_id"))
+        F.struct(*key_fields)
         if PkPlacement.KAFKA_KEY in cfg.pk_placements
-        else F.lit(None).cast("struct<clip_id:string>")
+        else F.lit(None).cast(table.key_struct())
     ).alias("key")
     payload_key = (
-        F.struct(any_pk.alias("clip_id"))
+        F.struct(*key_fields)
         if PkPlacement.PAYLOAD_KEY in cfg.pk_placements
         else None
     )
     headers = (
         F.array(
-            F.struct(F.lit("pk.clip_id").alias("k"), any_pk.cast("string").alias("v"))
+            *[
+                F.struct(
+                    F.lit(f"pk.{c}").alias("k"),
+                    any_pk[c].cast("string").alias("v"),
+                )
+                for c in table.pk_columns
+            ]
         )
         if PkPlacement.KAFKA_HEADERS in cfg.pk_placements
         else F.lit(None).cast("array<struct<k:string,v:string>>")
@@ -215,7 +242,7 @@ def build_envelopes(
         key,
         F.struct(*value_fields).alias("value"),
         headers,
-        F.col("clip_id"),
+        *[F.col(f"`{c}`") for c in table.pk_columns],
         F.col("`cdc$stream_id`"),
         F.col("`cdc$time`"),
         F.col("`cdc$time_us`"),

@@ -25,7 +25,11 @@ from scylla_cdc_source_connector_spark.operators.correlation import (
     mask_unused_images,
     needs_delta_flags,
 )
+from scylla_cdc_source_connector_spark.operators.change_typing import (
+    admissible_only,
+)
 from scylla_cdc_source_connector_spark.operators.projection import build_envelopes
+from scylla_cdc_source_connector_spark.schemas import DEFAULT_TABLE, TableModel
 
 
 def cdc_envelopes(
@@ -33,6 +37,7 @@ def cdc_envelopes(
     cfg: EngineConfig,
     *,
     processing_ts_ms: Column | None = None,
+    table: TableModel = DEFAULT_TABLE,
 ) -> DataFrame:
     """changelog rows → emitted envelope rows (batch / per-micro-batch).
 
@@ -44,11 +49,18 @@ def cdc_envelopes(
     """
     correlated = complete_only(
         mask_unused_images(
-            correlate_batch(changelog, delta_flags=needs_delta_flags(cfg)), cfg
+            correlate_batch(
+                admissible_only(changelog, table=table),
+                delta_flags=needs_delta_flags(cfg),
+                table=table,
+            ),
+            cfg,
         ),
         cfg,
     )
-    return build_envelopes(correlated, cfg, processing_ts_ms=processing_ts_ms)
+    return build_envelopes(
+        correlated, cfg, processing_ts_ms=processing_ts_ms, table=table
+    )
 
 
 def cdc_legacy_envelopes(
