@@ -63,6 +63,20 @@ class EngineConfig:
     # correlation / state (ScyllaChangesConsumer.java:37,147-185)
     incomplete_task_timeout_ms: int = 15_000
 
+    # heartbeats: records emitted to the heartbeat output when a window
+    # moves without data, so downstream consumers see progress
+    # (ScyllaWorkerTransport.java:58-79; interval knob
+    # ScyllaConnectorConfig.java:350-363 — the reference REQUIRES a
+    # positive interval because its offsets only move with records;
+    # 0 disables, matching Heartbeat.HEARTBEAT_INTERVAL semantics)
+    heartbeat_interval_ms: int = 30_000
+
+    # record-level admission per micro-batch, PER SHARD — the Spark-native
+    # analog of the reference's per-task max.batch.size poll cap
+    # (README.md:1363-1370).  Excess rows divert to the replay-safe
+    # pending table and drain on subsequent triggers.  0 = unlimited.
+    max_records_per_trigger_per_shard: int = 0
+
     # projections
     include_before: IncludeMode = IncludeMode.NONE
     include_after: IncludeMode = IncludeMode.NONE

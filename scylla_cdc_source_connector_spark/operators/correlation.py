@@ -108,6 +108,7 @@ def correlate_batch(
     delta_values: bool = False,
     delta_flags: bool = True,
     table: TableModel = DEFAULT_TABLE,
+    require_delta: bool = True,
 ) -> DataFrame:
     """Group CDC log rows by (pk columns..., cdc$time) and pivot the
     operation types into pre_image / delta / post_image structs.  The
@@ -120,9 +121,14 @@ def correlate_batch(
       delta struct<cdc$operation, cdc$batch_seq_no, set flags, deleted
       flags[, base cols when delta_values]>
 
-    One shuffle, pure JVM.  Rows whose group has no delta (orphaned images —
-    possible when a window boundary splits a batch) are dropped here; the
-    streaming operator holds them in state instead.
+    One shuffle, pure JVM.  With require_delta=True (batch default), rows
+    whose group has no delta (orphaned images — possible when a window
+    boundary splits a batch) are dropped; the streaming sinks pass
+    require_delta=False and hold such groups in the pending table until
+    their delta arrives — dropping them at a micro-batch boundary that
+    lands between a group's images and its delta would silently lose the
+    images (Scylla batch order is [pre..., delta..., post...], so the
+    preimages land FIRST).
     """
     op = F.col("`cdc$operation`")
     seq = F.col("`cdc$batch_seq_no`")
@@ -139,7 +145,7 @@ def correlate_batch(
         return F.max_by(F.when(cond, struct), F.when(cond, seq))
 
     pk_cols = [f"`{c}`" for c in table.pk_columns]
-    return (
+    agg = (
         changelog.groupBy(*pk_cols, "`cdc$time`")
         .agg(
             last(op == OP_PRE_IMAGE, base_struct).alias("pre_image"),
@@ -149,8 +155,9 @@ def correlate_batch(
             F.max("`cdc$stream_id`").alias("cdc$stream_id"),
             F.max("generation").alias("generation"),
         )
-        .filter(F.col("delta").isNotNull())
     )
+    return agg if not require_delta else agg.filter(F.col("delta").isNotNull())
+
 
 
 def mask_unused_images(correlated: DataFrame, cfg: EngineConfig) -> DataFrame:

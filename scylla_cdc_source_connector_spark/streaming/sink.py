@@ -101,12 +101,107 @@ def read_emitted(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def heartbeat_path(cfg: EngineConfig, batch_id: int) -> str:
+    return os.path.join(cfg.output_dir, "_heartbeat", f"batch_id={batch_id}")
+
+
+#: heartbeat record schema — offset-bearing progress signal
+#: (the Spark shape of Debezium's heartbeat topic record)
+HEARTBEAT_SCHEMA = (
+    "topic string, shard_id string, generation int, window_end_us long, "
+    "batch_id long, n_records long, committed_at_ms long"
+)
+
+
+def read_heartbeats(spark: SparkSession, cfg: EngineConfig):
+    """All heartbeat records emitted so far (advisory, at-least-once —
+    same delivery class as Debezium's heartbeat topic)."""
+    root = os.path.join(cfg.output_dir, "_heartbeat")
+    if not os.path.isdir(root) or not os.listdir(root):
+        return spark.createDataFrame([], HEARTBEAT_SCHEMA)
+    return spark.read.schema(HEARTBEAT_SCHEMA).parquet(
+        *(os.path.join(root, d) for d in sorted(os.listdir(root)))
+    )
+
+
+def _make_heartbeat_emitter(cfg: EngineConfig):
+    """Per-sink heartbeat timer + writer (K4).
+
+    The reference dispatches a heartbeat record to a heartbeat topic when
+    a task's window moves and the heartbeat timer expired
+    (ScyllaWorkerTransport.java:58-79); its offsets only advance with
+    records, so heartbeats are mandatory on empty windows.  Here the
+    lineage commit itself advances offsets, so heartbeat RECORDS are the
+    downstream-visible progress signal: emitted unconditionally for an
+    EMPTY batch (the offset advance has no other carrier) and
+    timer-gated otherwise.  Written idempotently per batch_id
+    (overwrite), read via read_heartbeats."""
+
+    state = {"last_ms": 0.0}
+
+    def emit(
+        spark: SparkSession,
+        batch_id: int,
+        n_records: int,
+        shards: list[dict],
+    ) -> None:
+        if cfg.heartbeat_interval_ms <= 0:
+            return
+        now_ms = time.time() * 1000
+        expired = now_ms - state["last_ms"] >= cfg.heartbeat_interval_ms
+        if n_records > 0 and not expired:
+            return
+        if not shards:
+            # empty window: carry the last committed per-shard offsets so
+            # consumers see WHERE progress stands, not just that it moved
+            hwm: dict[str, dict] = {}
+            for rec in read_lineage(cfg):
+                for s in rec["shards"]:
+                    cur = hwm.get(s["shard_id"])
+                    if cur is None or s["window_end_us"] >= cur["window_end_us"]:
+                        hwm[s["shard_id"]] = s
+            shards = list(hwm.values())
+        rows = [
+            (
+                f"__heartbeat.{cfg.connector_name}",
+                s["shard_id"],
+                s["generation"],
+                s["window_end_us"],
+                batch_id,
+                n_records,
+                int(now_ms),
+            )
+            for s in shards
+        ] or [
+            # no offsets at all yet: a single engine-level liveness record
+            (
+                f"__heartbeat.{cfg.connector_name}",
+                None,
+                None,
+                None,
+                batch_id,
+                n_records,
+                int(now_ms),
+            )
+        ]
+        (
+            spark.createDataFrame(rows, HEARTBEAT_SCHEMA)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(heartbeat_path(cfg, batch_id))
+        )
+        state["last_ms"] = now_ms
+
+    return emit
+
+
 def make_sink(cfg: EngineConfig):
     """foreachBatch body.  Usage:
     writeStream.foreachBatch(make_sink(cfg)).option("checkpointLocation",...)
     """
     os.makedirs(cfg.lineage_dir, exist_ok=True)
     os.makedirs(cfg.output_dir, exist_ok=True)
+    heartbeat = _make_heartbeat_emitter(cfg)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
@@ -117,6 +212,7 @@ def make_sink(cfg: EngineConfig):
 
         # per-shard ordered emit + offsets (SourceInfo.offset() analog)
         n, shards = _write_batch(batch_df, batch_id, cfg)
+        heartbeat(batch_df.sparkSession, batch_id, n, shards)
 
         # atomic lineage commit: tmp + rename (heartbeat on empty batches)
         _commit_lineage(
@@ -169,6 +265,7 @@ def make_correlating_sink(cfg: EngineConfig):
 
     os.makedirs(cfg.lineage_dir, exist_ok=True)
     os.makedirs(cfg.output_dir, exist_ok=True)
+    heartbeat = _make_heartbeat_emitter(cfg)
 
     def sink(raw_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
@@ -210,8 +307,36 @@ def make_correlating_sink(cfg: EngineConfig):
         # numInputRows) a second time
         all_rows.persist()
 
+        # S4/K1 record-level admission (the reference's per-task
+        # max.batch.size poll cap, README.md:1363-1370): admit the first
+        # K rows PER SHARD in (cdc$time_us, seq) order; the rest divert
+        # to the replay-safe pending table and drain on later triggers.
+        # Per-shard ranking = one shuffle on the shard key, no global
+        # sort, deterministic — a group split by the cap simply completes
+        # in a later batch like any boundary-split group.
+        deferred = None
+        budget = cfg.max_records_per_trigger_per_shard
+        if budget and budget > 0:
+            from pyspark.sql import Window
+
+            w_adm = Window.partitionBy("`cdc$stream_id`").orderBy(
+                "`cdc$time_us`", "`cdc$batch_seq_no`", "clip_id"
+            )
+            ranked = all_rows.withColumn("__rn", F.row_number().over(w_adm))
+            deferred = ranked.filter(F.col("__rn") > budget).drop("__rn")
+            all_rows = ranked.filter(F.col("__rn") <= budget).drop("__rn")
+
+        # require_delta=False: groups whose delta hasn't arrived yet
+        # (micro-batch or admission boundary between a group's images and
+        # its delta — Scylla batch order puts preimages FIRST) must reach
+        # the pending table instead of being silently dropped
         corr = mask_unused_images(
-            correlate_batch(all_rows, delta_flags=needs_delta_flags(cfg)), cfg
+            correlate_batch(
+                all_rows,
+                delta_flags=needs_delta_flags(cfg),
+                require_delta=False,
+            ),
+            cfg,
         )
         corr.persist()
         try:
@@ -229,17 +354,23 @@ def make_correlating_sink(cfg: EngineConfig):
                 F.col("`cdc$time_us`") >= ttl_floor
             )
             keep_keys = keep.select("clip_id", "`cdc$time`")
-            n_keep = keep_keys.count()
+            # semi-join is broadcast by AQE: keep_keys is tiny (only
+            # boundary-split groups survive a batch)
+            pend = all_rows.join(
+                keep_keys, ["clip_id", "cdc$time"], "left_semi"
+            )
+            if deferred is not None:
+                pend = pend.unionByName(deferred)
+            n_keep = pend.count()
             if n_keep:
-                # semi-join is broadcast by AQE: keep_keys is tiny (only
-                # boundary-split groups survive a batch)
-                all_rows.join(
-                    keep_keys, ["clip_id", "cdc$time"], "left_semi"
-                ).write.mode("overwrite").parquet(pending_path(cfg, batch_id))
+                pend.write.mode("overwrite").parquet(
+                    pending_path(cfg, batch_id)
+                )
         finally:
             corr.unpersist()
             all_rows.unpersist()
 
+        heartbeat(spark, batch_id, n, shards)
         _commit_lineage(
             cfg,
             batch_id,
