@@ -64,21 +64,76 @@ def checkpoint_has_offsets(spark: SparkSession, checkpoint: str) -> bool:
     return len(fs.listStatus(path)) > 0
 
 
+#: reader options for the production Iceberg changelog source — the exact
+#: set run_stream applies with source_format="iceberg" (documented here as
+#: the probe the sandbox cannot integration-test: no Iceberg runtime jar /
+#: catalog is baked into this container, see iceberg_available()).
+ICEBERG_STREAM_OPTIONS = {
+    # never replay rows removed by snapshot expiry / compaction deletes
+    "streaming-skip-delete-snapshots": "true",
+    # compaction rewrites are not new data
+    "streaming-skip-overwrite-snapshots": "true",
+    # micro-batch admission (K1): files-per-trigger cap, like the parquet
+    # file source's maxFilesPerTrigger
+    "streaming-max-files-per-micro-batch": None,  # filled from the arg
+    # S3 initial lookback: start from the snapshot at now - lookback
+    "stream-from-timestamp": None,  # epoch ms, filled on fresh start
+}
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg runtime is on the session's classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.SparkTable"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def read_changelog_stream(
     spark: SparkSession,
     path: str,
     *,
     max_files_per_trigger: int | None = None,
+    source_format: str = "parquet",
+    from_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """S1 sharded windowed scan, Spark-native.
 
-    Locally a parquet file-stream (each file ≙ one CDC time window of
-    arrivals); in production `spark.readStream.format("iceberg")` over the
-    changelog table with `streaming-skip-delete-snapshots` and
-    startingTimestamp for the initial-lookback option (S3).  Partition
-    pruning on (shard bucket, hours(cdc$time)) plays the role of the
-    reference's `cdc$stream_id IN (...) AND cdc$time >= ... < ...` CQL
-    pushdown (README.md:1357-1370)."""
+    source_format="parquet" (sandbox default): a parquet file-stream over
+    a directory (each file ≙ one CDC time window of arrivals).
+
+    source_format="iceberg" (production): `spark.readStream.format(
+    "iceberg")` over the changelog table (`path` is then the catalog table
+    name), with ICEBERG_STREAM_OPTIONS — skip-delete/overwrite snapshots,
+    files-per-micro-batch admission, and stream-from-timestamp for the
+    initial lookback.  Partition pruning on (bucket(clip_id, N),
+    hours(cdc$time)) plays the role of the reference's `cdc$stream_id IN
+    (...) AND cdc$time >= ... < ...` CQL pushdown (README.md:1357-1370).
+    This container carries no Iceberg runtime jar, so the branch raises a
+    clear error here and is exercised only up to option assembly in tests
+    (tests/test_streaming.py::test_iceberg_source_seam)."""
+    if source_format == "iceberg":
+        if not iceberg_available(spark):
+            raise NotImplementedError(
+                "Iceberg runtime not on the classpath in this container; "
+                "production: add iceberg-spark-runtime and a catalog, then "
+                "this seam passes ICEBERG_STREAM_OPTIONS through unchanged"
+            )
+        reader = spark.readStream.format("iceberg")
+        if max_files_per_trigger:
+            reader = reader.option(
+                "streaming-max-files-per-micro-batch", max_files_per_trigger
+            )
+        if from_timestamp_ms is not None:
+            reader = reader.option("stream-from-timestamp", from_timestamp_ms)
+        return (
+            reader.option("streaming-skip-delete-snapshots", "true")
+            .option("streaming-skip-overwrite-snapshots", "true")
+            .load(path)
+        )
     reader = spark.readStream.schema(changelog_schema())
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -104,6 +159,8 @@ def run_stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     mode: str = "vectorized",
+    source_format: str = "parquet",
+    state_store: str = "rocksdb",
 ):
     """Start one streaming query writing to the exactly-once sink.
     Returns the StreamingQuery (await it / stop it at the call site).
@@ -115,11 +172,28 @@ def run_stream(
     mode="stateful": applyInPandasWithState correlation operator
     (streaming/correlation_state.py) — per-group Python; kept as the
     literal mapping of the reference's per-RowKey TaskInfo state machine.
+    Its state store defaults to RocksDB (state_store="rocksdb"): at
+    10^12 keys the HDFS-backed in-memory provider holds every key of a
+    partition on-heap, while RocksDB spills to local SSD and checkpoints
+    changelogs — pass "memory" to get the default provider back.
     """
     if mode not in ("vectorized", "stateful"):
         raise ValueError(f"unknown correlation mode: {mode!r}")
+    if mode == "stateful":
+        provider = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+            if state_store == "rocksdb"
+            else "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider"
+        )
+        # read once at query start and pinned into the checkpoint
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     changelog = read_changelog_stream(
-        spark, input_path, max_files_per_trigger=max_files_per_trigger
+        spark,
+        input_path,
+        max_files_per_trigger=max_files_per_trigger,
+        source_format=source_format,
     )
     if generation is not None:
         changelog = changelog.filter(F.col("generation") == generation)
