@@ -245,6 +245,64 @@ def q_cdc_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema dynamism END-TO-END (ScyllaSchema.updateChangeSchema:467-472):
+    a two-era changelog — era 1 written before `ALTER TABLE ADD transcript`
+    (no such column), era 2 after — is conformed to the adopted (latest)
+    model and driven through the REAL correlation → envelope pipeline.
+    Pre-ALTER rows surface transcript=NULL in the after image."""
+    from scylla_cdc_source_connector_spark.config import EngineConfig, IncludeMode
+    from scylla_cdc_source_connector_spark.plans.pipeline import cdc_envelopes
+    from scylla_cdc_source_connector_spark.schema_evolution import conform_changelog
+    from scylla_cdc_source_connector_spark.schemas import (
+        OP_POST_IMAGE,
+        OP_ROW_INSERT,
+        TableModel,
+    )
+
+    _utc(spark)
+    model = TableModel(
+        columns=(("clip_id", "string"), ("val", "double"), ("transcript", "string"))
+    )
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def era(df: DataFrame, with_transcript: bool) -> DataFrame:
+        cols = [
+            F.format_string(
+                "s%04d", F.pmod(F.col("user_id"), F.lit(8))
+            ).alias("cdc$stream_id"),
+            F.col("ts").alias("cdc$time"),
+            F.unix_micros(F.col("ts")).alias("cdc$time_us"),
+            F.col("__op").alias("cdc$operation"),
+            F.col("__seq").alias("cdc$batch_seq_no"),
+            F.lit(0).alias("generation"),
+            F.format_string("ev-%012d", F.col("event_id")).alias("clip_id"),
+            F.col("value").alias("val"),
+        ]
+        if with_transcript:
+            cols.append(F.col("event_type").alias("transcript"))
+        # INSERT delta + POST_IMAGE per event (Scylla write order)
+        both = df.selectExpr(
+            "*",
+            f"stack(2, {OP_ROW_INSERT}, 0, {OP_POST_IMAGE}, 1) AS (__op, __seq)",
+        )
+        return conform_changelog(both.select(*cols), model)
+
+    changelog = era(ev.filter(F.col("event_id") % 2 == 0), False).unionByName(
+        era(ev.filter(F.col("event_id") % 2 == 1), True)
+    )
+    cfg = EngineConfig(
+        include_before=IncludeMode.NONE, include_after=IncludeMode.FULL
+    )
+    env = cdc_envelopes(changelog, cfg, processing_ts_ms=F.lit(0), table=model)
+    return env.select(
+        "clip_id",
+        F.col("value.op").alias("op"),
+        F.col("value.after.val").alias("val"),
+        F.col("value.after.transcript").alias("transcript"),
+    )
+
+
 def q_cdc_legacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Legacy-format pipeline (rows-only): Cell-wrapped envelopes over the
     synthetic audio changelog + ScyllaExtractNewRecordState unwrap
@@ -738,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_shard": q_topk_per_shard,
         "cdc_types_matrix": q_cdc_types_matrix,
         "cdc_full_pipeline": q_cdc_full_pipeline,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_legacy_pipeline": q_cdc_legacy_pipeline,
         "text_fingerprint": q_text_fingerprint,
         "text_token_count": q_text_token_count,
@@ -796,6 +855,12 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "cdc_dedup_exact": f"SELECT DISTINCT clip_id, ts_ms, op FROM ({proxy})",
+        "cdc_schema_evolution": """
+            SELECT printf('ev-%012d', event_id) AS clip_id, 'c' AS op,
+                   value AS val,
+                   CASE WHEN event_id % 2 = 1 THEN event_type END AS transcript
+            FROM events
+        """,
         "cdc_tumbling_window": f"""
             SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms, op,
                    count(*) AS n_events,

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from scylla_cdc_source_connector_spark.config import EngineConfig
 from scylla_cdc_source_connector_spark.operators.projection import build_envelopes
-from scylla_cdc_source_connector_spark.schemas import changelog_schema
+from scylla_cdc_source_connector_spark.schemas import DEFAULT_TABLE, TableModel
 from scylla_cdc_source_connector_spark.streaming.correlation_state import (
     correlate_stream,
     reassemble_correlated,
@@ -99,6 +99,7 @@ def read_changelog_stream(
     max_files_per_trigger: int | None = None,
     source_format: str = "parquet",
     from_timestamp_ms: int | None = None,
+    table: TableModel = DEFAULT_TABLE,
 ) -> DataFrame:
     """S1 sharded windowed scan, Spark-native.
 
@@ -134,7 +135,7 @@ def read_changelog_stream(
             .option("streaming-skip-overwrite-snapshots", "true")
             .load(path)
         )
-    reader = spark.readStream.schema(changelog_schema())
+    reader = spark.readStream.schema(table.changelog_schema())
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
@@ -161,9 +162,21 @@ def run_stream(
     mode: str = "vectorized",
     source_format: str = "parquet",
     state_store: str = "rocksdb",
+    table: TableModel = DEFAULT_TABLE,
+    adopt_schema: bool = False,
 ):
     """Start one streaming query writing to the exactly-once sink.
     Returns the StreamingQuery (await it / stop it at the call site).
+
+    adopt_schema=True: on (re)start, peek at the source directory's
+    current parquet schema and ADOPT it (schema_evolution.adopt — the
+    reference's ScyllaSchema.updateChangeSchema:467-472, latest observed
+    schema wins, key structure must survive).  Files written before an
+    ALTER TABLE ADD are read with nulls for the new columns by the
+    parquet source itself; dropped columns vanish because the adopted
+    schema no longer names them.  A restart from the same checkpoint
+    resumes the file-source offsets with the new schema — the
+    micro-batch analog of the per-row schema swap.
 
     mode="vectorized" (default): correlation runs as the codegen'd hash
     aggregation inside foreachBatch with an explicit pending-state table
@@ -179,6 +192,20 @@ def run_stream(
     """
     if mode not in ("vectorized", "stateful"):
         raise ValueError(f"unknown correlation mode: {mode!r}")
+    if adopt_schema:
+        if source_format != "parquet":
+            raise ValueError("adopt_schema requires the parquet source")
+        from scylla_cdc_source_connector_spark.schema_evolution import adopt
+
+        observed = (
+            spark.read.option("mergeSchema", "true").parquet(input_path).schema
+        )
+        table = adopt(table, observed)
+    if mode == "stateful" and table is not DEFAULT_TABLE:
+        raise ValueError(
+            "mode='stateful' supports only the default table model; use "
+            "the vectorized mode for generalized/adopted schemas"
+        )
     if mode == "stateful":
         provider = (
             "org.apache.spark.sql.execution.streaming.state."
@@ -194,6 +221,7 @@ def run_stream(
         input_path,
         max_files_per_trigger=max_files_per_trigger,
         source_format=source_format,
+        table=table,
     )
     if generation is not None:
         changelog = changelog.filter(F.col("generation") == generation)
@@ -217,7 +245,7 @@ def run_stream(
         changelog = changelog.filter(F.col("`cdc$time_us`") >= floor_us)
 
     if mode == "vectorized":
-        out, sink_fn = changelog, make_correlating_sink(cfg)
+        out, sink_fn = changelog, make_correlating_sink(cfg, table=table)
     else:
         out, sink_fn = streaming_envelopes(changelog, cfg), make_sink(cfg)
     writer = (

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from scylla_cdc_source_connector_spark.config import EngineConfig
 from scylla_cdc_source_connector_spark.retry import with_retries
+from scylla_cdc_source_connector_spark.schemas import DEFAULT_TABLE, TableModel
 
 
 def _commit_lineage(cfg: EngineConfig, batch_id: int, rec: dict) -> None:
@@ -89,8 +90,14 @@ def read_lineage(cfg: EngineConfig) -> list[dict]:
     return out
 
 
-def read_emitted(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
-    """Exactly-once view of the sink: only batches with committed lineage."""
+def read_emitted(
+    spark: SparkSession, cfg: EngineConfig, *, merge_schema: bool = False
+) -> DataFrame:
+    """Exactly-once view of the sink: only batches with committed lineage.
+
+    merge_schema=True unions batches written under DIFFERENT adopted
+    table models (schema_evolution): pre-evolution envelopes surface the
+    added image fields as nulls."""
     paths = [
         batch_output_path(cfg, bid)
         for bid in committed_batch_ids(cfg)
@@ -98,7 +105,10 @@ def read_emitted(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
     ]
     if not paths:
         return spark.createDataFrame([], "topic string")
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def heartbeat_path(cfg: EngineConfig, batch_id: int) -> str:
@@ -230,7 +240,7 @@ def make_sink(cfg: EngineConfig):
     return sink
 
 
-def make_correlating_sink(cfg: EngineConfig):
+def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
     """foreachBatch body over the RAW changelog stream — the vectorized
     (default) correlation mode.
 
@@ -320,7 +330,9 @@ def make_correlating_sink(cfg: EngineConfig):
             from pyspark.sql import Window
 
             w_adm = Window.partitionBy("`cdc$stream_id`").orderBy(
-                "`cdc$time_us`", "`cdc$batch_seq_no`", "clip_id"
+                "`cdc$time_us`",
+                "`cdc$batch_seq_no`",
+                *[f"`{c}`" for c in table.pk_columns],
             )
             ranked = all_rows.withColumn("__rn", F.row_number().over(w_adm))
             deferred = ranked.filter(F.col("__rn") > budget).drop("__rn")
@@ -335,6 +347,7 @@ def make_correlating_sink(cfg: EngineConfig):
                 all_rows,
                 delta_flags=needs_delta_flags(cfg),
                 require_delta=False,
+                table=table,
             ),
             cfg,
         )
@@ -344,8 +357,8 @@ def make_correlating_sink(cfg: EngineConfig):
             hwm = max(prev_hwm, max_ev or 0)
             complete = is_complete_expr(cfg)
 
-            env = build_envelopes(corr.filter(complete), cfg)
-            n, shards = _write_batch(env, batch_id, cfg)
+            env = build_envelopes(corr.filter(complete), cfg, table=table)
+            n, shards = _write_batch(env, batch_id, cfg, table=table)
 
             # carry incomplete, unexpired groups; expired ones are dropped
             # like the reference's stale-task cleanup
@@ -353,12 +366,11 @@ def make_correlating_sink(cfg: EngineConfig):
             keep = corr.filter(~complete).filter(
                 F.col("`cdc$time_us`") >= ttl_floor
             )
-            keep_keys = keep.select("clip_id", "`cdc$time`")
+            group_keys = [*table.pk_columns, "cdc$time"]
+            keep_keys = keep.select(*[f"`{c}`" for c in group_keys])
             # semi-join is broadcast by AQE: keep_keys is tiny (only
             # boundary-split groups survive a batch)
-            pend = all_rows.join(
-                keep_keys, ["clip_id", "cdc$time"], "left_semi"
-            )
+            pend = all_rows.join(keep_keys, group_keys, "left_semi")
             if deferred is not None:
                 pend = pend.unionByName(deferred)
             n_keep = pend.count()
@@ -389,7 +401,10 @@ def make_correlating_sink(cfg: EngineConfig):
 
 
 def _write_batch(
-    env_df: DataFrame, batch_id: int, cfg: EngineConfig
+    env_df: DataFrame,
+    batch_id: int,
+    cfg: EngineConfig,
+    table: TableModel = DEFAULT_TABLE,
 ) -> tuple[int, list[dict]]:
     """Idempotent per-batch output write + per-shard offset stats
     (shared by make_sink and make_correlating_sink).
@@ -410,7 +425,15 @@ def _write_batch(
             .agg(
                 F.min("`cdc$time_us`").alias("window_start_us"),
                 F.max("`cdc$time_us`").alias("window_end_us"),
-                F.max_by("clip_id", "`cdc$time_us`").alias("last_change_clip_id"),
+                # single-pk tables record the raw id; composite keys a
+                # pipe-joined rendering (lineage is a JSON progress record,
+                # not a resume key — offsets live in the checkpoint)
+                F.max_by(
+                    F.concat_ws(
+                        "|", *[F.col(f"`{c}`").cast("string") for c in table.pk_columns]
+                    ),
+                    "`cdc$time_us`",
+                ).alias("last_change_clip_id"),
                 F.count("*").alias("n_records"),
             )
             .collect()
