@@ -303,6 +303,52 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstones-on-delete through the REAL pipeline (Debezium
+    tombstones.on.delete, pinned by CdcPerRowTtlDeleteIT step 3): each
+    delete envelope is followed by a same-key NULL-value record; here
+    flattened as op=NULL."""
+    from scylla_cdc_source_connector_spark.config import EngineConfig
+    from scylla_cdc_source_connector_spark.plans.pipeline import cdc_envelopes
+    from scylla_cdc_source_connector_spark.schemas import (
+        OP_ROW_DELETE,
+        OP_ROW_INSERT,
+        OP_ROW_UPDATE,
+        TableModel,
+    )
+
+    _utc(spark)
+    model = TableModel(columns=(("clip_id", "string"),))
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    op_int = (
+        F.when(F.col("event_type").isin("signup", "click"), F.lit(OP_ROW_INSERT))
+        .when(F.col("event_type").isin("view", "purchase"), F.lit(OP_ROW_UPDATE))
+        .otherwise(F.lit(OP_ROW_DELETE))
+    )
+    changelog = ev.select(
+        F.format_string("s%04d", F.pmod(F.col("user_id"), F.lit(8))).alias(
+            "cdc$stream_id"
+        ),
+        F.col("ts").alias("cdc$time"),
+        F.unix_micros(F.col("ts")).alias("cdc$time_us"),
+        op_int.alias("cdc$operation"),
+        F.lit(0).alias("cdc$batch_seq_no"),
+        F.lit(0).alias("generation"),
+        F.format_string("ev-%012d", F.col("event_id")).alias("clip_id"),
+    )
+    env = cdc_envelopes(
+        changelog,
+        EngineConfig(tombstones_on_delete=True),
+        processing_ts_ms=F.lit(0),
+        table=model,
+    )
+    return env.select(
+        "clip_id",
+        F.col("value.op").alias("op"),
+        F.col("`cdc$batch_seq_no`").alias("seq"),
+    )
+
+
 def q_cdc_legacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Legacy-format pipeline (rows-only): Cell-wrapped envelopes over the
     synthetic audio changelog + ScyllaExtractNewRecordState unwrap
@@ -797,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_types_matrix": q_cdc_types_matrix,
         "cdc_full_pipeline": q_cdc_full_pipeline,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_tombstones": q_cdc_tombstones,
         "cdc_legacy_pipeline": q_cdc_legacy_pipeline,
         "text_fingerprint": q_text_fingerprint,
         "text_token_count": q_text_token_count,
@@ -860,6 +907,15 @@ def oracle_sql() -> dict[str, str]:
                    value AS val,
                    CASE WHEN event_id % 2 = 1 THEN event_type END AS transcript
             FROM events
+        """,
+        "cdc_tombstones": f"""
+            SELECT printf('ev-%012d', event_id) AS clip_id, {_OP_SQL} AS op,
+                   0 AS seq
+            FROM events
+            UNION ALL
+            SELECT printf('ev-%012d', event_id) AS clip_id, NULL AS op,
+                   1 AS seq
+            FROM events WHERE {_OP_SQL} = 'd'
         """,
         "cdc_tumbling_window": f"""
             SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms, op,

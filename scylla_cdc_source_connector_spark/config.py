@@ -80,6 +80,13 @@ class EngineConfig:
     # projections
     include_before: IncludeMode = IncludeMode.NONE
     include_after: IncludeMode = IncludeMode.NONE
+    # after every delete envelope, also emit a record with the same key
+    # and a NULL value so compacted Kafka topics drop the row — the
+    # Debezium `tombstones.on.delete` behavior the reference inherits
+    # (observed in CdcPerRowTtlDeleteIT.java: INSERT c → DELETE d →
+    # tombstone).  Defaults False here: the flat envelope stream stays
+    # 1:1 with changes unless a compacted-topic sink needs tombstones.
+    tombstones_on_delete: bool = False
     pk_placements: tuple[PkPlacement, ...] = (PkPlacement.KAFKA_KEY,)
     payload_key_name: str = "key"
     output_format: OutputFormat = OutputFormat.ADVANCED

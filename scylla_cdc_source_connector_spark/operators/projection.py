@@ -237,7 +237,7 @@ def build_envelopes(
         value_fields.append(payload_key.alias(cfg.payload_key_name))
     value_fields.append(processing_ts_ms.cast("long").alias("ts_ms"))
 
-    return correlated.select(
+    env = correlated.select(
         F.lit(cfg.topic).alias("topic"),
         key,
         F.struct(*value_fields).alias("value"),
@@ -249,3 +249,25 @@ def build_envelopes(
         F.col("generation"),
         delta["cdc$batch_seq_no"].alias("cdc$batch_seq_no"),
     )
+    if cfg.tombstones_on_delete:
+        env = append_tombstones(env)
+    return env
+
+
+def append_tombstones(envelopes: DataFrame) -> DataFrame:
+    """Debezium `tombstones.on.delete`: after each delete envelope, a
+    record with the same topic/key and a NULL value, so log-compacted
+    Kafka topics drop the row.  The reference inherits this from the
+    Debezium framework; the expected output sequence INSERT(c) →
+    DELETE(d) → tombstone is pinned by CdcPerRowTtlDeleteIT.java:103-121.
+
+    Ordering: within a correlation group exactly one envelope is
+    emitted, so `cdc$batch_seq_no + 1` places the tombstone directly
+    after its delete under the sink's (cdc$time_us, cdc$batch_seq_no)
+    per-shard sort.  One filter + union — no shuffle, no second pass
+    over the upstream plan."""
+    dels = envelopes.filter(F.col("value.op") == OP_CODE_DELETE)
+    tomb = dels.withColumn(
+        "value", F.lit(None).cast(dels.schema["value"].dataType)
+    ).withColumn("cdc$batch_seq_no", F.col("`cdc$batch_seq_no`") + 1)
+    return envelopes.unionByName(tomb)
