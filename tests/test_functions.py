@@ -181,3 +181,40 @@ def test_video_frame_fanout_deterministic(spark, docs):
     # 640-byte payload, 256-byte frames -> exactly frames 0 and 1 per item
     assert len(a) == 20
     assert {t[1] for t in a} == {0, 1}
+
+
+def test_simhash_banding_complete_at_radius(spark, docs):
+    """Pigeonhole completeness (Manku et al. WWW'07): block-equality
+    banding must find EVERY pair within the Hamming radius that an
+    all-pairs scan over the same signatures finds — including pairs
+    whose differing bits fall in the top prefix (the round-1
+    single-prefix bucket's blind spot)."""
+    from scylla_cdc_source_connector_spark.functions.dedup import (
+        dedup_simhash,
+        simhash_from_hashes,
+        tokens_expr,
+    )
+
+    subset = docs.filter(F.col("doc_id") < 400)
+    sh = subset.select(
+        F.col("doc_id"),
+        F.transform(
+            tokens_expr(F.lower(F.col("text"))), lambda t: F.xxhash64(t)
+        ).alias("th"),
+    ).select(
+        "doc_id", simhash_from_hashes(F.col("th")).alias("simhash")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 8)
+        .collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_simhash(subset, max_hamming=8).collect()
+    }
+    assert exact, "fixture should contain simhash near-dups at radius 8"
+    assert banded == exact  # complete AND no false positives
