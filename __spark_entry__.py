@@ -732,6 +732,44 @@ def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("item_id", "width", "height", "n_channels", "decode_ok")
 
 
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: deterministic binary-PPM payloads
+    (constant-color, dimensions derived from doc_id) are encoded then
+    decoded by the pure-numpy P6 codec (functions/multimodal.decode_image)
+    — no stub on this path; the oracle recomputes the dimensions and the
+    exact constant-image mean luma in SQL."""
+    from scylla_cdc_source_connector_spark.functions.multimodal import (
+        IMAGE_FEATURES_SCHEMA,
+        encode_ppm,
+        image_features_batches,
+    )
+
+    def make_ppm(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"].values:
+                h, w, v = 4 + doc_id % 4, 4 + doc_id % 5, doc_id % 256
+                img = np.full((int(h), int(w), 3), int(v), dtype=np.uint8)
+                ids.append(str(doc_id))
+                payloads.append(encode_ppm(img))
+            yield pd.DataFrame({"item_id": ids, "payload": payloads})
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    ppm = docs.mapInPandas(make_ppm, "item_id string, payload binary")
+    out = ppm.mapInPandas(image_features_batches, IMAGE_FEATURES_SCHEMA)
+    return out.select(
+        "item_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "mean_luma",
+        "decode_ok",
+    )
+
+
 def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling: 1->N row fan-out over fixed-size byte
     windows of an opaque payload (stub for ffmpeg frame extraction), md5
@@ -859,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_image_decode": q_multimodal_image_decode,
         "multimodal_video_frames": q_multimodal_video_frames,
     }
 
@@ -1087,6 +1126,15 @@ def oracle_sql() -> dict[str, str]:
                    shard_id, count(*) AS n_records,
                    max(ts_ms) AS high_water_ts_ms
             FROM ({proxy}) GROUP BY 1, 2
+        """,
+        "multimodal_image_decode": """
+            SELECT CAST(doc_id AS VARCHAR) AS item_id,
+                   4 + doc_id % 5 AS width,
+                   4 + doc_id % 4 AS height,
+                   CAST(3 AS BIGINT) AS n_channels,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_luma,
+                   TRUE AS decode_ok
+            FROM documents
         """,
         "multimodal_image_meta": """
             SELECT CAST(doc_id AS VARCHAR) AS item_id,

@@ -117,6 +117,31 @@ def main() -> None:
                "skew-salted two-phase aggregation")
     assert r5["exchanges"] == 2, "salted agg = salted partial + final combine"
 
+    # schema conformance is a pure projection: adopting/conforming an
+    # evolved schema must add NO exchange and keep payload pruning intact
+    from scylla_cdc_source_connector_spark.schema_evolution import (
+        conform_changelog,
+    )
+    from scylla_cdc_source_connector_spark.schemas import DEFAULT_TABLE, TableModel
+
+    evolved = TableModel(columns=(*DEFAULT_TABLE.columns, ("speaker", "string")))
+    r6 = audit(
+        cdc_envelopes(conform_changelog(cl, evolved), EngineConfig(),
+                      processing_ts_ms=F.lit(0), table=evolved)
+        .select("clip_id", "value.op"),
+        "conformed (evolved schema) pipeline, default mode")
+    assert r6["exchanges"] == 1, "conform_changelog must not add an exchange"
+    assert "bytes" not in r6["read_schemas"][0], "conform must keep pruning"
+
+    # tombstones: filter+union over the SAME envelope plan — one extra
+    # scan-side branch, still no additional exchange beyond the shared one
+    import dataclasses
+
+    cfg_tomb = dataclasses.replace(cfg_ff, tombstones_on_delete=True)
+    r7 = audit(cdc_envelopes(cl, cfg_tomb, processing_ts_ms=F.lit(0)),
+               "tombstones-on-delete envelope plan")
+    assert r7["exchanges"] <= 2, "tombstone union must not multiply exchanges"
+
     print("ALL PLAN INVARIANTS HOLD")
     spark.stop()
 

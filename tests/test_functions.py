@@ -218,3 +218,69 @@ def test_simhash_banding_complete_at_radius(spark, docs):
     }
     assert exact, "fixture should contain simhash near-dups at radius 8"
     assert banded == exact  # complete AND no false positives
+
+
+def test_real_image_codecs_roundtrip_and_goldens():
+    """decode_image is REAL for PPM(P6) and uncompressed BMP — pure
+    numpy, no codec library (multimodal.py)."""
+    import struct
+
+    import numpy as np
+
+    from scylla_cdc_source_connector_spark.functions.multimodal import (
+        UnsupportedMediaError,
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)
+    # PPM round-trip, plus a comment-bearing header
+    assert (decode_image(encode_ppm(img)) == img).all()
+    with_comment = b"P6\n# a comment\n3 5\n255\n" + img.tobytes()
+    assert (decode_image(with_comment) == img).all()
+
+    # BMP golden: 2x2 24-bit bottom-up, rows padded to 4 bytes.
+    # pixel rows (top..bottom): [(255,0,0),(0,255,0)] / [(0,0,255),(9,8,7)]
+    def bmp24(rows_bgr, height):
+        w = len(rows_bgr[0])
+        stride = (w * 3 + 3) & ~3
+        raster = b"".join(
+            b"".join(bytes(px) for px in row).ljust(stride, b"\x00")
+            for row in rows_bgr
+        )
+        header = struct.pack(
+            "<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, height, 1, 24, 0, len(raster), 0, 0, 0, 0
+        )
+        return header + raster
+
+    # bottom-up: file stores the BOTTOM row first
+    data = bmp24(
+        [[(255, 0, 0), (7, 8, 9)], [(0, 0, 255), (0, 255, 0)]], height=2
+    )
+    out = decode_image(data)
+    assert out.shape == (2, 2, 3)
+    # decoded is RGB, top row first
+    assert out[0, 0].tolist() == [255, 0, 0] and out[0, 1].tolist() == [0, 255, 0]
+    assert out[1, 0].tolist() == [0, 0, 255] and out[1, 1].tolist() == [9, 8, 7]
+    # top-down variant (negative height) stores the top row first
+    data_td = bmp24(
+        [[(0, 0, 255), (0, 255, 0)], [(255, 0, 0), (7, 8, 9)]], height=-2
+    )
+    assert (decode_image(data_td) == out).all()
+
+    # failure modes are clear, not garbage
+    import pytest as _pytest
+
+    for bad in (b"P6\n3 5\n255\n" + img.tobytes()[:-1],  # truncated raster
+                b"GIF89a....", b"BM" + b"\x00" * 20):
+        with _pytest.raises(UnsupportedMediaError):
+            decode_image(bad)
+
+    # nearest-neighbor resize: exact on integer upscales
+    up = resize_nearest(img, 10, 6)
+    assert up.shape == (10, 6, 3)
+    assert (up[::2, ::2] == img).all()
