@@ -133,14 +133,14 @@ def main() -> None:
     assert r6["exchanges"] == 1, "conform_changelog must not add an exchange"
     assert "bytes" not in r6["read_schemas"][0], "conform must keep pruning"
 
-    # tombstones: filter+union over the SAME envelope plan — one extra
-    # scan-side branch, still no additional exchange beyond the shared one
+    # tombstones: single-pass explode over the envelope rows — the
+    # upstream correlation still executes ONCE behind the same exchange
     import dataclasses
 
     cfg_tomb = dataclasses.replace(cfg_ff, tombstones_on_delete=True)
     r7 = audit(cdc_envelopes(cl, cfg_tomb, processing_ts_ms=F.lit(0)),
                "tombstones-on-delete envelope plan")
-    assert r7["exchanges"] <= 2, "tombstone union must not multiply exchanges"
+    assert r7["exchanges"] == 1, "tombstone explode must add no exchange"
 
     print("ALL PLAN INVARIANTS HOLD")
     spark.stop()

@@ -264,10 +264,30 @@ def append_tombstones(envelopes: DataFrame) -> DataFrame:
     Ordering: within a correlation group exactly one envelope is
     emitted, so `cdc$batch_seq_no + 1` places the tombstone directly
     after its delete under the sink's (cdc$time_us, cdc$batch_seq_no)
-    per-shard sort.  One filter + union — no shuffle, no second pass
-    over the upstream plan."""
-    dels = envelopes.filter(F.col("value.op") == OP_CODE_DELETE)
-    tomb = dels.withColumn(
-        "value", F.lit(None).cast(dels.schema["value"].dataType)
-    ).withColumn("cdc$batch_seq_no", F.col("`cdc$batch_seq_no`") + 1)
-    return envelopes.unionByName(tomb)
+    per-shard sort.
+
+    Shape: ONE pass — each row explodes into [row] or [row, tombstone].
+    (A filter+union would reference the upstream plan twice and run the
+    correlation aggregation once per branch; explode keeps a single
+    execution of the aggregation, no extra shuffle.)"""
+
+    def _variant(value_expr, seq_expr) -> Column:
+        fields = []
+        for c in envelopes.columns:
+            if c == "value":
+                fields.append(value_expr.alias(c))
+            elif c == "cdc$batch_seq_no":
+                fields.append(seq_expr.alias(c))
+            else:
+                fields.append(F.col(f"`{c}`").alias(c))
+        return F.struct(*fields)
+
+    seq = F.col("`cdc$batch_seq_no`")
+    row = _variant(F.col("value"), seq)
+    tomb = _variant(
+        F.lit(None).cast(envelopes.schema["value"].dataType), seq + 1
+    )
+    arr = F.when(
+        F.col("value.op") == OP_CODE_DELETE, F.array(row, tomb)
+    ).otherwise(F.array(row))
+    return envelopes.select(F.explode(arr).alias("r")).select("r.*")
