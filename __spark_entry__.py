@@ -791,6 +791,55 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CEP operators over the ordered change stream (operators/cep.py)
+# ---------------------------------------------------------------------------
+def q_cep_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern match (MATCH_RECOGNIZE-lite): per clip the
+    cdc-ordered op symbols form a string; count insert->update+->delete
+    episodes (`cu+d`) with one hash aggregation + codegen regex."""
+    from scylla_cdc_source_connector_spark.operators.cep import match_pattern
+
+    p = _proxy(spark, sf_dir)
+    out = match_pattern(
+        p, ["clip_id"], ["ts_ms", "event_id"], F.col("op"), "cu+d"
+    )
+    return out.select(
+        "clip_id",
+        F.col("seq_len").cast("long").alias("seq_len"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+    )
+
+
+def q_cep_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each delete picks up the latest prior (or
+    equal-ts) upsert's value for its clip — union + last(ignorenulls)
+    window, a single per-key sort exchange."""
+    from scylla_cdc_source_connector_spark.operators.cep import asof_join
+
+    p = _proxy(spark, sf_dir)
+    left = p.where("op = 'd'").select("clip_id", "event_id", "ts_ms")
+    right = (
+        p.where("op <> 'd'")
+        .groupBy("clip_id", "ts_ms")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    return asof_join(left, right, ["clip_id"], "ts_ms", "ts_ms", ["value"])
+
+
+def q_cep_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table state reconstructed as of the stream's midpoint timestamp:
+    per-clip last-writer-wins at the cutoff, deletes absent — one max_by
+    hash aggregation, no window sort."""
+    from scylla_cdc_source_connector_spark.operators.cep import snapshot_asof
+
+    p = _proxy(spark, sf_dir).select("clip_id", "ts_ms", "op", "value", "event_id")
+    row = p.agg(F.min("ts_ms").alias("mn"), F.max("ts_ms").alias("mx")).first()
+    cutoff = (int(row["mn"]) + int(row["mx"])) // 2
+    snap = snapshot_asof(p, ["clip_id"], "ts_ms", ["event_id"], "op", cutoff)
+    return snap.select("clip_id", "ts_ms", "op", "value")
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -879,6 +928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_generation_rollover": q_cdc_generation_rollover,
         "topk_per_shard": q_topk_per_shard,
         "cdc_types_matrix": q_cdc_types_matrix,
+        "cep_match_pattern": q_cep_match_pattern,
+        "cep_asof_join": q_cep_asof_join,
+        "cep_snapshot_asof": q_cep_snapshot_asof,
         "cdc_full_pipeline": q_cdc_full_pipeline,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_tombstones": q_cdc_tombstones,
@@ -1114,6 +1166,43 @@ def oracle_sql() -> dict[str, str]:
                         THEN udt_a END AS meta_a,
                    CAST(iv AS BIGINT) * 1000 AS time_us
             FROM m
+        """,
+        "cep_match_pattern": f"""
+            WITH seqs AS (
+              SELECT clip_id,
+                     string_agg(op, '' ORDER BY ts_ms, event_id) AS seq
+              FROM ({proxy}) GROUP BY clip_id
+            )
+            SELECT clip_id, CAST(length(seq) AS BIGINT) AS seq_len,
+                   CAST(len(regexp_extract_all(seq, 'cu+d')) AS BIGINT)
+                       AS n_matches
+            FROM seqs
+            WHERE len(regexp_extract_all(seq, 'cu+d')) > 0
+        """,
+        "cep_asof_join": f"""
+            WITH p AS ({proxy}),
+            lefts AS (
+              SELECT clip_id, event_id, ts_ms FROM p WHERE op = 'd'
+            ),
+            rights AS (
+              SELECT clip_id, ts_ms, arg_max(value, event_id) AS value
+              FROM p WHERE op <> 'd' GROUP BY clip_id, ts_ms
+            )
+            SELECT l.clip_id, l.event_id, l.ts_ms,
+                   r.value AS asof_value, r.ts_ms AS asof_ts
+            FROM lefts l ASOF LEFT JOIN rights r
+              ON l.clip_id = r.clip_id AND l.ts_ms >= r.ts_ms
+        """,
+        "cep_snapshot_asof": f"""
+            WITH p AS ({proxy}),
+            cut AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS c FROM p)
+            SELECT clip_id, ts_ms, op, value FROM (
+              SELECT clip_id, ts_ms, op, value,
+                     row_number() OVER (PARTITION BY clip_id
+                                        ORDER BY ts_ms DESC, event_id DESC)
+                         AS rn
+              FROM p, cut WHERE ts_ms <= c
+            ) WHERE rn = 1 AND op <> 'd'
         """,
         "smt_extract_new_state": f"""
             SELECT clip_id, op, value, user_id, ts_ms
