@@ -491,3 +491,69 @@ def test_stateful_mode_rocksdb_state_store(spark, tmp_root, stream_pdf):
     )
     got = sink_mod.read_emitted(spark, cfg)
     assert got.count() > 0
+
+
+def test_dedup_within_watermark_drops_replays(spark, tmp_root, stream_pdf):
+    """north_rule's literal stateful dedup join: exact replays of
+    changelog rows (at-least-once upstream writer) are shed by
+    dropDuplicatesWithinWatermark BEFORE correlation; emitted envelopes
+    match the batch reference over the replay-free input, and the dedup
+    state operator is present in the streaming plan."""
+    d = f"{tmp_root}/dedup_wm_in"
+    # replay ~20% of rows: once within the same chunk, once in the next
+    pdf = stream_pdf.reset_index(drop=True)
+    replayed = pdf.iloc[::5]
+    n_chunks = 4
+    size = (len(pdf) + n_chunks - 1) // n_chunks
+    os.makedirs(d, exist_ok=True)
+    for i in range(n_chunks):
+        chunk = pdf.iloc[i * size : (i + 1) * size]
+        dup_same = replayed[
+            (replayed.index >= i * size) & (replayed.index < (i + 1) * size)
+        ]
+        prev = replayed[
+            (replayed.index >= (i - 1) * size) & (replayed.index < i * size)
+        ]
+        _write_one(
+            pd.concat([chunk, dup_same, prev], ignore_index=True),
+            os.path.join(d, f"chunk-{i:03d}.parquet"),
+        )
+
+    # a watermark delay wider than the fixture's time span: no row is
+    # late, so the ONLY row-shedding in the plan is the dedup operator
+    cfg = _cfg(tmp_root, "dedup_wm", confidence_window_ms=10**9)
+    q = run_stream(
+        spark, cfg, d, available_now=True, max_files_per_trigger=1,
+        dedup_within_watermark=True,
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    progress = q.recentProgress
+    state_ops = [
+        op["operatorName"]
+        for p in progress
+        for op in p.get("stateOperators", [])
+    ]
+    assert "dedupeWithinWatermark" in state_ops
+
+    got = sink_mod.read_emitted(spark, cfg)
+    ref_d = f"{tmp_root}/dedup_wm_ref"
+    os.makedirs(ref_d, exist_ok=True)
+    _write_one(pdf, os.path.join(ref_d, "all.parquet"))
+    batch_ref = cdc_envelopes(
+        spark.read.parquet(ref_d), cfg, processing_ts_ms=F.lit(0)
+    )
+    got_keys = {
+        (r["clip_id"], r["cdc$time_us"], r["op"])
+        for r in got.select(
+            "clip_id", "`cdc$time_us`", F.col("value.op").alias("op")
+        ).collect()
+    }
+    ref_keys = {
+        (r["clip_id"], r["cdc$time_us"], r["op"])
+        for r in batch_ref.select(
+            "clip_id", "`cdc$time_us`", F.col("value.op").alias("op")
+        ).collect()
+    }
+    assert got_keys == ref_keys
+    assert got.count() == len(got_keys)  # replays emitted exactly once
