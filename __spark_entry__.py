@@ -245,6 +245,56 @@ def q_cdc_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC apply (rows-only): exactly-once stream → committed
+    envelope batches → bucket-partitioned materialized table; returns the
+    live rows (streaming/apply.py; equality vs the batch last-writer-wins
+    state is pinned by tests/test_apply.py)."""
+    import os
+    import tempfile
+
+    from scylla_cdc_source_connector_spark.config import EngineConfig, IncludeMode
+    from scylla_cdc_source_connector_spark.fixtures import (
+        FixtureSpec,
+        make_changelog,
+        write_changelog_chunk,
+    )
+    from scylla_cdc_source_connector_spark.streaming.apply import (
+        materialize_latest,
+        read_latest,
+    )
+    from scylla_cdc_source_connector_spark.streaming.engine import run_stream
+
+    _utc(spark)
+    n_events = min(_events(spark, sf_dir).count(), 5_000)
+    root = os.path.join(tempfile.gettempdir(), f"sccs_apply_{n_events}")
+    cfg = EngineConfig(
+        include_before=IncludeMode.FULL,
+        include_after=IncludeMode.FULL,
+        checkpoint_dir=f"{root}/ckpt",
+        output_dir=f"{root}/out",
+        lineage_dir=f"{root}/lineage",
+    )
+    target = f"{root}/target"
+    if not os.path.isdir(f"{root}/in"):
+        pdf = make_changelog(
+            FixtureSpec(n_events=n_events, n_clips=max(50, n_events // 10))
+        )
+        os.makedirs(f"{root}/in", exist_ok=True)
+        size = (len(pdf) + 3) // 4
+        for i in range(4):
+            write_changelog_chunk(
+                pdf.iloc[i * size : (i + 1) * size],
+                f"{root}/in/chunk-{i:03d}.parquet",
+            )
+        q = run_stream(spark, cfg, f"{root}/in", available_now=True)
+        q.awaitTermination(300)
+    materialize_latest(spark, cfg, target_dir=target)
+    return read_latest(spark, target).select(
+        "clip_id", "transcript", "sr_hz", "__ts_us"
+    )
+
+
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema dynamism END-TO-END (ScyllaSchema.updateChangeSchema:467-472):
     a two-era changelog — era 1 written before `ALTER TABLE ADD transcript`
@@ -470,20 +520,13 @@ def q_cdc_only_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_task_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 task planning (TaskConfigBuilder.java:19-46): sorted shard streams
     chunked into <= maxTasks tasks of ceil(n/maxTasks) each; here
-    maxTasks=3 over the 8 proxy shards."""
-    max_tasks = 3
+    maxTasks=3 over the 8 proxy shards (plans/task_planner.plan_tasks)."""
+    from scylla_cdc_source_connector_spark.plans.task_planner import plan_tasks
+
     p = _proxy(spark, sf_dir)
     shards = p.groupBy("shard_id").agg(F.count("*").alias("n_records"))
-    w = Window.orderBy("shard_id")
-    wn = Window.partitionBy(F.lit(1))
-    ranked = shards.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n_shards_total", F.count("*").over(wn)
-    )
-    part_size = F.ceil(F.col("n_shards_total") / F.lit(max_tasks))
     return (
-        ranked.withColumn(
-            "task_id", F.floor((F.col("rk") - 1) / part_size).cast("int")
-        )
+        plan_tasks(shards, max_tasks=3, order_cols=["shard_id"])
         .groupBy("task_id")
         .agg(
             F.count("*").alias("n_shards"),
@@ -491,6 +534,29 @@ def q_cdc_task_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("shard_id").alias("first_shard"),
             F.max("shard_id").alias("last_shard"),
         )
+    )
+
+
+def q_cdc_task_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 worker assignment: every change row stamped with its planned
+    task via a broadcast join of the metadata-sized plan
+    (plans/task_planner.assign_tasks — the data never shuffles to meet
+    the plan); per-task record counts and time extents."""
+    from scylla_cdc_source_connector_spark.plans.task_planner import (
+        assign_tasks,
+        plan_tasks,
+    )
+
+    p = _proxy(spark, sf_dir)
+    plan = plan_tasks(
+        p.select("shard_id").distinct(), max_tasks=3, order_cols=["shard_id"]
+    )
+    stamped = assign_tasks(p, plan, ["shard_id"])
+    return stamped.groupBy("task_id").agg(
+        F.count("*").alias("n_records"),
+        F.min("ts_ms").alias("min_ts_ms"),
+        F.max("ts_ms").alias("max_ts_ms"),
+        F.count_distinct("clip_id").alias("n_clips"),
     )
 
 
@@ -791,6 +857,73 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# audio payload operators (audio_fingerprint.py) — rows-only: spectral
+# fingerprints need FFTs, which the DuckDB oracle cannot express; the
+# kernel's invariants (transcoding collision, content separation, gain
+# invariance) are pinned by tests/test_audio_fingerprint.py instead
+# ---------------------------------------------------------------------------
+def _fixture_clips(spark: SparkSession, sf_dir: str, n_clips: int):
+    """Deterministic audio base table sized from the sf (cached parquet)."""
+    import os
+    import tempfile
+
+    from scylla_cdc_source_connector_spark.fixtures import FixtureSpec, make_clips
+
+    path = os.path.join(tempfile.gettempdir(), f"sccs_clips_{n_clips}.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = make_clips(FixtureSpec(n_events=n_clips, n_clips=n_clips))
+        tbl = pa.Table.from_pandas(
+            pdf[["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]],
+            preserve_index=False,
+        )
+        pq.write_table(tbl, path)
+    return spark.read.parquet(path)
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral fingerprints (Haitsma-Kalker-style sign-of-band-delta
+    bits) for the audio base table — one vectorized mapInPandas pass."""
+    from scylla_cdc_source_connector_spark.audio_fingerprint import (
+        fingerprint_clips,
+    )
+
+    n = min(_events(spark, sf_dir).count() // 10, 2_000)
+    clips = _fixture_clips(spark, sf_dir, max(n, 100))
+    return fingerprint_clips(clips.select("clip_id", "bytes", "codec"))
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-transcoding-robust near-dup pairs: each clip also stored
+    under a second G.711 codec must pair with its original; fingerprint +
+    pigeonhole Hamming banding join."""
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark import audio as audio_mod
+    from scylla_cdc_source_connector_spark.audio_fingerprint import (
+        audio_near_dup,
+    )
+
+    clips = _fixture_clips(spark, sf_dir, 100).limit(60).toPandas()
+    rows = []
+    for r in clips.itertuples():
+        rows.append((f"{r.clip_id}-orig", bytes(r.bytes), r.codec))
+        alt = "ulaw" if r.codec != "ulaw" else "alaw"
+        pcm16 = (
+            (audio_mod.decode(bytes(r.bytes), r.codec) * 32768.0)
+            .clip(-32768, 32767)
+            .astype("int16")
+        )
+        rows.append((f"{r.clip_id}-dup", audio_mod.encode(pcm16, alt), alt))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "bytes", "codec"])
+    )
+    return audio_near_dup(df)
+
+
+# ---------------------------------------------------------------------------
 # CEP operators over the ordered change stream (operators/cep.py)
 # ---------------------------------------------------------------------------
 def q_cep_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_modified_columns": q_cdc_modified_columns,
         "cdc_only_updated": q_cdc_only_updated,
         "cdc_task_planning": q_cdc_task_planning,
+        "cdc_task_assignment": q_cdc_task_assignment,
         "cdc_initial_lookback": q_cdc_initial_lookback,
         "smt_extract_new_state": q_smt_extract_new_state,
         "cdc_generation_rollover": q_cdc_generation_rollover,
@@ -932,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_asof_join": q_cep_asof_join,
         "cep_snapshot_asof": q_cep_snapshot_asof,
         "cdc_full_pipeline": q_cdc_full_pipeline,
+        "cdc_apply_latest": q_cdc_apply_latest,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_legacy_pipeline": q_cdc_legacy_pipeline,
@@ -948,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "audio_fingerprint": q_audio_fingerprint,
+        "audio_near_dup": q_audio_near_dup,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_image_decode": q_multimodal_image_decode,
         "multimodal_video_frames": q_multimodal_video_frames,
@@ -1125,6 +1262,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_shards, CAST(sum(n_records) AS BIGINT) AS n_records,
                    min(shard_id) AS first_shard, max(shard_id) AS last_shard
             FROM ranked GROUP BY 1
+        """,
+        "cdc_task_assignment": f"""
+            WITH plan AS (
+              SELECT shard_id,
+                     CAST(floor((row_number() OVER (ORDER BY shard_id) - 1)
+                          / ceil(count(*) OVER () / 3.0)) AS INT) AS task_id
+              FROM (SELECT DISTINCT shard_id FROM ({proxy}))
+            )
+            SELECT task_id, count(*) AS n_records,
+                   min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
+                   count(DISTINCT clip_id) AS n_clips
+            FROM ({proxy}) p JOIN plan USING (shard_id)
+            GROUP BY task_id
         """,
         "cdc_initial_lookback": f"""
             SELECT shard_id, count(*) AS n_records, min(ts_ms) AS first_ts_ms

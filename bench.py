@@ -279,6 +279,24 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["audio_validated"] = timed("audio_validate", _audio)
 
+    # 3b. spectral fingerprint path (batched rfft over the same postimages)
+    def _fp():
+        from scylla_cdc_source_connector_spark.audio_fingerprint import (
+            AUDIO_FP_SCHEMA,
+            audio_fingerprint_batches,
+        )
+
+        post = changelog.where("`cdc$operation` = 9").select(
+            "clip_id", "bytes", "codec"
+        )
+        return (
+            post.mapInPandas(audio_fingerprint_batches, AUDIO_FP_SCHEMA)
+            .where("fp_ok")
+            .count()
+        )
+
+    extra["audio_fingerprinted"] = timed("audio_fingerprint", _fp)
+
     # 4. operator suite over the sf tables (same entries the driver checks)
     suite = [
         "cdc_tumbling_window",
@@ -289,6 +307,9 @@ def run_bench(spark, sf_dir: str) -> dict:
         "dedup_exact",
         "dedup_minhash_lsh",
         "ann_cosine_topk",
+        "cep_match_pattern",
+        "cep_asof_join",
+        "cdc_task_assignment",
     ]
     qs = em.queries()
     for name in suite:

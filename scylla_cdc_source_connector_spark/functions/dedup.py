@@ -203,38 +203,28 @@ def simhash_from_hashes(tok_hashes: Column, n_bits: int = 64) -> Column:
     return out
 
 
-def dedup_simhash(
-    df: DataFrame,
+def hamming_near_dup_pairs(
+    sig: DataFrame,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str,
+    sig_col: str,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by simhash — EXACT at the given Hamming radius.
+    """Pairs within `max_hamming` of each other on a 64-bit signature
+    column — EXACT at the given radius, no all-pairs.
 
-    The 64-bit signature splits into max_hamming+1 contiguous blocks; by
+    The signature splits into max_hamming+1 contiguous blocks; by
     pigeonhole, any pair within Hamming distance max_hamming agrees
     EXACTLY on at least one block (Manku, Jain & Sarma, WWW'07 — the
     Google web near-dup design), so equality-bucketing each block yields
-    a COMPLETE candidate set.  Round 1 bucketed only the top-16-bit
-    prefix, which silently missed every pair whose bit flips landed in
-    the prefix; this banding removes that recall loss with the same
-    scale shape as the minhash path: slim (id, block) rows, per-block
-    bucket self-join, bit_count verify on candidates, no all-pairs.
+    a COMPLETE candidate set: slim (id, block) rows, per-block bucket
+    self-join, bit_count verify on candidates.
 
-    At 10^12 docs, widen the signature (128-bit simhash → wider blocks)
-    rather than shrinking blocks: expected bucket size ~ N / 2^width
-    drives the join fan-out."""
+    At 10^12 rows, widen the signature (128 bits → wider blocks) rather
+    than shrinking blocks: expected bucket size ~ N / 2^width drives the
+    join fan-out.  Shared by the text simhash and audio-fingerprint
+    near-dup paths."""
     n_tables = max_hamming + 1
-    hashed = _spread(df).select(
-        F.col(id_col),
-        F.transform(
-            tokens_expr(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
-        ).alias("tok_hashes"),
-    )
-    sh = hashed.select(
-        F.col(id_col), simhash_from_hashes(F.col("tok_hashes")).alias("simhash")
-    )
     # block boundaries: 64 bits split as evenly as possible
     base, extra = divmod(64, n_tables)
     blocks, off = [], 0
@@ -243,17 +233,17 @@ def dedup_simhash(
         blocks.append(
             F.struct(
                 F.lit(t).alias("tbl"),
-                F.shiftrightunsigned("simhash", off)
+                F.shiftrightunsigned(sig_col, off)
                 .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("blk"),
             )
         )
         off += width
-    banded = sh.select(
-        F.col(id_col), "simhash", F.explode(F.array(*blocks)).alias("b")
-    ).select(F.col(id_col), "simhash", F.col("b.tbl"), F.col("b.blk"))
+    banded = sig.select(
+        F.col(id_col), sig_col, F.explode(F.array(*blocks)).alias("b")
+    ).select(F.col(id_col), sig_col, F.col("b.tbl"), F.col("b.blk"))
     a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}")))
     return (
         a.join(
             b,
@@ -269,6 +259,30 @@ def dedup_simhash(
         .filter(F.col("hamming") <= max_hamming)
         # a close pair can match on several blocks — one output row
         .distinct()
+    )
+
+
+def dedup_simhash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by text simhash — EXACT at the given Hamming radius
+    (see hamming_near_dup_pairs; round 1 bucketed only a 16-bit prefix,
+    which silently missed pairs whose flips landed in the prefix)."""
+    hashed = _spread(df).select(
+        F.col(id_col),
+        F.transform(
+            tokens_expr(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+        ).alias("tok_hashes"),
+    )
+    sh = hashed.select(
+        F.col(id_col), simhash_from_hashes(F.col("tok_hashes")).alias("simhash")
+    )
+    return hamming_near_dup_pairs(
+        sh, id_col=id_col, sig_col="simhash", max_hamming=max_hamming
     )
 
 

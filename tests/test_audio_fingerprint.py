@@ -1,0 +1,97 @@
+"""Spectral audio fingerprinting: codec-transcoding-robust identity.
+
+The invariant under test: the SAME audio content stored under different
+codecs (pcm_s16le / G.711 ulaw / alaw) collides within the Hamming
+radius, while DIFFERENT content stays far outside it."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from scylla_cdc_source_connector_spark import audio
+from scylla_cdc_source_connector_spark.audio_fingerprint import (
+    audio_near_dup,
+    fingerprint_clips,
+    _fingerprint_group,
+)
+
+
+def _clip(i: int, n: int = 4000) -> np.ndarray:
+    rng = np.random.default_rng(100 + i)
+    t = np.arange(n) / 8000.0
+    f = 150.0 * (i + 1)
+    x = (
+        0.4 * np.sin(2 * np.pi * f * t)
+        + 0.2 * np.sin(2 * np.pi * 2.3 * f * t)
+        + 0.02 * rng.standard_normal(n)
+    )
+    return (np.clip(x, -1, 1) * 32767).astype(np.int16)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((int(a) ^ int(b)) & (2**64 - 1)).count("1")
+
+
+def test_kernel_transcoding_robust_and_content_distinct():
+    pcms = [_clip(i) for i in range(8)]
+    fp_s16, _, _ = _fingerprint_group(
+        [audio.encode(p, "pcm_s16le") for p in pcms], "pcm_s16le"
+    )
+    fp_ulaw, _, _ = _fingerprint_group(
+        [audio.encode(p, "ulaw") for p in pcms], "ulaw"
+    )
+    fp_alaw, _, _ = _fingerprint_group(
+        [audio.encode(p, "alaw") for p in pcms], "alaw"
+    )
+    for a, b, c in zip(fp_s16, fp_ulaw, fp_alaw):
+        assert _ham(a, b) <= 8
+        assert _ham(a, c) <= 8
+    cross = [
+        _ham(fp_s16[i], fp_s16[j]) for i in range(8) for j in range(i + 1, 8)
+    ]
+    assert min(cross) > 8  # different content never inside the radius
+
+
+def test_kernel_deterministic_and_gain_invariant():
+    p = _clip(3)
+    raw = audio.encode(p, "pcm_s16le")
+    a, _, _ = _fingerprint_group([raw], "pcm_s16le")
+    b, _, _ = _fingerprint_group([raw], "pcm_s16le")
+    assert a[0] == b[0]
+    # half gain: every energy scales by the same factor -> same sign bits
+    quiet = audio.encode((p // 2).astype(np.int16), "pcm_s16le")
+    c, _, _ = _fingerprint_group([quiet], "pcm_s16le")
+    assert _ham(a[0], c[0]) <= 4
+
+
+def test_invalid_and_short_clips_flagged(spark):
+    rows = [
+        ("empty", b"", "pcm_s16le"),
+        ("odd", b"\x01\x02\x03", "pcm_s16le"),
+        ("short", audio.encode(_clip(0, n=20), "pcm_s16le"), "pcm_s16le"),
+        ("unsup", b"\x00" * 500, "opus"),
+        ("good", audio.encode(_clip(1), "ulaw"), "ulaw"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    got = {r["clip_id"]: r for r in fingerprint_clips(df).collect()}
+    assert not got["empty"]["fp_ok"]
+    assert not got["odd"]["fp_ok"]
+    assert not got["short"]["fp_ok"]
+    assert not got["unsup"]["fp_ok"]
+    assert got["good"]["fp_ok"] and got["good"]["fingerprint"] != 0
+
+
+def test_near_dup_finds_exactly_the_transcoded_pairs(spark):
+    rows = []
+    for i in range(6):
+        p = _clip(i)
+        rows.append((f"c{i}-s16", audio.encode(p, "pcm_s16le"), "pcm_s16le"))
+        rows.append((f"c{i}-ulaw", audio.encode(p, "ulaw"), "ulaw"))
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in audio_near_dup(df).collect()
+    }
+    want = {tuple(sorted((f"c{i}-s16", f"c{i}-ulaw"))) for i in range(6)}
+    assert pairs == want
