@@ -142,6 +142,37 @@ def main() -> None:
                "tombstones-on-delete envelope plan")
     assert r7["exchanges"] == 1, "tombstone explode must add no exchange"
 
+    # CEP pattern match: ONE hash-agg exchange (no window sort-shuffle) —
+    # the symbol sequence is assembled by collect_list partial aggregation
+    from scylla_cdc_source_connector_spark.operators.cep import match_pattern
+
+    r8 = audit(
+        match_pattern(
+            cl.select("clip_id", "`cdc$time_us`", "`cdc$operation`"),
+            ["clip_id"], ["cdc$time_us"],
+            F.col("`cdc$operation`").cast("string"), "12*3",
+        ),
+        "cep match_pattern")
+    assert r8["exchanges"] == 1, "match_pattern = one hash aggregation"
+
+    # task assignment: the plan side broadcasts — the changelog itself
+    # must NOT shuffle to meet the metadata-sized task plan
+    from scylla_cdc_source_connector_spark.plans.task_planner import (
+        assign_tasks,
+        plan_tasks,
+    )
+
+    plan = plan_tasks(cl.select("`cdc$stream_id`").distinct(), 4)
+    r9 = audit(
+        assign_tasks(cl.select("`cdc$stream_id`", "clip_id"), plan,
+                     ["cdc$stream_id"]),
+        "task-plan broadcast stamping")
+    txt9 = _capture(
+        assign_tasks(cl.select("`cdc$stream_id`", "clip_id"), plan,
+                     ["cdc$stream_id"]))
+    assert "BroadcastHashJoin" in txt9 or "BroadcastNestedLoop" in txt9, (
+        "task plan must broadcast")
+
     print("ALL PLAN INVARIANTS HOLD")
     spark.stop()
 

@@ -78,6 +78,10 @@ _WIDENS: dict[str, tuple[str, ...]] = {
     "bigint": (),
     "float": ("double",),
     "date": ("timestamp",),
+    # parquet naive (µs) timestamps infer as TIMESTAMP_NTZ under Spark 4;
+    # the engine pins the session timezone to UTC, so the NTZ→TZ cast is a
+    # pure reinterpretation of the same instant — lossless by contract
+    "timestamp_ntz": ("timestamp",),
 }
 
 
