@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import re
 import sys
 
@@ -56,7 +57,19 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sccs_bench_changelog_100000"
+    if len(sys.argv) > 1:
+        path = sys.argv[1]
+    else:
+        # Self-sufficient default: build (or reuse) the deterministic bench
+        # changelog cache so the audit runs on a fresh box without needing
+        # bench.py to have populated /tmp first.
+        from bench import bench_changelog_path
+
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        import pyarrow.parquet as pq
+
+        n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+        path = bench_changelog_path(sf_dir, n_events)
     spark = (
         SparkSession.builder.master("local[4]")
         .config("spark.sql.shuffle.partitions", "4")
