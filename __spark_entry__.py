@@ -695,6 +695,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate GROUPS: alternating large-star/small-star
+    connected components over the exact-Jaccard pair graph; cluster_id is
+    the minimum member doc_id (functions/graph.py — the keep-one-per-group
+    step every dedup family needs)."""
+    from scylla_cdc_source_connector_spark.functions.dedup import dedup_ngram_jaccard
+    from scylla_cdc_source_connector_spark.functions.graph import dedup_clusters
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    pairs = dedup_ngram_jaccard(docs, threshold=0.5, shingle_n=1)
+    return dedup_clusters(pairs)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only: banding isn't SQL-practical;
     recall vs exact jaccard is pytest-verified)."""
@@ -1076,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1457,6 +1471,41 @@ def oracle_sql() -> dict[str, str]:
                    round(inter / greatest(na + nb - inter, 1), 4) AS jaccard
             FROM pairs
             WHERE inter / greatest(na + nb - inter, 1) >= 0.5
+        """,
+        # min-label reachability: the component minimum m propagates along
+        # every edge (m < target always holds for non-min nodes), so
+        # min(label) per node is exactly the Spark large-star/small-star
+        # result; the r.label < e.v guard only prunes non-minimal labels.
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 1 THEN list_distinct(t)
+                          ELSE [array_to_string(t, ' ')] END AS s
+              FROM (SELECT doc_id, {_TOKS_L} AS t
+                    FROM documents WHERE doc_id < 200)
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter,
+                     any_value(a.n) AS na, any_value(b.n) AS nb
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), jp AS (
+              SELECT id_a, id_b FROM pairs
+              WHERE inter / greatest(na + nb - inter, 1) >= 0.5
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM jp
+              UNION
+              SELECT id_b, id_a FROM jp
+            ), reach(node, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+              UNION
+              SELECT e.v, r.label FROM reach r
+              JOIN edges e ON e.u = r.node WHERE r.label < e.v
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
