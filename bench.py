@@ -323,6 +323,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         "cdc_latest_state",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_clusters",
         "ann_cosine_topk",
         "cep_match_pattern",
         "cep_asof_join",

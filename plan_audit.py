@@ -186,6 +186,23 @@ def main() -> None:
     assert "BroadcastHashJoin" in txt9 or "BroadcastNestedLoop" in txt9, (
         "task plan must broadcast")
 
+    # IVF coarse assignment: centroids are inlined literals, so the
+    # per-row argmax plan must have ZERO exchanges (no join, no window)
+    from scylla_cdc_source_connector_spark.functions.similarity import ivf_assign
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") * F.lit(float(i))).cast("float") for i in range(1, 5)]
+        ).alias("embedding"),
+    )
+    cents = emb.limit(4).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    r10 = audit(ivf_assign(emb, cents), "ivf zero-shuffle argmax assignment")
+    assert r10["exchanges"] == 0, "ivf_assign must not shuffle"
+
     print("ALL PLAN INVARIANTS HOLD")
     spark.stop()
 

@@ -49,7 +49,9 @@ import sys
 import time
 
 N_CHUNKS = 64
-ROUNDS = 3
+#: interleaved measurement rounds per level; override with
+#: SPARK_GRAFT_SCALE_ROUNDS when wall-clock budget is tight
+ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
 
 
 def prepare_input(sf_dir: str) -> tuple[str, int]:
@@ -315,8 +317,9 @@ def main() -> None:
 
     best: dict[str, dict[int, float]] = {j: {} for j in job_rows}
     runs = []
-    for _ in range(ROUNDS):
+    for rnd in range(ROUNDS):
         for cpus in (n, 4 * n):  # interleave levels within each round
+            t_start = time.time()
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
                  input_dir, meta_dir, str(cpus)],
@@ -324,6 +327,13 @@ def main() -> None:
             )
             rec = json.loads(out.stdout.strip().splitlines()[-1])
             runs.append(rec)
+            # stream partials so a long run is observable from the log
+            print(
+                f"[scale_bench] round {rnd + 1}/{ROUNDS} local[{cpus}] "
+                f"({time.time() - t_start:.0f}s wall): "
+                + " ".join(f"{j}={rec[j]['seconds']:.1f}s" for j in job_rows),
+                file=sys.stderr, flush=True,
+            )
             for job in best:
                 cur = best[job].get(cpus)
                 t = rec[job]["seconds"]
