@@ -285,6 +285,34 @@ def run_bench(spark, sf_dir: str) -> dict:
         stateful_rows / timings["cdc_pipeline_streaming_stateful_5k"], 1
     )
 
+    def _stream_tws():
+        """Same per-RowKey state machine on transformWithStateInPandas
+        (RocksDB state + event-time timers) — old vs new stateful API,
+        same capped input."""
+        from scylla_cdc_source_connector_spark.streaming.engine import run_stream
+
+        root = "/tmp/sccs_bench_stream_tws"
+        shutil.rmtree(root, ignore_errors=True)
+        scfg = EngineConfig(
+            include_before=IncludeMode.FULL,
+            include_after=IncludeMode.FULL,
+            checkpoint_dir=f"{root}/ck",
+            output_dir=f"{root}/out",
+            lineage_dir=f"{root}/lin",
+        )
+        q = run_stream(spark, scfg, stateful_in, mode="tws")
+        q.awaitTermination(3600)
+
+    from scylla_cdc_source_connector_spark.streaming.correlation_tws import (
+        tws_available,
+    )
+
+    if tws_available():
+        timed("cdc_pipeline_streaming_tws_5k", _stream_tws)
+        extra["events_per_sec_tws"] = round(
+            stateful_rows / timings["cdc_pipeline_streaming_tws_5k"], 1
+        )
+
     # 3. audio validation path (vectorized decode + stats over postimages)
     def _audio():
         post = changelog.where("`cdc$operation` = 9").select(

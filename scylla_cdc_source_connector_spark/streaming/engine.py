@@ -141,13 +141,27 @@ def read_changelog_stream(
     return reader.parquet(path)
 
 
-def streaming_envelopes(changelog: DataFrame, cfg: EngineConfig) -> DataFrame:
+def streaming_envelopes(
+    changelog: DataFrame, cfg: EngineConfig, impl: str = "apply"
+) -> DataFrame:
     """Streaming plan: watermarked stateful correlation + projection.
     Dedup of exact duplicate log rows happens inside the correlation state
     (last-writer-wins slots) — the generation-aware stateful dedup join of
     the north_rule; images the config doesn't need are ignored by the
-    state machine just like TaskInfo.Basic/Before/After no-op setters."""
-    correlated = reassemble_correlated(correlate_stream(changelog, cfg))
+    state machine just like TaskInfo.Basic/Before/After no-op setters.
+
+    impl="apply": applyInPandasWithState (correlation_state.py).
+    impl="tws":   transformWithStateInPandas (correlation_tws.py) — same
+    semantics on the Spark 4.x StatefulProcessor API (RocksDB-only state,
+    explicit per-key event-time eviction timers)."""
+    if impl == "tws":
+        from scylla_cdc_source_connector_spark.streaming.correlation_tws import (
+            correlate_stream_tws,
+        )
+
+        correlated = reassemble_correlated(correlate_stream_tws(changelog, cfg))
+    else:
+        correlated = reassemble_correlated(correlate_stream(changelog, cfg))
     return build_envelopes(correlated, cfg)
 
 
@@ -190,8 +204,12 @@ def run_stream(
     10^12 keys the HDFS-backed in-memory provider holds every key of a
     partition on-heap, while RocksDB spills to local SSD and checkpoints
     changelogs — pass "memory" to get the default provider back.
+    mode="tws": the same state machine on Spark 4.x's
+    transformWithStateInPandas (streaming/correlation_tws.py) — RocksDB
+    state (required by the operator) + explicit per-key event-time
+    eviction timers instead of GroupStateTimeout.
     """
-    if mode not in ("vectorized", "stateful"):
+    if mode not in ("vectorized", "stateful", "tws"):
         raise ValueError(f"unknown correlation mode: {mode!r}")
     if adopt_schema:
         if source_format != "parquet":
@@ -202,12 +220,29 @@ def run_stream(
             spark.read.option("mergeSchema", "true").parquet(input_path).schema
         )
         table = adopt(table, observed)
-    if mode == "stateful" and table is not DEFAULT_TABLE:
+    if mode in ("stateful", "tws") and table is not DEFAULT_TABLE:
         raise ValueError(
-            "mode='stateful' supports only the default table model; use "
+            f"mode={mode!r} supports only the default table model; use "
             "the vectorized mode for generalized/adopted schemas"
         )
-    if mode == "stateful":
+    if mode in ("stateful", "tws"):
+        if mode == "tws":
+            from scylla_cdc_source_connector_spark.streaming.correlation_tws import (
+                tws_available,
+            )
+
+            if state_store != "rocksdb":
+                raise ValueError(
+                    "transformWithStateInPandas requires the RocksDB state "
+                    "store"
+                )
+            if not tws_available():
+                raise RuntimeError(
+                    "mode='tws' needs the `protobuf` package (PySpark's "
+                    "StatefulProcessor state-server protocol); it is not "
+                    "installed in this runtime — use mode='stateful' or "
+                    "'vectorized'"
+                )
         provider = (
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider"
@@ -268,7 +303,8 @@ def run_stream(
     if mode == "vectorized":
         out, sink_fn = changelog, make_correlating_sink(cfg, table=table)
     else:
-        out, sink_fn = streaming_envelopes(changelog, cfg), make_sink(cfg)
+        impl = "tws" if mode == "tws" else "apply"
+        out, sink_fn = streaming_envelopes(changelog, cfg, impl=impl), make_sink(cfg)
     writer = (
         out.writeStream.foreachBatch(sink_fn)
         .option("checkpointLocation", checkpoint)

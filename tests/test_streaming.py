@@ -28,8 +28,20 @@ from scylla_cdc_source_connector_spark.streaming.engine import (
     run_stream,
 )
 from scylla_cdc_source_connector_spark.schemas import NON_PK_COLUMNS
+from scylla_cdc_source_connector_spark.streaming.correlation_tws import (
+    tws_available,
+)
 
 BASE_US = 1_704_067_200_000_000
+
+# transformWithStateInPandas needs protobuf (state-server protocol); absent
+# in this container — the tws param skips with the reason visible.
+TWS = pytest.param(
+    "tws",
+    marks=pytest.mark.skipif(
+        not tws_available(), reason="protobuf not installed (tws state API)"
+    ),
+)
 
 
 def _write_chunks(pdf: pd.DataFrame, d: str, n_chunks: int):
@@ -82,7 +94,7 @@ def stream_pdf(stream_spec):
     return make_changelog(stream_spec)
 
 
-@pytest.mark.parametrize("mode", ["vectorized", "stateful"])
+@pytest.mark.parametrize("mode", ["vectorized", "stateful", TWS])
 def test_stream_matches_batch(spark, tmp_root, stream_pdf, mode):
     """Row-for-row parity: streaming (chunked arrivals, cross-batch
     correlation) equals the single-shot batch plan — in BOTH correlation
@@ -256,7 +268,7 @@ def test_metrics_surface(spark, tmp_root, stream_pdf):
     assert summary["batch_ms_p50"] <= summary["batch_ms_max"]
 
 
-@pytest.mark.parametrize("mode", ["vectorized", "stateful"])
+@pytest.mark.parametrize("mode", ["vectorized", "stateful", TWS])
 def test_late_data_beyond_watermark_dropped(spark, tmp_root, mode):
     """Confidence-window semantics: a delta arriving with event time older
     than watermark (30 s) is dropped; one within the window is emitted."""
