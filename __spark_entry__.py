@@ -936,6 +936,39 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dup(df)
 
 
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation (frame-energy VAD, audio_vad.py): per
+    clip speech ratio + speech-span trim offsets.  A third of the clips
+    are re-wrapped into WAV (RIFF) containers to exercise the real
+    container-parse path; rows-only (decode is not SQL-expressible) —
+    frame arithmetic is pinned by tests/test_audio_vad.py."""
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark import audio as audio_mod
+    from scylla_cdc_source_connector_spark.audio_vad import vad_stats
+
+    clips = _fixture_clips(spark, sf_dir, 300).toPandas()
+    wrap = clips.index % 3 == 0
+    rows = []
+    for i, r in enumerate(clips.itertuples()):
+        if wrap[i]:
+            pcm16 = (
+                (audio_mod.decode(bytes(r.bytes), r.codec) * 32768.0)
+                .clip(-32768, 32767)
+                .astype("int16")
+            )
+            rows.append(
+                (r.clip_id, audio_mod.wav_encode(pcm16, r.sr_hz, "pcm_s16le"),
+                 "wav", r.sr_hz)
+            )
+        else:
+            rows.append((r.clip_id, bytes(r.bytes), r.codec, r.sr_hz))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "bytes", "codec", "sr_hz"])
+    )
+    return vad_stats(df).orderBy("clip_id")
+
+
 # ---------------------------------------------------------------------------
 # CEP operators over the ordered change stream (operators/cep.py)
 # ---------------------------------------------------------------------------
@@ -1099,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "audio_fingerprint": q_audio_fingerprint,
         "audio_near_dup": q_audio_near_dup,
+        "audio_vad": q_audio_vad,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_image_decode": q_multimodal_image_decode,
         "multimodal_video_frames": q_multimodal_video_frames,

@@ -19,11 +19,18 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+#: raw sample codecs — what encode() emits and fixtures draw from
 SUPPORTED_CODECS = ("pcm_s16le", "ulaw", "alaw")
+#: everything decode()/audio_stats_batches accept (raw + WAV container)
+DECODABLE_CODECS = SUPPORTED_CODECS + ("wav",)
 
 
 class UnsupportedCodecError(NotImplementedError):
     """Raised for codecs whose decoder is not baked into this container."""
+
+
+class MalformedContainerError(ValueError):
+    """Raised for a corrupt/truncated WAV (RIFF) container."""
 
 
 # --------------------------------------------------------------------------
@@ -107,6 +114,95 @@ _ALAW_ENCODE_LUT = alaw_encode(_PCM16_RANGE)
 
 
 # --------------------------------------------------------------------------
+# WAV (RIFF) container — public Microsoft/IBM WAVE format, pure struct/numpy
+# --------------------------------------------------------------------------
+#: WAVE fmt-chunk wFormatTag → raw codec name (PCM=1, A-law=6, µ-law=7)
+_WAV_TAG_CODEC = {1: "pcm_s16le", 6: "alaw", 7: "ulaw"}
+_WAV_CODEC_TAG = {v: k for k, v in _WAV_TAG_CODEC.items()}
+
+
+def wav_parse(data: bytes) -> tuple[str, int, int, bytes]:
+    """Parse a WAV container → (inner_codec, n_channels, sr_hz, payload).
+
+    Real container decode (not a stub): walks RIFF chunks, validates the
+    fmt chunk (format tag 1/6/7, 16-bit for PCM, 8-bit for G.711) and
+    returns the data-chunk bytes for the existing vectorized decoders.
+    Raises MalformedContainerError on truncation/bad magic and
+    UnsupportedCodecError for format tags this container can't decode
+    (e.g. IEEE float 3, extensible 0xFFFE)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise MalformedContainerError("not a RIFF/WAVE container")
+    fmt = None
+    payload = None
+    off = 12
+    n = len(data)
+    while off + 8 <= n:
+        cid = data[off : off + 4]
+        csize = int.from_bytes(data[off + 4 : off + 8], "little")
+        body = data[off + 8 : off + 8 + csize]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise MalformedContainerError("fmt chunk truncated")
+            fmt = (
+                int.from_bytes(body[0:2], "little"),  # wFormatTag
+                int.from_bytes(body[2:4], "little"),  # nChannels
+                int.from_bytes(body[4:8], "little"),  # nSamplesPerSec
+                int.from_bytes(body[14:16], "little"),  # wBitsPerSample
+            )
+        elif cid == b"data":
+            if len(body) < csize:
+                raise MalformedContainerError("data chunk truncated")
+            payload = body
+        # chunks are word-aligned: odd sizes carry a pad byte
+        off += 8 + csize + (csize & 1)
+    if fmt is None or payload is None:
+        raise MalformedContainerError("missing fmt/data chunk")
+    tag, channels, sr_hz, bits = fmt
+    if tag not in _WAV_TAG_CODEC:
+        raise UnsupportedCodecError(
+            f"WAV format tag {tag}; supported tags: {sorted(_WAV_TAG_CODEC)}"
+        )
+    codec = _WAV_TAG_CODEC[tag]
+    want_bits = 16 if codec == "pcm_s16le" else 8
+    if bits != want_bits:
+        raise MalformedContainerError(
+            f"WAV tag {tag} with {bits}-bit samples (expected {want_bits})"
+        )
+    if channels < 1:
+        raise MalformedContainerError("WAV with 0 channels")
+    return codec, channels, sr_hz, payload
+
+
+def wav_encode(
+    pcm: np.ndarray, sr_hz: int, fmt: str = "pcm_s16le", n_channels: int = 1
+) -> bytes:
+    """int16 PCM (interleaved if multichannel) → WAV container bytes."""
+    if fmt not in _WAV_CODEC_TAG:
+        raise UnsupportedCodecError(f"WAV inner codec {fmt!r}")
+    payload = encode(pcm, fmt)
+    bits = 16 if fmt == "pcm_s16le" else 8
+    block = n_channels * bits // 8
+    hdr = b"".join(
+        [
+            b"RIFF",
+            (36 + len(payload)).to_bytes(4, "little"),
+            b"WAVE",
+            b"fmt ",
+            (16).to_bytes(4, "little"),
+            _WAV_CODEC_TAG[fmt].to_bytes(2, "little"),
+            n_channels.to_bytes(2, "little"),
+            int(sr_hz).to_bytes(4, "little"),
+            (int(sr_hz) * block).to_bytes(4, "little"),
+            block.to_bytes(2, "little"),
+            bits.to_bytes(2, "little"),
+            b"data",
+            len(payload).to_bytes(4, "little"),
+        ]
+    )
+    return hdr + payload + (b"\x00" if len(payload) & 1 else b"")
+
+
+# --------------------------------------------------------------------------
 # encode/decode dispatch
 # --------------------------------------------------------------------------
 def encode(pcm: np.ndarray, codec: str) -> bytes:
@@ -118,11 +214,23 @@ def encode(pcm: np.ndarray, codec: str) -> bytes:
         return _ULAW_ENCODE_LUT[idx].tobytes()
     if codec == "alaw":
         return _ALAW_ENCODE_LUT[idx].tobytes()
-    raise UnsupportedCodecError(f"codec {codec!r}; supported: {SUPPORTED_CODECS}")
+    raise UnsupportedCodecError(f"codec {codec!r}; supported: {DECODABLE_CODECS}")
 
 
 def decode(data: bytes, codec: str) -> np.ndarray:
-    """Encoded bytes → float32 PCM in [-1, 1]."""
+    """Encoded bytes → float32 PCM in [-1, 1].
+
+    codec="wav" parses the RIFF container first and dispatches on the fmt
+    chunk's format tag; multichannel data is downmixed to mono (mean of
+    channels), so every caller sees one float32 channel."""
+    if codec == "wav":
+        inner, channels, _sr, payload = wav_parse(data)
+        pcm_f = decode(payload, inner)
+        if channels > 1:
+            frames = len(pcm_f) // channels
+            pcm_f = pcm_f[: frames * channels].reshape(frames, channels)
+            return pcm_f.mean(axis=1, dtype=np.float32)
+        return pcm_f
     if codec == "pcm_s16le":
         pcm = np.frombuffer(data, dtype="<i2")
     elif codec == "ulaw":
@@ -130,7 +238,7 @@ def decode(data: bytes, codec: str) -> np.ndarray:
     elif codec == "alaw":
         pcm = _ALAW_DECODE_LUT[np.frombuffer(data, dtype=np.uint8)]
     else:
-        raise UnsupportedCodecError(f"codec {codec!r}; supported: {SUPPORTED_CODECS}")
+        raise UnsupportedCodecError(f"codec {codec!r}; supported: {DECODABLE_CODECS}")
     return pcm.astype(np.float32) / 32768.0
 
 
@@ -261,52 +369,113 @@ def audio_stats_batches(
     Input columns: clip_id, bytes, codec.  Arrow-batched; rows are grouped
     by codec and each group is decoded as ONE concatenated numpy array with
     per-clip segmented reductions — zero per-row numpy dispatch.
+
+    codec="wav" rows get their RIFF header parsed per clip (O(1) python per
+    container, independent of clip length) and their data-chunk payload
+    folded into the matching G.711/PCM16 vectorized group; a malformed or
+    unsupported container yields decode_ok=False for that row only.  Stats
+    for multichannel WAVs are over the interleaved stream (rms/peak/
+    roundtrip-SNR are channel-order-invariant; n_samples counts every
+    channel's samples).
     """
     for pdf in batches:
-        n = len(pdf)
-        n_samples = np.zeros(n, dtype=np.int64)
-        rms = np.zeros(n, dtype=np.float64)
-        peak = np.zeros(n, dtype=np.float64)
-        ok = np.zeros(n, dtype=bool)
-        snr = np.full(n, np.nan)
+        yield _stats_one(pdf)
 
-        codecs = pdf["codec"].values
-        raws = pdf["bytes"].values
-        valid = np.fromiter(
-            (
-                r is not None
-                and c in SUPPORTED_CODECS
-                # odd-length s16le payloads are corrupt; flagging them here
-                # also keeps the concatenated group decode aligned
-                and not (c == "pcm_s16le" and len(r) % 2)
-                for r, c in zip(raws, codecs)
-            ),
-            dtype=bool,
-            count=n,
-        )
-        for codec in SUPPORTED_CODECS:
-            sel = valid & (codecs == codec)
-            if not sel.any():
-                continue
-            pos = np.flatnonzero(sel)
-            group = [bytes(raws[i]) for i in pos]
-            ns, r_, p_, s_ = _stats_codec_group(group, codec)
-            n_samples[pos] = ns
-            rms[pos] = r_
-            peak[pos] = p_
-            snr[pos] = s_
-            ok[pos] = True
 
-        yield pd.DataFrame(
+def _stats_one(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch of audio_stats_batches (also backs the scalar
+    verdict UDF)."""
+    raw_codecs = ("pcm_s16le", "ulaw", "alaw")
+    n = len(pdf)
+    n_samples = np.zeros(n, dtype=np.int64)
+    rms = np.zeros(n, dtype=np.float64)
+    peak = np.zeros(n, dtype=np.float64)
+    ok = np.zeros(n, dtype=bool)
+    snr = np.full(n, np.nan)
+
+    codecs = np.asarray(pdf["codec"].values, dtype=object)
+    raws = pdf["bytes"].values
+    # unwrap WAV containers: effective codec/payload per row
+    eff_codec = codecs.copy()
+    eff_raw: list = list(raws)
+    for i in np.flatnonzero(codecs == "wav"):
+        if raws[i] is None:
+            eff_codec[i] = None
+            continue
+        try:
+            inner, _ch, _sr, payload = wav_parse(bytes(raws[i]))
+        except (MalformedContainerError, UnsupportedCodecError):
+            eff_codec[i] = None  # stays decode_ok=False
+            continue
+        eff_codec[i] = inner
+        eff_raw[i] = payload
+    valid = np.fromiter(
+        (
+            r is not None
+            and c in raw_codecs
+            # odd-length s16le payloads are corrupt; flagging them here
+            # also keeps the concatenated group decode aligned
+            and not (c == "pcm_s16le" and len(r) % 2)
+            for r, c in zip(eff_raw, eff_codec)
+        ),
+        dtype=bool,
+        count=n,
+    )
+    for codec in raw_codecs:
+        sel = valid & (eff_codec == codec)
+        if not sel.any():
+            continue
+        pos = np.flatnonzero(sel)
+        group = [bytes(eff_raw[i]) for i in pos]
+        ns, r_, p_, s_ = _stats_codec_group(group, codec)
+        n_samples[pos] = ns
+        rms[pos] = r_
+        peak[pos] = p_
+        snr[pos] = s_
+        ok[pos] = True
+
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"].values,
+            "n_samples": n_samples.astype("int32"),
+            "rms": rms,
+            "peak": peak,
+            "decode_ok": ok,
+            "roundtrip_snr_db": snr,
+        }
+    )
+
+
+#: return type of audio_verdict_udf
+AUDIO_VERDICT_TYPE = "decode_ok boolean, roundtrip_snr_db double"
+
+
+def make_audio_verdict_udf():
+    """Scalar Arrow pandas UDF (bytes, codec) → struct(decode_ok,
+    roundtrip_snr_db) — the streaming validation gate's kernel.
+
+    A scalar struct UDF (not mapInPandas) so the verdict lands as a
+    column INSIDE the existing envelope plan: no key join, no second
+    shuffle of the payload, and null payloads (deletes, metadata-only
+    configs) short-circuit to decode_ok=true/snr=null in-batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(AUDIO_VERDICT_TYPE)
+    def verdict(raw: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        pdf = pd.DataFrame({"clip_id": "", "bytes": raw, "codec": codec})
+        out = _stats_one(pdf)
+        has = raw.notna().to_numpy()
+        return pd.DataFrame(
             {
-                "clip_id": pdf["clip_id"].values,
-                "n_samples": n_samples.astype("int32"),
-                "rms": rms,
-                "peak": peak,
-                "decode_ok": ok,
-                "roundtrip_snr_db": snr,
+                # rows without a payload carry nothing to validate: pass
+                "decode_ok": np.where(has, out["decode_ok"], True),
+                "roundtrip_snr_db": np.where(
+                    has, out["roundtrip_snr_db"], np.nan
+                ),
             }
         )
+
+    return verdict
 
 
 #: output schema of decode_pcm_batches

@@ -106,6 +106,18 @@ class EngineConfig:
     output_dir: str = ""
     lineage_dir: str = ""
 
+    # streaming audio-validation gate (dead-letter analog of Kafka
+    # Connect's errors.tolerance=all + errors.deadletterqueue.topic.name,
+    # which the reference inherits from the Connect framework).  When
+    # enabled, envelopes whose post-image payload fails vectorized decode
+    # or the roundtrip-SNR floor divert to output_dir/_quarantine/
+    # batch_id=N with a reason column instead of the emit stream; rows
+    # without a payload (deletes, pre-image-only) always pass.  The gate
+    # runs as ONE Arrow-vectorized pandas UDF inside the already-persisted
+    # envelope plan — no extra shuffle, no second payload pass.
+    audio_validation: bool = False
+    audio_min_snr_db: float = 30.0
+
     extras: dict = field(default_factory=dict)
 
     @property

@@ -111,6 +111,24 @@ def read_emitted(
     return reader.parquet(*paths)
 
 
+def quarantine_path(cfg: EngineConfig, batch_id: int) -> str:
+    return os.path.join(cfg.output_dir, "_quarantine", f"batch_id={batch_id}")
+
+
+def read_quarantined(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
+    """Dead-letter view: envelopes diverted by the audio-validation gate,
+    with `quarantine_reason` + the measured verdict.  Exactly-once like
+    the emit stream (only committed batches are listed)."""
+    paths = [
+        quarantine_path(cfg, bid)
+        for bid in committed_batch_ids(cfg)
+        if os.path.isdir(quarantine_path(cfg, bid))
+    ]
+    if not paths:
+        return spark.createDataFrame([], "quarantine_reason string")
+    return spark.read.parquet(*paths)
+
+
 def heartbeat_path(cfg: EngineConfig, batch_id: int) -> str:
     return os.path.join(cfg.output_dir, "_heartbeat", f"batch_id={batch_id}")
 
@@ -221,7 +239,7 @@ def make_sink(cfg: EngineConfig):
             return
 
         # per-shard ordered emit + offsets (SourceInfo.offset() analog)
-        n, shards = _write_batch(batch_df, batch_id, cfg)
+        n, shards, n_quar = _write_batch(batch_df, batch_id, cfg)
         heartbeat(batch_df.sparkSession, batch_id, n, shards)
 
         # atomic lineage commit: tmp + rename (heartbeat on empty batches)
@@ -231,6 +249,7 @@ def make_sink(cfg: EngineConfig):
             {
                 "batch_id": batch_id,
                 "n_records": n,
+                "n_quarantined": n_quar,
                 "shards": shards,
                 "committed_at_ms": int(time.time() * 1000),
                 "sink_seconds": round(time.time() - t0, 3),
@@ -358,7 +377,7 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
             complete = is_complete_expr(cfg)
 
             env = build_envelopes(corr.filter(complete), cfg, table=table)
-            n, shards = _write_batch(env, batch_id, cfg, table=table)
+            n, shards, n_quar = _write_batch(env, batch_id, cfg, table=table)
 
             # carry incomplete, unexpired groups; expired ones are dropped
             # like the reference's stale-task cleanup
@@ -389,6 +408,7 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
             {
                 "batch_id": batch_id,
                 "n_records": n,
+                "n_quarantined": n_quar,
                 "shards": shards,
                 "max_event_us": hwm,
                 "has_pending": bool(n_keep),
@@ -415,11 +435,33 @@ def _write_batch(
     isEmpty / write / stats as three separate actions re-executed the
     whole upstream plan — in vectorized mode that re-ran the correlation
     aggregation — three times per micro-batch.)  The stats .collect()
-    itself is a per-shard aggregate, bounded by shard count."""
+    itself is a per-shard aggregate, bounded by shard count.
+
+    With cfg.audio_validation on, a vectorized verdict column is stamped
+    into the plan BEFORE the persist; failing envelopes are written to
+    the quarantine dir (idempotent per batch_id) and excluded from the
+    emit stream — the dead-letter-queue analog of Connect's
+    errors.tolerance=all, upgraded to exactly-once by the same lineage
+    commit that covers the main output."""
     shards: list[dict] = []
     n = 0
-    env_df.persist()
+    n_quar = 0
+    gate = _audio_gate_exprs(env_df, cfg)
+    if gate is not None:
+        env_df = gate["df"]
+    persisted = env_df
+    persisted.persist()
     try:
+        if gate is not None:
+            bad = persisted.filter(~gate["pass"])
+            n_quar = bad.count()
+            if n_quar:
+                (
+                    bad.withColumn("quarantine_reason", gate["reason"])
+                    .write.mode("overwrite")
+                    .parquet(quarantine_path(cfg, batch_id))
+                )
+            env_df = persisted.filter(gate["pass"]).drop("__audio_verdict")
         stats = (
             env_df.groupBy("`cdc$stream_id`", "generation")
             .agg(
@@ -439,13 +481,13 @@ def _write_batch(
             .collect()
         )
         if not stats:
-            return n, shards
+            return n, shards, n_quar
         ordered = env_df.repartition(
             F.col("`cdc$stream_id`")
         ).sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
         ordered.write.mode("overwrite").parquet(batch_output_path(cfg, batch_id))
     finally:
-        env_df.unpersist()
+        persisted.unpersist()
     for r in stats:
         shards.append(
             {
@@ -458,7 +500,49 @@ def _write_batch(
             }
         )
         n += r["n_records"]
-    return n, shards
+    return n, shards, n_quar
+
+
+def _audio_gate_exprs(env_df: DataFrame, cfg: EngineConfig):
+    """Audio-validation gate pieces for _write_batch, or None when the
+    gate is off or the envelope carries no post-image payload columns
+    (metadata-only configs, adopted schemas without bytes/codec).
+
+    Returns {"df": env+verdict column, "pass": Column, "reason": Column}.
+    The verdict is ONE Arrow-vectorized pandas UDF over the post-image
+    (audio.make_audio_verdict_udf) — grouped-LUT decode + segmented
+    roundtrip-SNR, zero per-row numpy."""
+    if not cfg.audio_validation:
+        return None
+    try:
+        after = next(
+            f for f in env_df.schema["value"].dataType.fields
+            if f.name == "after"
+        )
+        names = {f.name for f in after.dataType.fields}
+    except (KeyError, AttributeError, StopIteration):
+        return None
+    if not {"bytes", "codec"} <= names:
+        return None
+
+    from scylla_cdc_source_connector_spark import audio
+
+    verdict = audio.make_audio_verdict_udf()
+    df = env_df.withColumn(
+        "__audio_verdict",
+        verdict(F.col("value.after.bytes"), F.col("value.after.codec")),
+    )
+    v = F.col("__audio_verdict")
+    # NaN guard: snr is NaN only for rows without a payload, which pass
+    # via the isNull arm; failed decodes are caught by decode_ok
+    ok = v["decode_ok"] & (
+        F.col("value.after.bytes").isNull()
+        | (v["roundtrip_snr_db"] >= F.lit(cfg.audio_min_snr_db))
+    )
+    reason = F.when(~v["decode_ok"], F.lit("decode_failed")).otherwise(
+        F.lit(f"snr_below_{cfg.audio_min_snr_db:g}db")
+    )
+    return {"df": df, "pass": ok, "reason": reason}
 
 
 def max_consumed_time_us(cfg: EngineConfig, generation: int) -> dict[str, int]:

@@ -1,0 +1,208 @@
+"""WAV container decode + VAD/silence segmentation tests.
+
+The WAV path is a REAL container decode (RIFF chunk walk, fmt-tag
+dispatch onto the vectorized G.711/PCM16 decoders) — not a stubbed
+kernel.  VAD is validated on constructed silence|tone|silence signals
+with known frame arithmetic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from scylla_cdc_source_connector_spark import audio
+from scylla_cdc_source_connector_spark.audio_vad import (
+    VAD_SCHEMA,
+    vad_stats,
+    vad_stats_batches,
+)
+
+SR = 8000
+
+
+def _tone(n, freq=440.0, amp=0.5, sr=SR):
+    t = np.arange(n) / sr
+    return (amp * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+
+
+def _silence(n):
+    return np.zeros(n, dtype=np.int16)
+
+
+# -------------------------------------------------------------- WAV ------
+
+
+def test_wav_roundtrip_pcm16():
+    pcm = _tone(1600)
+    blob = audio.wav_encode(pcm, SR, "pcm_s16le")
+    codec, ch, sr, payload = audio.wav_parse(blob)
+    assert (codec, ch, sr) == ("pcm_s16le", 1, SR)
+    out = audio.decode(blob, "wav")
+    np.testing.assert_allclose(out, pcm.astype(np.float32) / 32768.0)
+
+
+@pytest.mark.parametrize("inner", ["ulaw", "alaw"])
+def test_wav_g711_inner(inner):
+    pcm = _tone(800)
+    blob = audio.wav_encode(pcm, SR, inner)
+    out = audio.decode(blob, "wav")
+    ref = audio.decode(audio.encode(pcm, inner), inner)
+    np.testing.assert_array_equal(out, ref)
+    assert audio.snr_db(pcm / 32768.0, out) >= 30.0
+
+
+def test_wav_stereo_downmix():
+    left, right = _tone(400, 440), _tone(400, 880)
+    inter = np.empty(800, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    blob = audio.wav_encode(inter, SR, "pcm_s16le", n_channels=2)
+    out = audio.decode(blob, "wav")
+    assert len(out) == 400
+    ref = (left.astype(np.float32) + right) / 2.0 / 32768.0
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_wav_malformed_and_unsupported():
+    with pytest.raises(audio.MalformedContainerError):
+        audio.wav_parse(b"RIFFxxxxNOPE")
+    with pytest.raises(audio.MalformedContainerError):
+        audio.wav_parse(b"OGGS" + b"\x00" * 40)
+    # IEEE-float format tag 3 → unsupported, not a crash
+    pcm = _tone(100)
+    blob = bytearray(audio.wav_encode(pcm, SR, "pcm_s16le"))
+    blob[20:22] = (3).to_bytes(2, "little")
+    with pytest.raises(audio.UnsupportedCodecError):
+        audio.wav_parse(bytes(blob))
+
+
+def test_wav_rows_in_stats_batches():
+    """WAV rows ride the same vectorized group pass; corrupt WAVs flag
+    decode_ok=False without disturbing neighbors."""
+    pcm = _tone(1600)
+    rows = pd.DataFrame(
+        {
+            "clip_id": ["w1", "w2", "bad", "raw"],
+            "bytes": [
+                audio.wav_encode(pcm, SR, "pcm_s16le"),
+                audio.wav_encode(pcm, SR, "ulaw"),
+                b"RIFF\x00\x00\x00\x00WAVEjunk",
+                audio.encode(pcm, "pcm_s16le"),
+            ],
+            "codec": ["wav", "wav", "wav", "pcm_s16le"],
+        }
+    )
+    (out,) = list(audio.audio_stats_batches(iter([rows])))
+    out = out.set_index("clip_id")
+    assert bool(out.loc["w1", "decode_ok"]) and bool(out.loc["w2", "decode_ok"])
+    assert not bool(out.loc["bad", "decode_ok"])
+    # container stats == raw-payload stats for the same samples
+    assert out.loc["w1", "n_samples"] == out.loc["raw", "n_samples"] == 1600
+    assert out.loc["w1", "rms"] == pytest.approx(out.loc["raw", "rms"])
+    assert out.loc["w2", "roundtrip_snr_db"] >= 30.0
+
+
+# -------------------------------------------------------------- VAD ------
+
+
+def _vad_one(pcm16, codec="pcm_s16le", sr=SR, frame_ms=20, thr=-40.0,
+             blob=None):
+    rows = pd.DataFrame(
+        {
+            "clip_id": ["c"],
+            "bytes": [blob if blob is not None else audio.encode(pcm16, codec)],
+            "codec": [codec],
+            "sr_hz": [sr],
+        }
+    )
+    (out,) = list(vad_stats_batches(frame_ms, thr)(iter([rows])))
+    return out.iloc[0]
+
+
+def test_vad_silence_tone_silence():
+    """300 ms silence | 500 ms tone | 200 ms silence at 8 kHz, 20 ms
+    frames: speech span = frames 15..39 → trim [300 ms, 800 ms)."""
+    sig = np.concatenate(
+        [_silence(2400), _tone(4000), _silence(1600)]
+    )
+    r = _vad_one(sig)
+    assert r["decode_ok"] and r["n_frames"] == 50
+    assert r["speech_frames"] == 25
+    assert r["trim_start_ms"] == 300 and r["trim_end_ms"] == 800
+    assert r["speech_ratio"] == pytest.approx(0.5)
+    # byte offsets are sample-aligned (2 B/sample pcm16)
+    assert r["trim_start_b"] == 2400 * 2 and r["trim_end_b"] == 6400 * 2
+
+
+def test_vad_all_silence_and_all_speech():
+    r = _vad_one(_silence(4000))
+    assert r["speech_frames"] == 0 and r["speech_ratio"] == 0.0
+    assert r["trim_start_ms"] == 0 and r["trim_end_ms"] == 0
+    r = _vad_one(_tone(4000))
+    assert r["speech_frames"] == r["n_frames"] == 25
+    assert r["trim_end_ms"] == 500
+
+
+def test_vad_ulaw_and_wav_groups_match_pcm():
+    sig = np.concatenate([_silence(1600), _tone(3200), _silence(800)])
+    r_pcm = _vad_one(sig)
+    r_ulaw = _vad_one(sig, codec="ulaw")
+    r_wav = _vad_one(sig, codec="wav", blob=audio.wav_encode(sig, SR, "alaw"))
+    for r in (r_ulaw, r_wav):
+        assert r["trim_start_ms"] == r_pcm["trim_start_ms"]
+        assert r["trim_end_ms"] == r_pcm["trim_end_ms"]
+        assert r["speech_frames"] == r_pcm["speech_frames"]
+    # G.711 byte offsets are 1 B/sample
+    assert r_ulaw["trim_start_b"] == r_pcm["trim_start_b"] // 2
+
+
+def test_vad_empty_and_corrupt_rows_do_not_disturb_neighbors():
+    sig = np.concatenate([_silence(1600), _tone(1600)])
+    rows = pd.DataFrame(
+        {
+            "clip_id": ["a", "empty", "odd", "b"],
+            "bytes": [
+                audio.encode(sig, "pcm_s16le"),
+                b"",
+                b"\x01\x02\x03",  # odd-length pcm16 → corrupt
+                audio.encode(sig, "pcm_s16le"),
+            ],
+            "codec": ["pcm_s16le"] * 4,
+            "sr_hz": [SR] * 4,
+        }
+    )
+    (out,) = list(vad_stats_batches(20, -40.0)(iter([rows])))
+    out = out.set_index("clip_id")
+    assert bool(out.loc["a", "decode_ok"]) and bool(out.loc["b", "decode_ok"])
+    assert not bool(out.loc["odd", "decode_ok"])
+    assert out.loc["a", "trim_start_ms"] == 200
+    assert (out.loc["a"] == out.loc["b"]).all()
+
+
+def test_vad_spark_and_jvm_side_trim(spark):
+    """End-to-end: vad_stats over a DataFrame, then the documented
+    JVM-side substring trim — the trimmed payload decodes to exactly the
+    speech span (payload never re-enters Python for the slice)."""
+    from pyspark.sql import functions as F
+
+    sig = np.concatenate([_silence(2400), _tone(4000), _silence(1600)])
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["c1"],
+            "bytes": [audio.encode(sig, "pcm_s16le")],
+            "codec": ["pcm_s16le"],
+            "sr_hz": [SR],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    v = vad_stats(df)
+    joined = df.join(v.select("clip_id", "trim_start_b", "trim_end_b"), "clip_id")
+    trimmed = joined.select(
+        "clip_id",
+        F.expr(
+            "substring(bytes, cast(1 + trim_start_b as int), "
+            "cast(trim_end_b - trim_start_b as int))"
+        ).alias("speech_bytes"),
+    ).first()
+    got = np.frombuffer(trimmed["speech_bytes"], dtype="<i2")
+    np.testing.assert_array_equal(got, sig[2400:6400])
