@@ -342,6 +342,18 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["audio_fingerprinted"] = timed("audio_fingerprint", _fp)
 
+    # 3c. VAD/silence segmentation over the same postimages (frame-energy
+    # cumsum + segmented reductions; see audio_vad.py)
+    def _vad():
+        from scylla_cdc_source_connector_spark.audio_vad import vad_stats
+
+        post = changelog.where("`cdc$operation` = 9").select(
+            "clip_id", "bytes", "codec", "sr_hz"
+        )
+        return vad_stats(post).where("decode_ok").count()
+
+    extra["audio_vad_clips"] = timed("audio_vad", _vad)
+
     # 4. operator suite over the sf tables (same entries the driver checks)
     suite = [
         "cdc_tumbling_window",
