@@ -245,6 +245,70 @@ def q_cdc_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_audio_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped quality telemetry (rows-only): per (shard,
+    1-minute tumbling window) aggregates of the vectorized audio verdict
+    over post-images — validated count, share passing the SNR floor, mean
+    rms.  The same plan a monitoring sink would attach to the change
+    stream; decode is not SQL-expressible, stats pinned by
+    tests/test_audio.py."""
+    import os
+    import tempfile
+
+    from scylla_cdc_source_connector_spark import audio
+    from scylla_cdc_source_connector_spark.fixtures import (
+        FixtureSpec,
+        make_changelog,
+        write_changelog_chunk,
+    )
+    from scylla_cdc_source_connector_spark.operators.windows import tumbling_agg
+
+    _utc(spark)
+    n_events = _events(spark, sf_dir).count()
+    spec = FixtureSpec(
+        n_events=min(n_events, 20_000), n_clips=max(50, n_events // 10)
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"sccs_changelog_{spec.n_events}_{spec.n_clips}.parquet"
+    )
+    if not os.path.exists(path):
+        write_changelog_chunk(make_changelog(spec), path)
+    df = spark.read.parquet(path)
+    post = df.where("`cdc$operation` = 9").select(
+        "clip_id", "`cdc$stream_id`", "`cdc$time`", "bytes", "codec"
+    )
+    stats = post.withColumn(
+        "v",
+        audio.make_audio_verdict_udf()(F.col("bytes"), F.col("codec")),
+    ).select(
+        "`cdc$stream_id`",
+        "`cdc$time`",
+        F.col("v.decode_ok").alias("decode_ok"),
+        F.col("v.roundtrip_snr_db").alias("snr_db"),
+    )
+    out = tumbling_agg(
+        stats,
+        "cdc$time",
+        "1 minute",
+        ["cdc$stream_id"],
+        [
+            F.count("*").alias("n_clips"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+            F.sum(
+                (F.col("decode_ok") & (F.col("snr_db") >= 30.0))
+                .cast("long")
+            ).alias("n_snr_ok"),
+        ],
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        F.col("`cdc$stream_id`").alias("shard_id"),
+        "n_clips",
+        "n_decoded",
+        "n_snr_ok",
+    ).orderBy("window_start_s", "shard_id")
+
+
 def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CDC apply (rows-only): exactly-once stream → committed
     envelope batches → bucket-partitioned materialized table; returns the
@@ -936,6 +1000,24 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dup(df)
 
 
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate normalization (audio_resample.py): every clip of the
+    mixed-codec fixture corpus → mono pcm_s16le @ 16 kHz via the grouped
+    flat linear-interpolation kernel.  Rows-only (decode not
+    SQL-expressible); kernel equality + SNR floors pinned by
+    tests/test_audio_resample.py."""
+    from scylla_cdc_source_connector_spark.audio_resample import resample_clips
+
+    clips = _fixture_clips(spark, sf_dir, 300)
+    out = resample_clips(
+        clips.select("clip_id", "bytes", "codec", "sr_hz"), target_sr=16_000
+    )
+    # drop the payload from the checked result (hash-stable metadata only)
+    return out.select(
+        "clip_id", "decode_ok", "codec", "sr_hz", "n_samples"
+    ).orderBy("clip_id")
+
+
 def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voice-activity segmentation (frame-energy VAD, audio_vad.py): per
     clip speech ratio + speech-span trim offsets.  A third of the clips
@@ -1133,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": q_audio_fingerprint,
         "audio_near_dup": q_audio_near_dup,
         "audio_vad": q_audio_vad,
+        "audio_resample": q_audio_resample,
+        "cdc_audio_quality_windows": q_cdc_audio_quality_windows,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_image_decode": q_multimodal_image_decode,
         "multimodal_video_frames": q_multimodal_video_frames,

@@ -69,8 +69,16 @@ def _pack_bits(bits: np.ndarray) -> np.ndarray:
 
 
 def _fingerprint_group(raws: list[bytes], codec: str):
-    """Fingerprint one same-codec group: decode -> one padded (N, L)
-    matrix -> 3 batched rffts -> 48 packed sign bits per clip."""
+    """Fingerprint one same-codec group: decode -> padded (N, L) matrices
+    -> 3 batched rffts -> 48 packed sign bits per clip.
+
+    Determinism invariant: each clip pads to the next power of two of its
+    OWN length, so the FFT length — and hence the band edges and the
+    fingerprint — is a pure function of (bytes, codec), never of which
+    other clips share the Arrow batch.  The incremental dedup index
+    (streaming/dedup_index.py) and any repartitioning of the corpus
+    depend on this; transcoded copies keep the same sample count and so
+    land in the same length bucket."""
     m = len(raws)
     byte_lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=m)
     lens = byte_lens // 2 if codec == "pcm_s16le" else byte_lens
@@ -81,21 +89,35 @@ def _fingerprint_group(raws: list[bytes], codec: str):
         return fps, lens, ok
 
     # ONE concatenated decode for the whole group (same LUT kernel shape
-    # as audio._stats_codec_group), then a vectorized scatter into the
-    # zero-padded (N, L) matrix — no per-clip numpy dispatch
+    # as audio._stats_codec_group), then per length-bucket a vectorized
+    # scatter into the zero-padded (N, L) matrix — no per-row dispatch
     sel = [raws[i] for i in use]
     pcm_concat = audio.decode(b"".join(sel), codec)
     sel_lens = lens[use]
-    L = int(sel_lens.max())
-    mat = np.zeros((len(use), L), dtype=np.float32)
-    rows = np.repeat(np.arange(len(use), dtype=np.int64), sel_lens)
     ends = np.cumsum(sel_lens)
-    # position of each sample within its clip: global index − clip start
-    within = np.arange(ends[-1], dtype=np.int64) - np.repeat(
-        ends - sel_lens, sel_lens
-    )
-    mat[rows, within] = pcm_concat
+    starts = ends - sel_lens
+    lbuck = np.int64(1) << np.ceil(np.log2(sel_lens)).astype(np.int64)
+    for L in (int(v) for v in np.unique(lbuck)):
+        idx = np.flatnonzero(lbuck == L)
+        sub_lens = sel_lens[idx]
+        total = int(sub_lens.sum())
+        rows = np.repeat(np.arange(len(idx), dtype=np.int64), sub_lens)
+        sub_ends = np.cumsum(sub_lens)
+        # position of each sample within its clip: local index − clip start
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            sub_ends - sub_lens, sub_lens
+        )
+        src = np.repeat(starts[idx], sub_lens) + within
+        mat = np.zeros((len(idx), L), dtype=np.float32)
+        mat[rows, within] = pcm_concat[src]
+        fps[use[idx]] = _fingerprint_matrix(mat, sub_lens, L)
+    return fps, lens.astype(np.int64), ok
 
+
+def _fingerprint_matrix(
+    mat: np.ndarray, sel_lens: np.ndarray, L: int
+) -> np.ndarray:
+    """Sign-bit fingerprints for one fixed-L padded matrix."""
     cols = np.arange(L, dtype=np.int64)[None, :]
     half = (sel_lens // 2)[:, None]
     # first/second half of each clip, zero-masked in place of slicing so
@@ -122,8 +144,7 @@ def _fingerprint_group(raws: list[bytes], codec: str):
         axis=1,
     )
     assert bits.shape[1] == 3 * nb - 2 <= 63
-    fps[use] = _pack_bits(bits)
-    return fps, lens.astype(np.int64), ok
+    return _pack_bits(bits)
 
 
 def audio_fingerprint_batches(

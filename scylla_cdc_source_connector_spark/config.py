@@ -118,6 +118,16 @@ class EngineConfig:
     audio_validation: bool = False
     audio_min_snr_db: float = 30.0
 
+    # incremental audio-dedup index (streaming/dedup_index.py): per batch,
+    # fingerprint new post-images, match against the committed index with
+    # the pigeonhole Hamming banding join, emit newly-found duplicate
+    # pairs + append to the log-structured index (compacted every
+    # `dedup_index_compact_every` batches).  Requires include_after=FULL
+    # (the post-image payload must ride the envelope).
+    dedup_index: bool = False
+    dedup_index_max_hamming: int = 8
+    dedup_index_compact_every: int = 8
+
     extras: dict = field(default_factory=dict)
 
     @property

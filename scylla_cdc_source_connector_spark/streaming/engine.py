@@ -211,6 +211,14 @@ def run_stream(
     """
     if mode not in ("vectorized", "stateful", "tws"):
         raise ValueError(f"unknown correlation mode: {mode!r}")
+    if cfg.dedup_index:
+        from scylla_cdc_source_connector_spark.config import IncludeMode
+
+        if cfg.include_after is not IncludeMode.FULL:
+            raise ValueError(
+                "dedup_index=True needs include_after=FULL: the post-image "
+                "payload must ride the envelope to be fingerprinted"
+            )
     if adopt_schema:
         if source_format != "parquet":
             raise ValueError("adopt_schema requires the parquet source")

@@ -239,7 +239,7 @@ def make_sink(cfg: EngineConfig):
             return
 
         # per-shard ordered emit + offsets (SourceInfo.offset() analog)
-        n, shards, n_quar = _write_batch(batch_df, batch_id, cfg)
+        n, shards, n_quar, n_dups = _write_batch(batch_df, batch_id, cfg)
         heartbeat(batch_df.sparkSession, batch_id, n, shards)
 
         # atomic lineage commit: tmp + rename (heartbeat on empty batches)
@@ -250,6 +250,7 @@ def make_sink(cfg: EngineConfig):
                 "batch_id": batch_id,
                 "n_records": n,
                 "n_quarantined": n_quar,
+                "n_dup_pairs": n_dups,
                 "shards": shards,
                 "committed_at_ms": int(time.time() * 1000),
                 "sink_seconds": round(time.time() - t0, 3),
@@ -377,7 +378,7 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
             complete = is_complete_expr(cfg)
 
             env = build_envelopes(corr.filter(complete), cfg, table=table)
-            n, shards, n_quar = _write_batch(env, batch_id, cfg, table=table)
+            n, shards, n_quar, n_dups = _write_batch(env, batch_id, cfg, table=table)
 
             # carry incomplete, unexpired groups; expired ones are dropped
             # like the reference's stale-task cleanup
@@ -409,6 +410,7 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                 "batch_id": batch_id,
                 "n_records": n,
                 "n_quarantined": n_quar,
+                "n_dup_pairs": n_dups,
                 "shards": shards,
                 "max_event_us": hwm,
                 "has_pending": bool(n_keep),
@@ -446,6 +448,7 @@ def _write_batch(
     shards: list[dict] = []
     n = 0
     n_quar = 0
+    n_dups = 0
     gate = _audio_gate_exprs(env_df, cfg)
     if gate is not None:
         env_df = gate["df"]
@@ -481,11 +484,18 @@ def _write_batch(
             .collect()
         )
         if not stats:
-            return n, shards, n_quar
+            return n, shards, n_quar, n_dups
         ordered = env_df.repartition(
             F.col("`cdc$stream_id`")
         ).sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
         ordered.write.mode("overwrite").parquet(batch_output_path(cfg, batch_id))
+        if cfg.dedup_index:
+            from scylla_cdc_source_connector_spark.streaming.dedup_index import (
+                maintain_dedup_index,
+            )
+
+            # gated rows only: quarantined payloads never enter the index
+            n_dups = maintain_dedup_index(env_df, batch_id, cfg)
     finally:
         persisted.unpersist()
     for r in stats:
@@ -500,7 +510,7 @@ def _write_batch(
             }
         )
         n += r["n_records"]
-    return n, shards, n_quar
+    return n, shards, n_quar, n_dups
 
 
 def _audio_gate_exprs(env_df: DataFrame, cfg: EngineConfig):

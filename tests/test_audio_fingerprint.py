@@ -65,6 +65,19 @@ def test_kernel_deterministic_and_gain_invariant():
     assert _ham(a[0], c[0]) <= 4
 
 
+def test_fingerprint_independent_of_batch_composition():
+    """A clip's fingerprint must be a pure function of (bytes, codec) —
+    not of which other clips share the Arrow batch (the incremental
+    dedup index compares fingerprints computed in different batches).
+    Regression: group-max padding made the FFT length depend on the
+    longest co-batched clip."""
+    raw = audio.encode(_clip(2, n=3000), "alaw")
+    long_raw = audio.encode(_clip(5, n=50_000), "alaw")
+    alone, _, _ = _fingerprint_group([raw], "alaw")
+    batched, _, _ = _fingerprint_group([long_raw, raw, long_raw], "alaw")
+    assert alone[0] == batched[1]
+
+
 def test_invalid_and_short_clips_flagged(spark):
     rows = [
         ("empty", b"", "pcm_s16le"),
