@@ -290,20 +290,33 @@ def worker(input_dir: str, meta_dir: str, cpus: int) -> None:
         ("scan_control", job_scan_control),
     ):
         job()  # warmup: JIT, codegen, file listing, page cache
-        t0 = time.time()
-        n = job()
-        out[name] = {"seconds": time.time() - t0, "n": n}
+        # min-of-2 measured passes: this KVM guest's throughput wanders on
+        # ~minute timescales (BASELINE.md §D); the min is the least-
+        # contended observation of an identical deterministic job
+        best_s, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = job()
+            s = time.time() - t0
+            best_s = s if best_s is None else min(best_s, s)
+        out[name] = {"seconds": best_s, "n": n}
     spark.stop()
     print(json.dumps(out))
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # N=4 → 4N=16 on this 32-vCPU box: the upper level must leave headroom
-    # below the socket's shared memory-bandwidth ceiling, otherwise the
+    # Two N→4N pairs by default.  The upper level must leave headroom below
+    # the socket's shared memory-bandwidth ceiling, otherwise the
     # measurement reports the memory bus, not core scaling (a real cluster
-    # brings 4x bandwidth with 4x executors)
-    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    # brings 4x bandwidth with 4x executors): 2→8 stays under the ceiling
+    # for every job; 4→16 stresses it and is reported alongside the pure-
+    # scan control that quantifies that ceiling.
+    ns = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_NS", "2,4").split(",")
+        if x.strip()
+    ]
     input_dir, rows = prepare_input(sf_dir)
     meta_dir, meta_rows = prepare_meta_input(input_dir, rows)
     prepare_bucketed_input(input_dir, rows)
@@ -315,10 +328,11 @@ def main() -> None:
         "scan_control": rows,
     }
 
+    levels = sorted({c for n in ns for c in (n, 4 * n)})
     best: dict[str, dict[int, float]] = {j: {} for j in job_rows}
     runs = []
     for rnd in range(ROUNDS):
-        for cpus in (n, 4 * n):  # interleave levels within each round
+        for cpus in levels:  # interleave all levels within each round
             t_start = time.time()
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
@@ -340,24 +354,31 @@ def main() -> None:
                 best[job][cpus] = t if cur is None else min(cur, t)
 
     result = {
-        "metric": "scaling efficiency, N -> 4N cores (same input, interleaved best-of-%d)" % ROUNDS,
-        "n_cores": n,
-        "n4_cores": 4 * n,
+        "metric": "scaling efficiency, N -> 4N cores (same input, "
+        "interleaved best-of-%d, min-of-2 in-JVM)" % ROUNDS,
+        "pairs": [{"n": n, "n4": 4 * n} for n in ns],
         "rows": job_rows,
         "sf": sf_dir,
         "jobs": {},
         "runs": runs,
     }
     for job, times in best.items():
-        thr_n = job_rows[job] / times[n]
-        thr_4n = job_rows[job] / times[4 * n]
-        result["jobs"][job] = {
-            "thr_n_rows_per_s": round(thr_n, 1),
-            "thr_4n_rows_per_s": round(thr_4n, 1),
-            "efficiency": round((thr_4n / thr_n) / 4, 3),
-        }
-    # headline: the compute-bound job (multi-executor stand-in; see module doc)
-    result["efficiency"] = result["jobs"]["metadata"]["efficiency"]
+        entry = {}
+        for n in ns:
+            thr_n = job_rows[job] / times[n]
+            thr_4n = job_rows[job] / times[4 * n]
+            entry[f"{n}to{4 * n}"] = {
+                "thr_n_rows_per_s": round(thr_n, 1),
+                "thr_4n_rows_per_s": round(thr_4n, 1),
+                "efficiency": round((thr_4n / thr_n) / 4, 3),
+            }
+        result["jobs"][job] = entry
+    # headline: the compute-bound job at the pair below the box's bandwidth
+    # ceiling (multi-executor stand-in; see module doc)
+    head_n = ns[0]
+    result["efficiency"] = result["jobs"]["metadata"][f"{head_n}to{4 * head_n}"][
+        "efficiency"
+    ]
     print(json.dumps(result))
 
 
