@@ -301,12 +301,16 @@ def q_cdc_audio_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.select(
-        F.col("window_start").cast("long").alias("window_start_s"),
+        # window_start is TIMESTAMP_NTZ here (fixture cdc$time); route
+        # through TIMESTAMP (session tz pinned to UTC) for the epoch
+        F.unix_millis(F.col("window_start").cast("timestamp")).alias(
+            "window_start_ms"
+        ),
         F.col("`cdc$stream_id`").alias("shard_id"),
         "n_clips",
         "n_decoded",
         "n_snr_ok",
-    ).orderBy("window_start_s", "shard_id")
+    ).orderBy("window_start_ms", "shard_id")
 
 
 def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:

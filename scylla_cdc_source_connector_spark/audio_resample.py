@@ -142,6 +142,74 @@ def _resample_group(
     return n_out, enc_parts
 
 
+def _resample_frame(pdf: pd.DataFrame, target_sr: int) -> pd.DataFrame:
+    """One-frame kernel shared by the mapInPandas body and the scalar
+    UDF: (clip_id, bytes, codec, sr_hz) frame -> RESAMPLE_SCHEMA frame."""
+    n = len(pdf)
+    dec_ok = np.zeros(n, dtype=bool)
+    n_samp = np.zeros(n, dtype=np.int64)
+    out_bytes: list = [None] * n
+
+    codecs = np.asarray(pdf["codec"].values, dtype=object)
+    raws = pdf["bytes"].values
+    srs = (
+        pd.to_numeric(pdf["sr_hz"], errors="coerce")
+        .fillna(0)
+        .to_numpy(dtype=np.int64)
+    )
+    chans = np.ones(n, dtype=np.int64)
+
+    eff_codec = codecs.copy()
+    eff_raw: list = list(raws)
+    for i in np.flatnonzero(codecs == "wav"):
+        if raws[i] is None:
+            eff_codec[i] = None
+            continue
+        try:
+            inner, ch, sr, payload = audio.wav_parse(bytes(raws[i]))
+        except (audio.MalformedContainerError, audio.UnsupportedCodecError):
+            eff_codec[i] = None
+            continue
+        eff_codec[i], eff_raw[i] = inner, payload
+        srs[i], chans[i] = sr, ch
+
+    valid = np.fromiter(
+        (
+            r is not None
+            and c in _BYTES_PER_SAMPLE
+            and s > 0
+            and not (c == "pcm_s16le" and len(r) % 2)
+            for r, c, s in zip(eff_raw, eff_codec, srs)
+        ),
+        dtype=bool,
+        count=n,
+    )
+    keys = [(eff_codec[i], int(srs[i]), int(chans[i])) for i in range(n)]
+    for key in sorted({k for i, k in enumerate(keys) if valid[i]}, key=str):
+        codec, sr, ch = key
+        pos = np.flatnonzero(
+            valid
+            & np.fromiter((k == key for k in keys), dtype=bool, count=n)
+        )
+        group = [bytes(eff_raw[i]) for i in pos]
+        ns, encs = _resample_group(group, codec, sr, target_sr, ch)
+        for j, i in enumerate(pos):
+            out_bytes[i] = encs[j]
+        n_samp[pos] = ns
+        dec_ok[pos] = True
+
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"].values,
+            "decode_ok": dec_ok,
+            "codec": np.where(dec_ok, "pcm_s16le", None),
+            "sr_hz": np.where(dec_ok, target_sr, 0).astype("int32"),
+            "n_samples": n_samp.astype("int32"),
+            "bytes": out_bytes,
+        }
+    )
+
+
 def resample_batches(target_sr: int = 16_000):
     """mapInPandas body factory.  Input columns: clip_id, bytes, codec,
     sr_hz.  Output: RESAMPLE_SCHEMA — every decodable clip normalized to
@@ -149,77 +217,50 @@ def resample_batches(target_sr: int = 16_000):
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = len(pdf)
-            dec_ok = np.zeros(n, dtype=bool)
-            n_samp = np.zeros(n, dtype=np.int64)
-            out_bytes: list = [None] * n
-
-            codecs = np.asarray(pdf["codec"].values, dtype=object)
-            raws = pdf["bytes"].values
-            srs = (
-                pd.to_numeric(pdf["sr_hz"], errors="coerce")
-                .fillna(0)
-                .to_numpy(dtype=np.int64)
-            )
-            chans = np.ones(n, dtype=np.int64)
-
-            eff_codec = codecs.copy()
-            eff_raw: list = list(raws)
-            for i in np.flatnonzero(codecs == "wav"):
-                if raws[i] is None:
-                    eff_codec[i] = None
-                    continue
-                try:
-                    inner, ch, sr, payload = audio.wav_parse(bytes(raws[i]))
-                except (audio.MalformedContainerError, audio.UnsupportedCodecError):
-                    eff_codec[i] = None
-                    continue
-                eff_codec[i], eff_raw[i] = inner, payload
-                srs[i], chans[i] = sr, ch
-
-            valid = np.fromiter(
-                (
-                    r is not None
-                    and c in _BYTES_PER_SAMPLE
-                    and s > 0
-                    and not (c == "pcm_s16le" and len(r) % 2)
-                    for r, c, s in zip(eff_raw, eff_codec, srs)
-                ),
-                dtype=bool,
-                count=n,
-            )
-            keys = [
-                (eff_codec[i], int(srs[i]), int(chans[i])) for i in range(n)
-            ]
-            for key in sorted(
-                {k for i, k in enumerate(keys) if valid[i]}, key=str
-            ):
-                codec, sr, ch = key
-                pos = np.flatnonzero(
-                    valid
-                    & np.fromiter(
-                        (k == key for k in keys), dtype=bool, count=n
-                    )
-                )
-                group = [bytes(eff_raw[i]) for i in pos]
-                ns, encs = _resample_group(group, codec, sr, target_sr, ch)
-                for j, i in enumerate(pos):
-                    out_bytes[i] = encs[j]
-                n_samp[pos] = ns
-                dec_ok[pos] = True
-
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"].values,
-                    "decode_ok": dec_ok,
-                    "codec": np.where(dec_ok, "pcm_s16le", None),
-                    "sr_hz": np.where(dec_ok, target_sr, 0).astype("int32"),
-                    "n_samples": n_samp.astype("int32"),
-                    "bytes": out_bytes,
-                }
-            )
+            yield _resample_frame(pdf, target_sr)
 
     return body
+
+
+#: struct type returned by make_resample_udf (DDL)
+RESAMPLE_UDF_TYPE = (
+    "struct<bytes: binary, codec: string, sr_hz: int, "
+    "n_samples: int, ok: boolean>"
+)
+
+
+def make_resample_udf(target_sr: int = 16_000):
+    """Scalar Arrow pandas UDF (bytes, codec, sr_hz) -> struct(bytes,
+    codec, sr_hz, n_samples, ok) — the normalize-on-ingest kernel.
+
+    A scalar struct UDF (same shape as audio.make_audio_verdict_udf) so
+    the normalized payload lands as a column INSIDE the existing
+    envelope plan: no key join, no second shuffle of the payload.  Rows
+    the kernel cannot decode (null payload, unsupported codec, missing
+    sr) come back ok=false and the caller keeps the original cells."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(RESAMPLE_UDF_TYPE)
+    def resample(
+        raw: pd.Series, codec: pd.Series, sr: pd.Series
+    ) -> pd.DataFrame:
+        out = _resample_frame(
+            pd.DataFrame(
+                {"clip_id": "", "bytes": raw, "codec": codec, "sr_hz": sr}
+            ),
+            target_sr,
+        )
+        return pd.DataFrame(
+            {
+                "bytes": out["bytes"],
+                "codec": out["codec"],
+                "sr_hz": out["sr_hz"],
+                "n_samples": out["n_samples"],
+                "ok": out["decode_ok"],
+            }
+        )
+
+    return resample
 
 
 def resample_clips(df, target_sr: int = 16_000):

@@ -118,6 +118,15 @@ class EngineConfig:
     audio_validation: bool = False
     audio_min_snr_db: float = 30.0
 
+    # normalize-on-ingest (audio_resample.py): when set, every emitted
+    # post-image payload is resampled to mono pcm_s16le at this rate
+    # inside the exactly-once write path (one scalar Arrow UDF stamped
+    # into the persisted envelope plan — no extra shuffle).  Rows the
+    # kernel cannot decode keep their original cells; quarantined rows
+    # (audio_validation) are dead-lettered with their ORIGINAL payload.
+    # Requires include_after=FULL.
+    audio_normalize_sr: int | None = None
+
     # incremental audio-dedup index (streaming/dedup_index.py): per batch,
     # fingerprint new post-images, match against the committed index with
     # the pigeonhole Hamming banding join, emit newly-found duplicate

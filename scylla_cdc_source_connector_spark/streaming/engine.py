@@ -211,13 +211,14 @@ def run_stream(
     """
     if mode not in ("vectorized", "stateful", "tws"):
         raise ValueError(f"unknown correlation mode: {mode!r}")
-    if cfg.dedup_index:
+    if cfg.dedup_index or cfg.audio_normalize_sr:
         from scylla_cdc_source_connector_spark.config import IncludeMode
 
         if cfg.include_after is not IncludeMode.FULL:
+            which = "dedup_index" if cfg.dedup_index else "audio_normalize_sr"
             raise ValueError(
-                "dedup_index=True needs include_after=FULL: the post-image "
-                "payload must ride the envelope to be fingerprinted"
+                f"{which} needs include_after=FULL: the post-image "
+                "payload must ride the envelope"
             )
     if adopt_schema:
         if source_format != "parquet":

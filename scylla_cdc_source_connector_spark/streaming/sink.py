@@ -452,6 +452,9 @@ def _write_batch(
     gate = _audio_gate_exprs(env_df, cfg)
     if gate is not None:
         env_df = gate["df"]
+    norm = _normalize_exprs(env_df, cfg)
+    if norm is not None:
+        env_df = norm["df"]
     persisted = env_df
     persisted.persist()
     try:
@@ -461,10 +464,13 @@ def _write_batch(
             if n_quar:
                 (
                     bad.withColumn("quarantine_reason", gate["reason"])
+                    .drop("__audio_norm")
                     .write.mode("overwrite")
                     .parquet(quarantine_path(cfg, batch_id))
                 )
             env_df = persisted.filter(gate["pass"]).drop("__audio_verdict")
+        if norm is not None:
+            env_df = norm["apply"](env_df)
         stats = (
             env_df.groupBy("`cdc$stream_id`", "generation")
             .agg(
@@ -553,6 +559,58 @@ def _audio_gate_exprs(env_df: DataFrame, cfg: EngineConfig):
         F.lit(f"snr_below_{cfg.audio_min_snr_db:g}db")
     )
     return {"df": df, "pass": ok, "reason": reason}
+
+
+def _normalize_exprs(env_df: DataFrame, cfg: EngineConfig):
+    """Normalize-on-ingest pieces for _write_batch, or None when off or
+    the envelope carries no (bytes, codec, sr_hz) post-image columns.
+
+    Returns {"df": env + __audio_norm column, "apply": fn} — the column
+    is stamped BEFORE the persist (one plan execution, like the verdict
+    gate); "apply" rewrites value.after in place via withField for rows
+    the kernel decoded, so emitted envelopes carry mono pcm_s16le at
+    cfg.audio_normalize_sr while undecodable rows keep their original
+    cells.  Quarantine output drops the column and dead-letters the
+    ORIGINAL payload."""
+    if not cfg.audio_normalize_sr:
+        return None
+    try:
+        after = next(
+            f for f in env_df.schema["value"].dataType.fields
+            if f.name == "after"
+        )
+        names = {f.name for f in after.dataType.fields}
+    except (KeyError, AttributeError, StopIteration):
+        return None
+    if not {"bytes", "codec", "sr_hz"} <= names:
+        return None
+
+    from scylla_cdc_source_connector_spark.audio_resample import (
+        make_resample_udf,
+    )
+
+    rs = make_resample_udf(target_sr=cfg.audio_normalize_sr)
+    df = env_df.withColumn(
+        "__audio_norm",
+        rs(
+            F.col("value.after.bytes"),
+            F.col("value.after.codec"),
+            F.col("value.after.sr_hz"),
+        ),
+    )
+
+    def apply(d: DataFrame) -> DataFrame:
+        nm = F.col("__audio_norm")
+        use = nm["ok"] & F.col("value.after.bytes").isNotNull()
+        val = F.col("value")
+        for fld in ("bytes", "codec", "sr_hz"):
+            val = val.withField(
+                f"after.{fld}",
+                F.when(use, nm[fld]).otherwise(F.col(f"value.after.{fld}")),
+            )
+        return d.withColumn("value", val).drop("__audio_norm")
+
+    return {"df": df, "apply": apply}
 
 
 def max_consumed_time_us(cfg: EngineConfig, generation: int) -> dict[str, int]:
