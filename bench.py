@@ -354,6 +354,20 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["audio_vad_clips"] = timed("audio_vad", _vad)
 
+    # 3d. sample-rate normalization of the same postimages (grouped flat
+    # linear-interp kernel; see audio_resample.py)
+    def _resample():
+        from scylla_cdc_source_connector_spark.audio_resample import (
+            resample_clips,
+        )
+
+        post = changelog.where("`cdc$operation` = 9").select(
+            "clip_id", "bytes", "codec", "sr_hz"
+        )
+        return resample_clips(post, target_sr=16_000).where("decode_ok").count()
+
+    extra["audio_resampled"] = timed("audio_resample", _resample)
+
     # 4. operator suite over the sf tables (same entries the driver checks)
     suite = [
         "cdc_tumbling_window",

@@ -168,6 +168,76 @@ def test_compaction_supersedes_log(spark, tmp_root_mod, dup_stream):
     assert set(expected) <= {r["clip_id"] for r in idx.collect()}
 
 
+def test_cross_sample_rate_copies_collide_after_normalization(
+    spark, tmp_root_mod
+):
+    """Composed pipeline: the SAME content ingested at different sample
+    rates (8 kHz alaw vs 44.1 kHz pcm) does NOT collide on raw
+    fingerprints — but with normalize-on-ingest the index fingerprints
+    the normalized (mono pcm_s16le @ 16 kHz) payloads, so the copies
+    match at ingest time."""
+    from scylla_cdc_source_connector_spark.audio_resample import (
+        resample_linear,
+    )
+
+    tmp = f"{tmp_root_mod}/xsr"
+    pdf = make_changelog(FixtureSpec(n_events=60, n_clips=8, n_shards=2))
+    post = pdf[pdf["cdc$operation"] == OP_POST_IMAGE].drop_duplicates(
+        "clip_id"
+    )
+    t_shift = int(pdf["cdc$time_us"].max()) + 1_000_000
+    rows = []
+    expected = {}
+    for _, r in post.head(3).iterrows():
+        # the SAME recording upsampled to 44.1 kHz pcm — the realistic
+        # cross-rate duplicate (an independent re-render with fresh
+        # noise would be different content, not a duplicate)
+        pcm = audio.decode(bytes(r["bytes"]), r["codec"])
+        up = resample_linear(pcm, int(r["sr_hz"]), 44_100)
+        raw44 = audio.encode(
+            np.clip(
+                np.round(up.astype(np.float64) * 32768.0), -32768, 32767
+            ).astype(np.int16),
+            "pcm_s16le",
+        )
+        grp = pdf[
+            (pdf["clip_id"] == r["clip_id"])
+            & (pdf["cdc$time_us"] == r["cdc$time_us"])
+        ].copy()
+        dup_id = f"{r['clip_id']}-sr44"
+        grp["clip_id"] = dup_id
+        grp["cdc$time_us"] = grp["cdc$time_us"] + t_shift
+        grp["cdc$time"] = pd.to_datetime(grp["cdc$time_us"], unit="us")
+        has = grp["bytes"].notna()
+        grp.loc[has, "bytes"] = [raw44] * int(has.sum())
+        grp.loc[has, "codec"] = "pcm_s16le"
+        grp.loc[has, "sr_hz"] = 44_100
+        rows.append(grp)
+        expected[dup_id] = r["clip_id"]
+    d = f"{tmp}/in"
+    os.makedirs(d, exist_ok=True)
+    write_changelog_chunk(pdf, f"{d}/c0.parquet")
+    write_changelog_chunk(pd.concat(rows, ignore_index=True), f"{d}/c1.parquet")
+
+    cfg = _cfg(
+        tmp_root_mod,
+        "xsr_run",
+        dedup_index_compact_every=0,
+        audio_normalize_sr=16_000,
+    )
+    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    pairs = {
+        (r["clip_id"], r["match_clip_id"])
+        for r in read_dup_pairs(spark, cfg).collect()
+    }
+    for dup_id, orig_id in expected.items():
+        assert (dup_id, orig_id) in pairs or (orig_id, dup_id) in pairs, (
+            dup_id,
+            sorted(pairs)[:10],
+        )
+
+
 def test_dedup_index_requires_full_postimage(spark, tmp_root_mod, dup_stream):
     d, _ = dup_stream
     cfg = EngineConfig(
