@@ -94,6 +94,26 @@ def main() -> None:
                "cdc pipeline, include=full/full")
     assert r1["exchanges"] == 1, "expected exactly ONE exchange"
 
+    # normalize-on-ingest stamps a scalar Arrow UDF + withField rewrite
+    # into the same plan — it must add ZERO exchanges (the payload never
+    # makes an extra network trip to get resampled)
+    from scylla_cdc_source_connector_spark.streaming.sink import (
+        _normalize_exprs,
+    )
+
+    cfg_norm = EngineConfig(
+        include_before=IncludeMode.FULL,
+        include_after=IncludeMode.FULL,
+        audio_normalize_sr=16_000,
+    )
+    env_n = cdc_envelopes(cl, cfg_norm, processing_ts_ms=F.lit(0))
+    nx = _normalize_exprs(env_n, cfg_norm)
+    assert nx is not None
+    rn = audit(nx["apply"](nx["df"]), "cdc pipeline + normalize-on-ingest")
+    assert rn["exchanges"] == r1["exchanges"], (
+        "normalize stage must not add an exchange"
+    )
+
     r2 = audit(cdc_envelopes(cl, EngineConfig(), processing_ts_ms=F.lit(0))
                .select("clip_id", "value.op"),
                "cdc pipeline, include=none/none (default)")

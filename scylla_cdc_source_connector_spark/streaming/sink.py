@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -388,13 +389,25 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
             )
             group_keys = [*table.pk_columns, "cdc$time"]
             keep_keys = keep.select(*[f"`{c}`" for c in group_keys])
-            # semi-join is broadcast by AQE: keep_keys is tiny (only
-            # boundary-split groups survive a batch)
-            pend = all_rows.join(keep_keys, group_keys, "left_semi")
-            if deferred is not None:
-                pend = pend.unionByName(deferred)
-            n_keep = pend.count()
+            # probe the CHEAP side first: keep_keys is a slim projection of
+            # the cached correlation result, so this count never touches the
+            # payload.  The semi-join back into all_rows (broadcast by AQE:
+            # keep_keys is tiny — only boundary-split groups survive a
+            # batch) runs only when there IS pending state; the common
+            # steady-state batch skips the extra pass over the payload cache
+            # entirely.
+            n_keep = keep_keys.count()
+            pend = None
             if n_keep:
+                pend = all_rows.join(keep_keys, group_keys, "left_semi")
+            if deferred is not None:
+                d_cnt = deferred.count()
+                if d_cnt:
+                    pend = (
+                        pend.unionByName(deferred) if pend is not None else deferred
+                    )
+                    n_keep += d_cnt
+            if pend is not None:
                 pend.write.mode("overwrite").parquet(
                     pending_path(cfg, batch_id)
                 )
@@ -431,20 +444,23 @@ def _write_batch(
     """Idempotent per-batch output write + per-shard offset stats
     (shared by make_sink and make_correlating_sink).
 
-    The envelope plan executes ONCE: env_df is persisted, the stats
-    aggregation both materializes the cache and doubles as the emptiness
-    probe, and the ordered write then reads from the cache.  (Running
-    isEmpty / write / stats as three separate actions re-executed the
-    whole upstream plan — in vectorized mode that re-ran the correlation
-    aggregation — three times per micro-batch.)  The stats .collect()
-    itself is a per-shard aggregate, bounded by shard count.
+    The envelope plan executes ONCE, on the ordered write itself; the
+    per-shard offset stats then come from a column-pruned scan of the
+    parquet just written (4 metadata columns out of a payload-bearing
+    row — the read-back never touches the audio bytes), which doubles as
+    the emptiness probe.  (Running isEmpty / write / stats as three
+    separate actions re-executed the whole upstream plan — in vectorized
+    mode that re-ran the correlation aggregation — three times per
+    micro-batch; caching the envelope instead was measured WORSE: the
+    before+after full images make the cache ~2× the payload, and
+    materializing it cost more than the second pass it saved.)
 
-    With cfg.audio_validation on, a vectorized verdict column is stamped
-    into the plan BEFORE the persist; failing envelopes are written to
-    the quarantine dir (idempotent per batch_id) and excluded from the
-    emit stream — the dead-letter-queue analog of Connect's
-    errors.tolerance=all, upgraded to exactly-once by the same lineage
-    commit that covers the main output."""
+    With cfg.audio_validation / normalize / dedup_index on, the verdict
+    and resample columns are stamped into the plan BEFORE a persist and
+    the derived outputs (quarantine, emit, index) all read the cache —
+    those paths genuinely reuse the decoded verdict several times, which
+    is what persist is for.  The stats .collect() itself is a per-shard
+    aggregate, bounded by shard count."""
     shards: list[dict] = []
     n = 0
     n_quar = 0
@@ -455,6 +471,58 @@ def _write_batch(
     norm = _normalize_exprs(env_df, cfg)
     if norm is not None:
         env_df = norm["df"]
+
+    def shard_stats(df: DataFrame) -> list:
+        return (
+            df.groupBy("`cdc$stream_id`", "generation")
+            .agg(
+                F.min("`cdc$time_us`").alias("window_start_us"),
+                F.max("`cdc$time_us`").alias("window_end_us"),
+                # single-pk tables record the raw id; composite keys a
+                # pipe-joined rendering (lineage is a JSON progress record,
+                # not a resume key — offsets live in the checkpoint)
+                F.max_by(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"`{c}`").cast("string") for c in table.pk_columns],
+                    ),
+                    "`cdc$time_us`",
+                ).alias("last_change_clip_id"),
+                F.count("*").alias("n_records"),
+            )
+            .collect()
+        )
+
+    def ordered_write(df: DataFrame) -> None:
+        (
+            df.repartition(F.col("`cdc$stream_id`"))
+            .sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
+            .write.mode("overwrite")
+            .parquet(batch_output_path(cfg, batch_id))
+        )
+
+    if gate is None and norm is None and not cfg.dedup_index:
+        # fast path (no payload post-processing): one plan execution
+        out = batch_output_path(cfg, batch_id)
+        ordered_write(env_df)
+        if not any(f.startswith("part-") for f in os.listdir(out)):
+            shutil.rmtree(out, ignore_errors=True)  # empty batch: no output dir
+            return n, shards, n_quar, n_dups
+        stats = shard_stats(env_df.sparkSession.read.parquet(out))
+        for r in stats:
+            shards.append(
+                {
+                    "shard_id": r["cdc$stream_id"],
+                    "generation": r["generation"],
+                    "window_start_us": r["window_start_us"],
+                    "window_end_us": r["window_end_us"],
+                    "last_change_clip_id": r["last_change_clip_id"],
+                    "n_records": r["n_records"],
+                }
+            )
+            n += r["n_records"]
+        return n, shards, n_quar, n_dups
+
     persisted = env_df
     persisted.persist()
     try:
@@ -471,30 +539,10 @@ def _write_batch(
             env_df = persisted.filter(gate["pass"]).drop("__audio_verdict")
         if norm is not None:
             env_df = norm["apply"](env_df)
-        stats = (
-            env_df.groupBy("`cdc$stream_id`", "generation")
-            .agg(
-                F.min("`cdc$time_us`").alias("window_start_us"),
-                F.max("`cdc$time_us`").alias("window_end_us"),
-                # single-pk tables record the raw id; composite keys a
-                # pipe-joined rendering (lineage is a JSON progress record,
-                # not a resume key — offsets live in the checkpoint)
-                F.max_by(
-                    F.concat_ws(
-                        "|", *[F.col(f"`{c}`").cast("string") for c in table.pk_columns]
-                    ),
-                    "`cdc$time_us`",
-                ).alias("last_change_clip_id"),
-                F.count("*").alias("n_records"),
-            )
-            .collect()
-        )
+        stats = shard_stats(env_df)
         if not stats:
             return n, shards, n_quar, n_dups
-        ordered = env_df.repartition(
-            F.col("`cdc$stream_id`")
-        ).sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
-        ordered.write.mode("overwrite").parquet(batch_output_path(cfg, batch_id))
+        ordered_write(env_df)
         if cfg.dedup_index:
             from scylla_cdc_source_connector_spark.streaming.dedup_index import (
                 maintain_dedup_index,
