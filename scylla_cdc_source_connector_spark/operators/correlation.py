@@ -179,7 +179,13 @@ def mask_unused_images(correlated: DataFrame, cfg: EngineConfig) -> DataFrame:
     return out
 
 
-def is_complete_expr(cfg: EngineConfig):
+def is_complete_expr(
+    cfg: EngineConfig,
+    *,
+    op: Column | None = None,
+    has_pre: Column | None = None,
+    has_post: Column | None = None,
+):
     """C3 completion predicate as a columnar expression over a correlated
     row (TaskInfo.recalculateIsComplete variants):
 
@@ -191,12 +197,22 @@ def is_complete_expr(cfg: EngineConfig):
                                                           TaskInfo.java:192-215
       PARTITION_DELETE — preimage only when version-gated flag set
                                                 (ScyllaChangesConsumer.java:98-102)
+
+    By default the inputs are read from a correlate_batch row; callers
+    with a slimmer layout (e.g. the sink's metadata-only status plan)
+    inject their own op / image-presence columns — same predicate, one
+    source of truth.  Image presence here means presence in the GROUP:
+    masking (mask_unused_images) only nulls images the config does not
+    need, and for those the ~need_* arm short-circuits anyway.
     """
-    op = F.col("delta.`cdc$operation`")
+    if op is None:
+        op = F.col("delta.`cdc$operation`")
     need_pre = F.lit(cfg.needs_preimage)
     need_post = F.lit(cfg.needs_postimage)
-    has_pre = F.col("pre_image").isNotNull()
-    has_post = F.col("post_image").isNotNull()
+    if has_pre is None:
+        has_pre = F.col("pre_image").isNotNull()
+    if has_post is None:
+        has_post = F.col("post_image").isNotNull()
     return (
         F.when(op == OP_ROW_INSERT, ~need_post | has_post)
         .when(op == OP_ROW_UPDATE, (~need_pre | has_pre) & (~need_post | has_post))

@@ -83,9 +83,15 @@ def emitted_lag_report(
     return emit_lag_percentiles(read_emitted(spark, cfg))
 
 
-def streaming_query_summary(query) -> dict:
+def streaming_query_summary(query, cfg: EngineConfig | None = None) -> dict:
     """Throughput + per-batch duration percentiles from recentProgress
-    (the observable the driver's dashboards scrape)."""
+    (the observable the driver's dashboards scrape).
+
+    With cfg, input_rows is normalized to ROWS ARRIVED: the sink records
+    in each lineage commit how many times that batch scanned its source
+    (a pending-state write against the uncached batch input re-reads it
+    once), and numInputRows is divided back accordingly.  Without cfg the
+    raw scan count is reported unchanged."""
     seen: set = set()
     progresses = []
     # recentProgress can report the terminal batch twice — dedupe by batchId
@@ -100,7 +106,16 @@ def streaming_query_summary(query) -> dict:
         for p in progresses
         if p.get("durationMs", {}).get("triggerExecution") is not None
     )
-    rows = sum(p["numInputRows"] for p in progresses)
+    scans_by_batch: dict = {}
+    if cfg is not None:
+        scans_by_batch = {
+            rec["batch_id"]: rec.get("n_source_scans", 1)
+            for rec in read_lineage(cfg)
+        }
+    rows = sum(
+        p["numInputRows"] // max(scans_by_batch.get(p.get("batchId"), 1), 1)
+        for p in progresses
+    )
     total_s = sum(durs) / 1000.0
 
     def pct(f: float) -> float:

@@ -34,7 +34,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from scylla_cdc_source_connector_spark.config import EngineConfig
@@ -333,10 +333,16 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
             all_rows = raw_df.unionByName(
                 spark.read.parquet(pending_path(cfg, prev_pending))
             )
-        # cache the micro-batch input: the pending-state write below re-uses
-        # it, and without this the file source is scanned (and it reports
-        # numInputRows) a second time
-        all_rows.persist()
+        # The batch input is deliberately NOT persisted.  Spark's SQL cache
+        # builds compressed columnar batches, and on a payload-bearing
+        # changelog that materialization costs more than the one extra
+        # column-pruned scan it would save (measured: the two payload
+        # caches dominated sink time ~4:1 over the actual write).  Each
+        # pass below reads only the columns it needs straight off the
+        # parquet scan; the payload rides exactly ONE pass (the ordered
+        # envelope write).  The file source may report numInputRows once
+        # per extra metadata pass — a cosmetic double-count.
+        cached = None
 
         # S4/K1 record-level admission (the reference's per-task
         # max.batch.size poll cap, README.md:1363-1370): admit the first
@@ -350,6 +356,11 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
         if budget and budget > 0:
             from pyspark.sql import Window
 
+            # the ranking window is consumed twice (admitted + deferred), so
+            # THIS path does persist — the budget cap bounds the batch size,
+            # keeping the cache small by construction
+            all_rows.persist()
+            cached = all_rows
             w_adm = Window.partitionBy("`cdc$stream_id`").orderBy(
                 "`cdc$time_us`",
                 "`cdc$batch_seq_no`",
@@ -372,34 +383,64 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
             ),
             cfg,
         )
-        corr.persist()
         try:
-            max_ev = corr.agg(F.max("`cdc$time_us`")).first()[0]
-            hwm = max(prev_hwm, max_ev or 0)
+            # Watermark + incomplete-group bookkeeping ride the write pass
+            # itself as an Observation on the correlated rows (evaluated
+            # while the plan executes — no second execution, no second
+            # source scan, so numInputRows stays an honest per-row count).
+            # Incomplete-group KEYS are collected too: they are only the
+            # groups a micro-batch boundary split (plus whatever the
+            # admission budget deferred), and the budget/trigger caps bound
+            # the batch — a batch where EVERY group is incomplete collects
+            # one key struct per group, which those caps keep driver-safe.
             complete = is_complete_expr(cfg)
-
-            env = build_envelopes(corr.filter(complete), cfg, table=table)
+            group_keys = [*table.pk_columns, "cdc$time"]
+            obs = Observation(f"sink-status-{batch_id}")
+            observed = corr.observe(
+                obs,
+                F.max("`cdc$time_us`").alias("max_ev"),
+                F.count(F.when(~complete, F.lit(1))).alias("n_inc"),
+                F.collect_list(
+                    F.when(
+                        ~complete,
+                        F.struct(
+                            *[F.col(f"`{c}`") for c in group_keys],
+                            F.col("`cdc$time_us`").alias("__ev_us"),
+                        ),
+                    )
+                ).alias("inc_keys"),
+            )
+            env = build_envelopes(observed.filter(complete), cfg, table=table)
+            # the ONE payload pass: scan → correlate → envelope → ordered
+            # write (stats come off a pruned read-back inside _write_batch)
             n, shards, n_quar, n_dups = _write_batch(env, batch_id, cfg, table=table)
 
+            status = obs.get
+            max_ev, n_inc = status["max_ev"], status["n_inc"] or 0
+            hwm = max(prev_hwm, max_ev or 0)
+
             # carry incomplete, unexpired groups; expired ones are dropped
-            # like the reference's stale-task cleanup
+            # like the reference's stale-task cleanup.  The payload-bearing
+            # semi-join (one extra source scan) runs only when incomplete
+            # groups actually exist.
             ttl_floor = hwm - cfg.incomplete_task_timeout_ms * 1000
-            keep = corr.filter(~complete).filter(
-                F.col("`cdc$time_us`") >= ttl_floor
-            )
-            group_keys = [*table.pk_columns, "cdc$time"]
-            keep_keys = keep.select(*[f"`{c}`" for c in group_keys])
-            # probe the CHEAP side first: keep_keys is a slim projection of
-            # the cached correlation result, so this count never touches the
-            # payload.  The semi-join back into all_rows (broadcast by AQE:
-            # keep_keys is tiny — only boundary-split groups survive a
-            # batch) runs only when there IS pending state; the common
-            # steady-state batch skips the extra pass over the payload cache
-            # entirely.
-            n_keep = keep_keys.count()
+            kept = [
+                k for k in status["inc_keys"] if k["__ev_us"] >= ttl_floor
+            ]
+            n_keep = len(kept)
             pend = None
-            if n_keep:
-                pend = all_rows.join(keep_keys, group_keys, "left_semi")
+            if kept:
+                keep_keys = spark.createDataFrame(
+                    [tuple(k[c] for c in group_keys) for k in kept],
+                    schema=all_rows.select(
+                        *[f"`{c}`" for c in group_keys]
+                    ).schema,
+                )
+                # broadcast: keep_keys is tiny (only boundary-split groups
+                # survive a batch)
+                pend = all_rows.join(
+                    F.broadcast(keep_keys), group_keys, "left_semi"
+                )
             if deferred is not None:
                 d_cnt = deferred.count()
                 if d_cnt:
@@ -407,13 +448,19 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                         pend.unionByName(deferred) if pend is not None else deferred
                     )
                     n_keep += d_cnt
+            n_source_scans = 1
             if pend is not None:
+                if cached is None:
+                    # the pend write re-reads the (uncached) batch input —
+                    # recorded so metrics can normalize numInputRows back
+                    # to rows-arrived
+                    n_source_scans = 2
                 pend.write.mode("overwrite").parquet(
                     pending_path(cfg, batch_id)
                 )
         finally:
-            corr.unpersist()
-            all_rows.unpersist()
+            if cached is not None:
+                cached.unpersist()
 
         heartbeat(spark, batch_id, n, shards)
         _commit_lineage(
@@ -427,6 +474,7 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                 "shards": shards,
                 "max_event_us": hwm,
                 "has_pending": bool(n_keep),
+                "n_source_scans": n_source_scans,
                 "committed_at_ms": int(time.time() * 1000),
                 "sink_seconds": round(time.time() - t0, 3),
             },

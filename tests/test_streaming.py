@@ -262,7 +262,9 @@ def test_metrics_surface(spark, tmp_root, stream_pdf):
         r["batch_id"] for r in sink_mod.read_lineage(cfg) if r["n_records"] == 0
     ]
 
-    summary = metrics.streaming_query_summary(q)
+    # cfg-normalized: a pending-writing batch scans its source twice, and
+    # the lineage n_source_scans record divides that back out
+    summary = metrics.streaming_query_summary(q, cfg)
     assert summary["n_batches"] >= 3
     assert summary["input_rows"] == len(stream_pdf)
     assert summary["batch_ms_p50"] <= summary["batch_ms_max"]
