@@ -44,8 +44,13 @@ def _mk_spark(cpus: int):
         # ~20 kB binary payloads: default 4096-row column vectors are
         # ~80 MB/task of on-heap churn; 1024 (~20 MB) is faster AND stable
         # (interleaved: 4096 -> 3.4-13.3 s, 1024 -> 1.8-1.9 s on the same
-        # 221k-row pipeline).  Rule: batchSize ≈ 16-32 MB / avg row bytes.
+        # 221k-row pipeline).  Same rule for the Arrow batches feeding the
+        # pandas-UDF audio kernels: default 10000 rows ≈ 200 MB in flight
+        # per batch, 1024 measured 3.2x faster on the decode+SNR job
+        # (interleaved A/B 5.0 s -> 1.6 s).  Both knobs:
+        # batch_rows ≈ 16-32 MB / avg row bytes (tuning.py).
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .appName("scylla-cdc-spark-bench")
         .getOrCreate()
     )

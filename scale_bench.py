@@ -143,6 +143,7 @@ def prepare_bucketed_input(input_dir: str, rows: int) -> str:
             .config("spark.sql.warehouse.dir", WAREHOUSE)
             .config("spark.ui.enabled", "false")
             .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
             .appName("scale-bucketed-prep")
             .getOrCreate()
         )
@@ -202,6 +203,7 @@ def worker(input_dir: str, meta_dir: str, cpus: int) -> None:
         .config("spark.sql.files.maxPartitionBytes", "16m")
         # ~20 kB binary payloads: bound column-vector memory (see bench.py)
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .appName(f"scylla-cdc-spark-scale-{cpus}")
         .getOrCreate()
     )

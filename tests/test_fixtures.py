@@ -92,3 +92,20 @@ def test_null_transcript_tri_state(changelog_pdf):
     ]
     assert len(nulled) > 0
     assert nulled["transcript"].isna().all()
+
+
+def test_payload_tuning(spark):
+    """tuning.apply_payload_tuning sizes both batch knobs to ~24 MB of
+    rows and is runtime-settable on a live session."""
+    from scylla_cdc_source_connector_spark import tuning
+
+    before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        tuning.apply_payload_tuning(spark, avg_row_bytes=20_000)
+        got = int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"))
+        assert got == tuning.payload_batch_rows(20_000)
+        assert 128 <= got <= 4096
+        # degenerate row size floors at 128 rows
+        assert tuning.payload_batch_rows(10**9) == 128
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", before)
