@@ -114,6 +114,40 @@ def main() -> None:
         "normalize stage must not add an exchange"
     )
 
+    # streaming-sink correlation mode: the one exchange is the stream
+    # repartition (HashPartitioning(stream_id) satisfies the finer group
+    # key), and the per-shard ordered write rides it — the payload crosses
+    # exactly ONE exchange end-to-end in the sink (PLANS.md §7)
+    from scylla_cdc_source_connector_spark.operators.correlation import (
+        correlate_batch,
+        is_complete_expr,
+        mask_unused_images,
+        needs_delta_flags,
+    )
+    from scylla_cdc_source_connector_spark.operators.projection import (
+        build_envelopes,
+    )
+
+    cfg_full = EngineConfig(
+        include_before=IncludeMode.FULL, include_after=IncludeMode.FULL
+    )
+    corr_s = mask_unused_images(
+        correlate_batch(
+            cl,
+            delta_flags=needs_delta_flags(cfg_full),
+            require_delta=False,
+            cluster_by_stream=True,
+        ),
+        cfg_full,
+    )
+    env_s = build_envelopes(
+        corr_s.filter(is_complete_expr(cfg_full)),
+        cfg_full,
+        processing_ts_ms=F.lit(0),
+    ).sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
+    rs = audit(env_s, "streaming sink: stream-clustered correlate + ordered emit")
+    assert rs["exchanges"] == 1, "sink payload must cross exactly ONE exchange"
+
     r2 = audit(cdc_envelopes(cl, EngineConfig(), processing_ts_ms=F.lit(0))
                .select("clip_id", "value.op"),
                "cdc pipeline, include=none/none (default)")

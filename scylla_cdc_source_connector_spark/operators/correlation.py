@@ -109,6 +109,7 @@ def correlate_batch(
     delta_flags: bool = True,
     table: TableModel = DEFAULT_TABLE,
     require_delta: bool = True,
+    cluster_by_stream: bool = False,
 ) -> DataFrame:
     """Group CDC log rows by (pk columns..., cdc$time) and pivot the
     operation types into pre_image / delta / post_image structs.  The
@@ -129,6 +130,22 @@ def correlate_batch(
     lands between a group's images and its delta would silently lose the
     images (Scylla batch order is [pre..., delta..., post...], so the
     preimages land FIRST).
+
+    cluster_by_stream=True (the streaming sink's mode) makes the ONE
+    shuffle a repartition on `cdc$stream_id` and folds (stream_id,
+    generation) into the group key: HashPartitioning(stream_id) satisfies
+    the aggregation's ClusteredDistribution (partitioning expressions are
+    a subset of the grouping keys), so Catalyst plans NO second exchange
+    for the groupBy, and the correlated output comes out ALREADY
+    clustered by stream — the sink's per-shard ordered write then needs
+    no repartition of its own.  Net: the payload crosses exactly one
+    exchange end-to-end.  Sound because a change event's (pk, cdc$time)
+    belongs to exactly one stream and generation — cdc$time is a
+    per-stream timeuuid (the reference's own stream model,
+    README.md:1357-1370) — so the finer key splits no group.  Left OFF
+    for the batch/bucketed paths: a bucketed-by-clip_id table satisfies
+    the (pk, time) grouping with ZERO exchange, and an explicit
+    repartition would force one back in.
     """
     op = F.col("`cdc$operation`")
     seq = F.col("`cdc$batch_seq_no`")
@@ -145,16 +162,23 @@ def correlate_batch(
         return F.max_by(F.when(cond, struct), F.when(cond, seq))
 
     pk_cols = [f"`{c}`" for c in table.pk_columns]
-    agg = (
-        changelog.groupBy(*pk_cols, "`cdc$time`")
-        .agg(
-            last(op == OP_PRE_IMAGE, base_struct).alias("pre_image"),
-            last(op == OP_POST_IMAGE, base_struct).alias("post_image"),
-            last(op.isin(list(DELTA_OPS)), delta_struct).alias("delta"),
+    if cluster_by_stream:
+        grouped = changelog.repartition(F.col("`cdc$stream_id`")).groupBy(
+            "`cdc$stream_id`", "generation", *pk_cols, "`cdc$time`"
+        )
+        tail_aggs = [F.max("`cdc$time_us`").alias("cdc$time_us")]
+    else:
+        grouped = changelog.groupBy(*pk_cols, "`cdc$time`")
+        tail_aggs = [
             F.max("`cdc$time_us`").alias("cdc$time_us"),
             F.max("`cdc$stream_id`").alias("cdc$stream_id"),
             F.max("generation").alias("generation"),
-        )
+        ]
+    agg = grouped.agg(
+        last(op == OP_PRE_IMAGE, base_struct).alias("pre_image"),
+        last(op == OP_POST_IMAGE, base_struct).alias("post_image"),
+        last(op.isin(list(DELTA_OPS)), delta_struct).alias("delta"),
+        *tail_aggs,
     )
     return agg if not require_delta else agg.filter(F.col("delta").isNotNull())
 

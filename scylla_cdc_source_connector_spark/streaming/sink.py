@@ -374,12 +374,19 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
         # (micro-batch or admission boundary between a group's images and
         # its delta — Scylla batch order puts preimages FIRST) must reach
         # the pending table instead of being silently dropped
+        # cluster_by_stream: the correlation's one exchange is a
+        # repartition on cdc$stream_id (HashPartitioning(stream) satisfies
+        # the finer grouping), so the correlated rows — and the envelopes
+        # built from them — arrive already clustered per shard and the
+        # ordered write below skips its own repartition.  The payload
+        # crosses exactly ONE exchange end-to-end in the sink.
         corr = mask_unused_images(
             correlate_batch(
                 all_rows,
                 delta_flags=needs_delta_flags(cfg),
                 require_delta=False,
                 table=table,
+                cluster_by_stream=True,
             ),
             cfg,
         )
@@ -413,7 +420,9 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
             env = build_envelopes(observed.filter(complete), cfg, table=table)
             # the ONE payload pass: scan → correlate → envelope → ordered
             # write (stats come off a pruned read-back inside _write_batch)
-            n, shards, n_quar, n_dups = _write_batch(env, batch_id, cfg, table=table)
+            n, shards, n_quar, n_dups = _write_batch(
+                env, batch_id, cfg, table=table, stream_clustered=True
+            )
 
             status = obs.get
             max_ev, n_inc = status["max_ev"], status["n_inc"] or 0
@@ -488,6 +497,7 @@ def _write_batch(
     batch_id: int,
     cfg: EngineConfig,
     table: TableModel = DEFAULT_TABLE,
+    stream_clustered: bool = False,
 ) -> tuple[int, list[dict]]:
     """Idempotent per-batch output write + per-shard offset stats
     (shared by make_sink and make_correlating_sink).
@@ -542,9 +552,14 @@ def _write_batch(
         )
 
     def ordered_write(df: DataFrame) -> None:
+        # stream_clustered: the correlating sink already shuffled on
+        # cdc$stream_id (correlate_batch cluster_by_stream), so the
+        # envelopes are shard-clustered as-is and repartitioning again
+        # would move the payload through a second exchange for nothing
+        if not stream_clustered:
+            df = df.repartition(F.col("`cdc$stream_id`"))
         (
-            df.repartition(F.col("`cdc$stream_id`"))
-            .sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
+            df.sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
             .write.mode("overwrite")
             .parquet(batch_output_path(cfg, batch_id))
         )
