@@ -210,3 +210,36 @@ def test_completion_predicate_parity_exhaustive(spark):
         for i, (op, has_pre, has_post) in enumerate(cases):
             want = _is_complete(cfg, op, has_pre, has_post)
             assert bool(got[i]) == bool(want), (cfg, op, has_pre, has_post)
+
+
+def test_cluster_by_stream_equivalence_and_plan(spark):
+    """cluster_by_stream folds (stream, generation) into the group key and
+    repartitions on the stream: results must be IDENTICAL to the default
+    keying (a change's (pk, cdc$time) belongs to exactly one stream +
+    generation — per-stream timeuuid), and the executed plan must carry
+    exactly ONE exchange (the stream repartition satisfies the finer
+    grouping, so Catalyst adds no aggregation exchange)."""
+    pdf = make_changelog(
+        FixtureSpec(n_events=800, n_clips=90, n_shards=8, n_generations=2)
+    )
+    df = spark.createDataFrame(pdf, schema=changelog_schema())
+
+    cols = [
+        "clip_id",
+        "`cdc$time_us`",
+        "`cdc$stream_id`",
+        "generation",
+        "pre_image",
+        "post_image",
+        "delta",
+    ]
+    a = correlate_batch(df, require_delta=False).select(*cols)
+    b = correlate_batch(df, require_delta=False, cluster_by_stream=True).select(
+        *cols
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "REPARTITION_BY_COL" in plan
