@@ -1055,6 +1055,34 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vad_stats(df).orderBy("clip_id")
 
 
+def q_audio_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window audio segmentation (audio_segment.py): the training-
+    data chunking fan-out, pure JVM (sequence+explode+substring, zero
+    Python).  The payload here derives from the documents table —
+    encode(md5(text)) is 32 one-byte 'samples' at 8 kHz ulaw — so the
+    oracle reproduces the exact window arithmetic by slicing the same
+    md5 hex string; real-audio segmentation (alignment, reconstruction)
+    is pinned by tests/test_audio_segment.py."""
+    from scylla_cdc_source_connector_spark.audio_segment import segment_clips
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("item_id"),
+        F.encode(F.md5("text"), "utf-8").alias("bytes"),
+        F.lit(8000).alias("sr_hz"),
+        F.lit("ulaw").alias("codec"),
+    )
+    # window 2 ms = 16 samples/bytes, hop 1 ms = 8 bytes over 32 bytes
+    # -> exactly 3 full windows per document
+    seg = segment_clips(docs, window_ms=2, hop_ms=1)
+    return seg.select(
+        "item_id",
+        "seg_idx",
+        "seg_start_ms",
+        F.decode(F.col("seg_bytes"), "utf-8").alias("seg_text"),
+        "seg_n_samples",
+    ).orderBy("item_id", "seg_idx")
+
+
 # ---------------------------------------------------------------------------
 # CEP operators over the ordered change stream (operators/cep.py)
 # ---------------------------------------------------------------------------
@@ -1220,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": q_audio_near_dup,
         "audio_vad": q_audio_vad,
         "audio_resample": q_audio_resample,
+        "audio_segment": q_audio_segment,
         "cdc_audio_quality_windows": q_cdc_audio_quality_windows,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_image_decode": q_multimodal_image_decode,
@@ -1524,6 +1553,16 @@ def oracle_sql() -> dict[str, str]:
                    md5(substring(repeat(md5(text), 20), f.i * 256 + 1, 256))
                      AS frame_fingerprint
             FROM documents, (VALUES (0), (1)) f(i)
+        """,
+        # 32-byte md5 payload at 8 kHz ulaw (1 byte/sample): window 2 ms =
+        # 16 bytes, hop 1 ms = 8 bytes -> segments at hex offsets 0/8/16
+        "audio_segment": """
+            SELECT CAST(doc_id AS VARCHAR) AS item_id,
+                   CAST(s.i AS BIGINT) AS seg_idx,
+                   CAST(s.i AS BIGINT) AS seg_start_ms,
+                   substring(md5(text), s.i * 8 + 1, 16) AS seg_text,
+                   CAST(16 AS BIGINT) AS seg_n_samples
+            FROM documents, (VALUES (0), (1), (2)) s(i)
         """,
         "text_fingerprint": """
             SELECT doc_id,

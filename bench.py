@@ -373,6 +373,22 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["audio_resampled"] = timed("audio_resample", _resample)
 
+    # 3e. fixed-window segmentation of the same postimages (pure-JVM 1->N
+    # chunking fan-out, zero Python; see audio_segment.py)
+    def _segment():
+        from scylla_cdc_source_connector_spark.audio_segment import (
+            segment_clips,
+        )
+
+        post = changelog.where("`cdc$operation` = 9").select(
+            "clip_id", "bytes", "codec", "sr_hz"
+        )
+        return segment_clips(
+            post, window_ms=100, hop_ms=50, keep_tail=True
+        ).count()
+
+    extra["audio_segments"] = timed("audio_segment", _segment)
+
     # 4. operator suite over the sf tables (same entries the driver checks)
     suite = [
         "cdc_tumbling_window",
