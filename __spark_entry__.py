@@ -1083,6 +1083,42 @@ def q_audio_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("item_id", "seg_idx")
 
 
+def q_audio_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplicate / containment detection (rows-only; decode is
+    not SQL-expressible): hop-aligned transcoded excerpts of fixture
+    clips must surface as (container, contained) pairs with high
+    coverage.  Thresholds/separation pinned by
+    tests/test_audio_containment.py."""
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark import audio as audio_mod
+    from scylla_cdc_source_connector_spark.audio_fingerprint import (
+        audio_containment,
+    )
+
+    clips = _fixture_clips(spark, sf_dir, 100).limit(40).toPandas()
+    window_ms, hop_ms = 100, 50
+    rows = []
+    for r in clips.itertuples():
+        raw, codec, sr = bytes(r.bytes), r.codec, int(r.sr_hz)
+        rows.append((r.clip_id, raw, codec, sr))
+        pcm = audio_mod.decode(raw, codec)
+        hop = sr * hop_ms // 1000
+        ex = pcm[hop : hop + 4 * hop]  # hop-aligned 200 ms excerpt
+        if len(ex) < 2 * hop:
+            continue
+        ex16 = (ex * 32768.0).clip(-32768, 32767).astype("int16")
+        rows.append(
+            (f"ex-{r.clip_id}", audio_mod.encode(ex16, "ulaw"), "ulaw", sr)
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "bytes", "codec", "sr_hz"])
+    )
+    return audio_containment(
+        df, window_ms=window_ms, hop_ms=hop_ms
+    ).orderBy("container_id", "contained_id")
+
+
 # ---------------------------------------------------------------------------
 # CEP operators over the ordered change stream (operators/cep.py)
 # ---------------------------------------------------------------------------
@@ -1249,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad": q_audio_vad,
         "audio_resample": q_audio_resample,
         "audio_segment": q_audio_segment,
+        "audio_containment": q_audio_containment,
         "cdc_audio_quality_windows": q_cdc_audio_quality_windows,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_image_decode": q_multimodal_image_decode,

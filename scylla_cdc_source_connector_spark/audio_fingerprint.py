@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from scylla_cdc_source_connector_spark import audio
 
@@ -218,4 +219,132 @@ def audio_near_dup(
     )
     return hamming_near_dup_pairs(
         fp, id_col=id_col, sig_col="fingerprint", max_hamming=max_hamming
+    )
+
+
+def audio_containment(
+    clips: DataFrame,
+    *,
+    window_ms: int = 250,
+    hop_ms: int | None = None,
+    max_hamming: int = 7,
+    min_matched_segments: int = 2,
+    min_coverage: float = 0.6,
+) -> DataFrame:
+    """Partial-duplicate / containment detection: find (container,
+    contained) clip pairs where most of the CONTAINED clip's audio occurs
+    inside the container — the training-data case near-dup misses, e.g. a
+    re-published excerpt or a long recording that swallowed a shorter one.
+
+    Composition of existing scale-shaped pieces, no new kernel:
+      1. `segment_clips` — pure-JVM fixed-window chunking (window_ms /
+         hop_ms, narrow, zero Python);
+      2. per-SEGMENT spectral fingerprints (one vectorized Arrow pass);
+      3. pigeonhole Hamming banding join on segment fingerprints —
+         complete at the radius, never all-pairs;
+      4. per-directed-pair coverage: distinct matched segments of the
+         contained clip ÷ its total segments.
+
+    Returns (container_id, contained_id, n_matched_segments,
+    n_segments_contained, coverage) with coverage ≥ min_coverage.
+    Full-duplicate pairs naturally appear with coverage ≈ 1.0 in both
+    directions; self-pairs are excluded.
+
+    Alignment caveat (stated, not hidden): spectral fingerprints are not
+    shift-invariant, so an excerpt is GUARANTEED detectable when its
+    offset inside the container is a multiple of hop_ms (hop defaults to
+    window/2); for arbitrary offsets shrink hop_ms — candidate volume
+    grows linearly (segments = dur/hop) while the banding join stays
+    bucket-bounded, the same trade every shingled-fingerprint system
+    makes (cf. Manku et al. WWW'07 shingling).
+
+    Scale shape: segments multiply rows by ~dur/hop but each carries only
+    window-sized bytes and the fan-out is narrow; the only shuffles are
+    the banding join's slim (id, block) rows and the final (a, b) count
+    aggregation — the audio bytes never cross an exchange.
+    """
+    from scylla_cdc_source_connector_spark.audio_segment import segment_clips
+    from scylla_cdc_source_connector_spark.functions.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    if hop_ms is None:
+        hop_ms = max(1, window_ms // 2)
+
+    seg = segment_clips(
+        clips.select("clip_id", "bytes", "codec", "sr_hz"),
+        window_ms=window_ms,
+        hop_ms=hop_ms,
+    )
+    # fingerprint kernel's contract is (clip_id, bytes, codec); ride the
+    # segment identity through clip_id as "<clip>#<idx>" and split after
+    # (substring_index from the RIGHT, so '#' in ids cannot mislead)
+    seg_in = seg.select(
+        F.concat_ws(
+            "#", F.col("clip_id"), F.col("seg_idx").cast("string")
+        ).alias("clip_id"),
+        F.col("seg_bytes").alias("bytes"),
+        "codec",
+    )
+    fp = (
+        fingerprint_clips(seg_in)
+        .where("fp_ok")
+        .select(F.col("clip_id").alias("seg_id"), "fingerprint")
+    )
+    pairs = hamming_near_dup_pairs(
+        fp, id_col="seg_id", sig_col="fingerprint", max_hamming=max_hamming
+    )
+
+    def split(col, part):
+        c = F.col(col)
+        if part == "clip":
+            return F.expr(
+                f"substring({col}, 1, length({col}) -"
+                f" length(substring_index({col}, '#', -1)) - 1)"
+            )
+        return F.substring_index(c, "#", -1).cast("long")
+
+    directed = pairs.select(
+        split("id_a", "clip").alias("container_id"),
+        split("id_b", "clip").alias("contained_id"),
+        split("id_b", "idx").alias("contained_seg"),
+    ).unionByName(
+        pairs.select(
+            split("id_b", "clip").alias("container_id"),
+            split("id_a", "clip").alias("contained_id"),
+            split("id_a", "idx").alias("contained_seg"),
+        )
+    ).where(F.col("container_id") != F.col("contained_id"))
+
+    matched = directed.groupBy("container_id", "contained_id").agg(
+        F.count_distinct("contained_seg").alias("n_matched_segments")
+    )
+    # total segments per clip: Catalyst prunes the seg_bytes projection —
+    # this pass never touches the payload slices
+    totals = seg.groupBy("clip_id").agg(
+        F.count("*").alias("n_segments_contained")
+    )
+    # matched (pairs that survived the banding join) is the small side —
+    # totals is one row per clip and must never be broadcast at scale
+    return (
+        F.broadcast(matched)
+        .join(
+            totals.withColumnRenamed("clip_id", "contained_id"),
+            "contained_id",
+        )
+        .withColumn(
+            "coverage",
+            F.col("n_matched_segments") / F.col("n_segments_contained"),
+        )
+        .where(
+            (F.col("n_matched_segments") >= min_matched_segments)
+            & (F.col("coverage") >= min_coverage)
+        )
+        .select(
+            "container_id",
+            "contained_id",
+            "n_matched_segments",
+            "n_segments_contained",
+            F.round("coverage", 4).alias("coverage"),
+        )
     )
