@@ -1083,6 +1083,26 @@ def q_audio_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("item_id", "seg_idx")
 
 
+def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass silence trim (rows-only; decode not SQL-expressible):
+    VAD stats + speech-span payload slice in one Arrow pass
+    (audio_vad.trim_clips); slice-vs-offset equality and WAV unwrap are
+    pinned by tests/test_audio_vad.py::test_trim_clips_single_pass."""
+    from scylla_cdc_source_connector_spark.audio_vad import trim_clips
+
+    clips = _fixture_clips(spark, sf_dir, 300)
+    out = trim_clips(clips)
+    return out.select(
+        "clip_id",
+        "decode_ok",
+        F.round("speech_ratio", 4).alias("speech_ratio"),
+        "trim_start_ms",
+        "trim_end_ms",
+        F.octet_length("bytes").alias("trimmed_bytes"),
+        "codec",
+    ).orderBy("clip_id")
+
+
 def q_audio_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-duplicate / containment detection (rows-only; decode is
     not SQL-expressible): hop-aligned transcoded excerpts of fixture
@@ -1286,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample": q_audio_resample,
         "audio_segment": q_audio_segment,
         "audio_containment": q_audio_containment,
+        "audio_trim": q_audio_trim,
         "cdc_audio_quality_windows": q_cdc_audio_quality_windows,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_image_decode": q_multimodal_image_decode,

@@ -389,6 +389,44 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["audio_segments"] = timed("audio_segment", _segment)
 
+    # 3f. containment/partial-dup sweep (segment -> per-segment
+    # fingerprint -> banding join -> coverage) over a deterministic 10k
+    # postimage subset: the fixture's clips are 200-500 ms (1-2 segments
+    # at the 250 ms window), so min_matched_segments=1 — and the subset
+    # keeps the banding self-join's bucket occupancy representative of a
+    # per-micro-batch incremental sweep rather than an all-history join
+    def _containment():
+        from scylla_cdc_source_connector_spark.audio_fingerprint import (
+            audio_containment,
+        )
+
+        post = (
+            changelog.where("`cdc$operation` = 9")
+            .select("clip_id", "bytes", "codec", "sr_hz")
+            .where(F.crc32(F.col("clip_id")) % 9 == 0)
+        )
+        return audio_containment(
+            post, window_ms=250, hop_ms=250, min_matched_segments=1
+        ).count()
+
+    extra["audio_containment_pairs"] = timed("audio_containment", _containment)
+
+    # 3g. single-pass silence trim (VAD + payload slice in one Arrow pass)
+    def _trim():
+        from scylla_cdc_source_connector_spark.audio_vad import trim_clips
+
+        post = changelog.where("`cdc$operation` = 9").select(
+            "clip_id", "bytes", "codec", "sr_hz"
+        )
+        return (
+            trim_clips(post)
+            .where("decode_ok")
+            .selectExpr("sum(octet_length(bytes))")
+            .collect()[0][0]
+        )
+
+    extra["audio_trimmed_bytes"] = timed("audio_trim", _trim)
+
     # 4. operator suite over the sf tables (same entries the driver checks)
     suite = [
         "cdc_tumbling_window",

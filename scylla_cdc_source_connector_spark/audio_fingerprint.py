@@ -227,7 +227,7 @@ def audio_containment(
     *,
     window_ms: int = 250,
     hop_ms: int | None = None,
-    max_hamming: int = 7,
+    max_hamming: int = 5,
     min_matched_segments: int = 2,
     min_coverage: float = 0.6,
 ) -> DataFrame:
@@ -262,6 +262,16 @@ def audio_containment(
     window-sized bytes and the fan-out is narrow; the only shuffles are
     the banding join's slim (id, block) rows and the final (a, b) count
     aggregation — the audio bytes never cross an exchange.
+
+    Radius drives the banding join's bucket width directly: pigeonhole
+    completeness needs max_hamming+1 blocks, so 48-bit fingerprints give
+    48/(r+1)-bit buckets — at r=7 that is 6 bits (64 buckets/block) and
+    the candidate self-join goes quadratic on any sizable corpus
+    (measured: 89k clips took minutes at r=7 vs seconds at r=5).  The
+    default r=5 keeps 8-bit buckets; broadband separation is unaffected
+    (aligned-excerpt coverage 1.00, best cross-clip 0.00 at r=5 in
+    tests/test_audio_containment.py).  For bigger radii widen the
+    signature, not the radius (hamming_near_dup_pairs docstring).
     """
     from scylla_cdc_source_connector_spark.audio_segment import segment_clips
     from scylla_cdc_source_connector_spark.functions.dedup import (

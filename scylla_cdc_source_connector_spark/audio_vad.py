@@ -114,10 +114,20 @@ def _vad_group(
     return frames, out_speech, out_first, out_last
 
 
-def vad_stats_batches(frame_ms: int = 20, threshold_db: float = -40.0):
+def vad_stats_batches(
+    frame_ms: int = 20, threshold_db: float = -40.0, emit_trimmed: bool = False
+):
     """mapInPandas body factory.  Input columns: clip_id, bytes, codec,
     sr_hz.  Output: VAD_SCHEMA rows (speech ratio + speech-span trim
-    offsets in ms AND in payload bytes, sample-aligned)."""
+    offsets in ms AND in payload bytes, sample-aligned).
+
+    emit_trimmed=True appends (bytes, codec): the speech-span slice of
+    the UNWRAPPED payload (wav rows come back as their inner raw codec)
+    cut inside this same Arrow pass — the payload is already resident
+    here for the energy scan, so slicing now costs one memcpy and
+    avoids both a second decode and a clip_id join/shuffle to reunite
+    offsets with bytes.  Rows with no detected speech yield empty bytes;
+    undecodable rows pass their original payload through untrimmed."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -194,21 +204,30 @@ def vad_stats_batches(frame_ms: int = 20, threshold_db: float = -40.0):
             spf = np.maximum(srs * frame_ms // 1000, 1) * chans  # samples/frame
             t0_b = np.where(has, first * spf * bps_arr, 0)
             t1_b = np.where(has, (last + 1) * spf * bps_arr, 0)
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"].values,
-                    "decode_ok": dec_ok,
-                    "sr_hz": srs.astype("int32"),
-                    "n_channels": chans.astype("int32"),
-                    "n_frames": n_frames.astype("int32"),
-                    "speech_frames": speech.astype("int32"),
-                    "speech_ratio": ratio,
-                    "trim_start_ms": t0_ms.astype("int32"),
-                    "trim_end_ms": t1_ms.astype("int32"),
-                    "trim_start_b": t0_b.astype("int64"),
-                    "trim_end_b": t1_b.astype("int64"),
-                }
-            )
+            out = {
+                "clip_id": pdf["clip_id"].values,
+                "decode_ok": dec_ok,
+                "sr_hz": srs.astype("int32"),
+                "n_channels": chans.astype("int32"),
+                "n_frames": n_frames.astype("int32"),
+                "speech_frames": speech.astype("int32"),
+                "speech_ratio": ratio,
+                "trim_start_ms": t0_ms.astype("int32"),
+                "trim_end_ms": t1_ms.astype("int32"),
+                "trim_start_b": t0_b.astype("int64"),
+                "trim_end_b": t1_b.astype("int64"),
+            }
+            if emit_trimmed:
+                out["bytes"] = [
+                    (bytes(eff_raw[i])[t0_b[i] : t1_b[i]] if dec_ok[i]
+                     else (bytes(raws[i]) if raws[i] is not None else None))
+                    for i in range(n)
+                ]
+                out["codec"] = [
+                    (eff_codec[i] if dec_ok[i] else codecs[i])
+                    for i in range(n)
+                ]
+            yield pd.DataFrame(out)
 
     return body
 
@@ -218,4 +237,28 @@ def vad_stats(df, frame_ms: int = 20, threshold_db: float = -40.0):
     return df.select("clip_id", "bytes", "codec", "sr_hz").mapInPandas(
         vad_stats_batches(frame_ms=frame_ms, threshold_db=threshold_db),
         VAD_SCHEMA,
+    )
+
+
+#: vad_stats columns + the trimmed payload (speech-span slice, unwrapped)
+TRIMMED_SCHEMA = VAD_SCHEMA + ", bytes binary, codec string"
+
+
+def trim_clips(df, frame_ms: int = 20, threshold_db: float = -40.0):
+    """Silence-trim in ONE pass: (clip_id, bytes, codec, sr_hz) →
+    VAD stats + the speech-span payload slice.
+
+    The slice happens inside the same Arrow batch that computed the
+    frame energies (see vad_stats_batches emit_trimmed) — one payload
+    trip into Python, one memcpy out, no join and no shuffle.  The
+    JVM-side alternative (`substring(bytes, 1 + trim_start_b, ...)`)
+    needs the offsets and the bytes in one row, i.e. a clip_id join that
+    would move the payload through an exchange; at 20 kB/row the local
+    Arrow copy is the cheaper path.  WAV rows come back unwrapped as
+    their inner raw codec (sr_hz/n_channels from the container)."""
+    return df.select("clip_id", "bytes", "codec", "sr_hz").mapInPandas(
+        vad_stats_batches(
+            frame_ms=frame_ms, threshold_db=threshold_db, emit_trimmed=True
+        ),
+        TRIMMED_SCHEMA,
     )

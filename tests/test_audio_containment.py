@@ -58,13 +58,10 @@ def corpus(spark):
         excerpts.append((f"long-{i}", f"ex-{i}"))
     pdf = pd.DataFrame(rows, columns=["clip_id", "bytes", "codec", "sr_hz"])
     df = spark.createDataFrame(pdf)
-    # measured separation on broadband clips at radius 7: aligned
-    # transcoded excerpts cover 1.00, best cross-clip coverage 0.35 —
-    # the operator defaults (min_coverage 0.6) split them with margin
-    got = audio_containment(
-        df, window_ms=WINDOW_MS, hop_ms=HOP_MS, max_hamming=7,
-        min_matched_segments=2, min_coverage=0.6,
-    ).toPandas()
+    # operator DEFAULTS (radius 5, min_coverage 0.6): measured broadband
+    # separation is aligned-excerpt coverage 1.00 vs best cross-clip 0.00
+    # at radius 5 (0.35 even at radius 7) — wide margin both sides
+    got = audio_containment(df, window_ms=WINDOW_MS, hop_ms=HOP_MS).toPandas()
     return got, excerpts
 
 

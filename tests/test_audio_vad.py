@@ -206,3 +206,64 @@ def test_vad_spark_and_jvm_side_trim(spark):
     ).first()
     got = np.frombuffer(trimmed["speech_bytes"], dtype="<i2")
     np.testing.assert_array_equal(got, sig[2400:6400])
+
+
+def test_trim_clips_single_pass(spark):
+    """trim_clips: the emitted slice equals bytes[trim_start_b:trim_end_b]
+    of the (unwrapped) payload, silence-only rows come back empty, and
+    re-running VAD on a trimmed clip finds speech spanning ~everything."""
+    import numpy as np
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark import audio
+    from scylla_cdc_source_connector_spark.audio_vad import (
+        trim_clips,
+        vad_stats,
+    )
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    speech = (np.sin(2 * np.pi * 440 * t) * 0.5 * 32767).astype(np.int16)
+    silence = np.zeros(sr // 2, dtype=np.int16)
+    pcm = np.concatenate([silence, speech, silence])
+    rows = [
+        ("padded", audio.encode(pcm, "pcm_s16le"), "pcm_s16le", sr),
+        ("silent", audio.encode(np.zeros(sr, np.int16), "pcm_s16le"),
+         "pcm_s16le", sr),
+        ("wavpad", audio.wav_encode(pcm, sr, "pcm_s16le"), "wav", sr),
+        ("badcodec", b"\x01\x02\x03", "opus", sr),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "bytes", "codec", "sr_hz"])
+    )
+    got = trim_clips(df).toPandas().set_index("clip_id")
+
+    padded = got.loc["padded"]
+    raw = bytes(rows[0][1])
+    assert bytes(padded["bytes"]) == raw[
+        int(padded["trim_start_b"]) : int(padded["trim_end_b"])
+    ]
+    # trimmed clip is mostly speech: ~1 s kept of the 2 s input
+    assert 0.8 * sr * 2 <= len(padded["bytes"]) <= 1.3 * sr * 2
+
+    assert len(bytes(got.loc["silent"]["bytes"])) == 0
+
+    wavpad = got.loc["wavpad"]
+    assert wavpad["codec"] == "pcm_s16le"  # unwrapped
+    assert len(bytes(wavpad["bytes"])) == len(bytes(padded["bytes"]))
+
+    bad = got.loc["badcodec"]
+    assert not bad["decode_ok"]
+    assert bytes(bad["bytes"]) == b"\x01\x02\x03"  # passthrough untrimmed
+
+    # idempotence-ish: VAD on the trimmed clip sees speech start at 0
+    again = vad_stats(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [("padded2", bytes(padded["bytes"]), "pcm_s16le", sr)],
+                columns=["clip_id", "bytes", "codec", "sr_hz"],
+            )
+        )
+    ).toPandas().iloc[0]
+    assert again["trim_start_ms"] == 0
+    assert again["speech_ratio"] >= 0.9
