@@ -134,6 +134,15 @@ class EngineConfig:
     # `dedup_index_compact_every` batches).  Requires include_after=FULL
     # (the post-image payload must ride the envelope).
     dedup_index: bool = False
+    # Radius drives the banding join's bucket width: pigeonhole
+    # completeness needs radius+1 blocks over the 48-bit fingerprint, so
+    # radius 8 leaves ~5-bit (32-way) buckets — per-batch candidates grow
+    # as index_size/32 per block.  The default favors RECALL on raw
+    # mixed-codec streams (transcoded copies measure Hamming <= 6).  With
+    # normalize-on-ingest (audio_normalize_sr) duplicates measure 0-4, so
+    # set 4-5 there: 8-10-bit buckets cut candidate volume ~8-32x at a
+    # large index.  For big radii at big indexes, widen the signature
+    # instead (functions/dedup.py:hamming_near_dup_pairs docstring).
     dedup_index_max_hamming: int = 8
     dedup_index_compact_every: int = 8
 
