@@ -571,3 +571,18 @@ def test_dedup_within_watermark_drops_replays(spark, tmp_root, stream_pdf):
     }
     assert got_keys == ref_keys
     assert got.count() == len(got_keys)  # replays emitted exactly once
+
+
+def test_iceberg_sink_seam(spark, stream_pdf):
+    """The production Iceberg emit path (one atomic staged-append per
+    micro-batch): no Iceberg runtime in this container, so the seam must
+    raise the documented blocker, and the documented writer-property set
+    must stay in sync with the code."""
+    df = spark.createDataFrame(stream_pdf.head(5))
+    with pytest.raises(NotImplementedError, match="Iceberg runtime"):
+        sink_mod.iceberg_emit(df, 7, _cfg("/tmp", "seam"), "catalog.db.emitted")
+    assert set(sink_mod.ICEBERG_SINK_OPTIONS) == {
+        "write.wap.id",
+        "write.distribution-mode",
+        "sort-order",
+    }
