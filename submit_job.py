@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""spark-submit entry point — the north_rule's deployment shape.
+
+Package the engine and run the CDC pipeline on any cluster manager:
+
+    zip -r /tmp/sccs_engine.zip scylla_cdc_source_connector_spark
+    spark-submit --master <local[N] | yarn | k8s://...> \\
+        --py-files /tmp/sccs_engine.zip submit_job.py \\
+        --input /path/to/changelog_dir --output /tmp/sccs_out \\
+        --mode stream            # or: batch
+
+The session comes from spark-submit's context (master/executors/confs are
+CLI-owned); this script only applies the payload batch-size tuning and
+declares the job.  Prints ONE JSON line: rows emitted, elapsed seconds,
+throughput.  Running it at two --master local[N] levels on the same input
+is exactly the two-cluster-size measurement scale_bench.py automates.
+
+mode=batch : one-shot correlation + envelopes over the input directory.
+mode=stream: availableNow Structured Streaming run through the
+             exactly-once sink (checkpoint/lineage under --output).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="changelog parquet dir")
+    ap.add_argument("--output", required=True, help="work/output root")
+    ap.add_argument("--mode", choices=("batch", "stream"), default="stream")
+    ap.add_argument("--fresh", action="store_true",
+                    help="clear --output first (otherwise stream resumes)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("sccs-cdc-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from scylla_cdc_source_connector_spark.config import EngineConfig, IncludeMode
+    from scylla_cdc_source_connector_spark.tuning import apply_payload_tuning
+
+    apply_payload_tuning(spark)
+    if args.fresh:
+        shutil.rmtree(args.output, ignore_errors=True)
+    cfg = EngineConfig(
+        include_before=IncludeMode.FULL,
+        include_after=IncludeMode.FULL,
+        checkpoint_dir=f"{args.output}/checkpoint",
+        output_dir=f"{args.output}/emitted",
+        lineage_dir=f"{args.output}/lineage",
+    )
+
+    t0 = time.time()
+    if args.mode == "batch":
+        from scylla_cdc_source_connector_spark.plans.pipeline import cdc_envelopes
+
+        n = cdc_envelopes(
+            spark.read.parquet(args.input), cfg, processing_ts_ms=F.lit(0)
+        ).count()
+    else:
+        from scylla_cdc_source_connector_spark.streaming.engine import run_stream
+        from scylla_cdc_source_connector_spark.streaming.sink import read_emitted
+
+        q = run_stream(spark, cfg, args.input, available_now=True)
+        q.awaitTermination()
+        n = read_emitted(spark, cfg).count()
+
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "mode": args.mode,
+                "rows_emitted": n,
+                "elapsed_s": round(dt, 2),
+                "rows_per_s": round(n / dt, 1) if dt else None,
+                "master": spark.sparkContext.master,
+                "parallelism": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
