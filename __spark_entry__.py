@@ -1083,6 +1083,39 @@ def q_audio_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("item_id", "seg_idx")
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end training-data recipe (rows-only; decode
+    not SQL-expressible): changelog → envelopes → latest live state →
+    decode/SNR gate → silence trim → fixed-window segmentation →
+    exact-fingerprint dedup (plans/training_pipeline.py; dedup/liveness
+    invariants pinned by tests/test_training_pipeline.py)."""
+    import os
+    import tempfile
+
+    from scylla_cdc_source_connector_spark.fixtures import (
+        FixtureSpec,
+        make_changelog,
+        write_changelog_chunk,
+    )
+    from scylla_cdc_source_connector_spark.plans.training_pipeline import (
+        training_corpus,
+    )
+
+    _utc(spark)
+    n_events = min(_events(spark, sf_dir).count(), 20_000)
+    spec = FixtureSpec(n_events=n_events, n_clips=max(50, n_events // 10))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sccs_changelog_{spec.n_events}_{spec.n_clips}.parquet",
+    )
+    if not os.path.exists(path):
+        write_changelog_chunk(make_changelog(spec), path)
+    corpus = training_corpus(spark.read.parquet(path))
+    return corpus.select(
+        "clip_id", "seg_idx", "seg_start_ms", "seg_n_samples", "fingerprint"
+    ).orderBy("clip_id", "seg_idx")
+
+
 def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass silence trim (rows-only; decode not SQL-expressible):
     VAD stats + speech-span payload slice in one Arrow pass
@@ -1307,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segment": q_audio_segment,
         "audio_containment": q_audio_containment,
         "audio_trim": q_audio_trim,
+        "training_pipeline": q_training_pipeline,
         "cdc_audio_quality_windows": q_cdc_audio_quality_windows,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_image_decode": q_multimodal_image_decode,

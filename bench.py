@@ -427,6 +427,18 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["audio_trimmed_bytes"] = timed("audio_trim", _trim)
 
+    # 3h. the COMPOSED training-data recipe end-to-end: changelog ->
+    # envelopes -> latest live state -> decode/SNR gate -> trim ->
+    # segment -> exact-fingerprint dedup (plans/training_pipeline.py)
+    def _training():
+        from scylla_cdc_source_connector_spark.plans.training_pipeline import (
+            training_corpus,
+        )
+
+        return training_corpus(changelog).count()
+
+    extra["training_corpus_segments"] = timed("training_pipeline", _training)
+
     # 4. operator suite over the sf tables (same entries the driver checks)
     suite = [
         "cdc_tumbling_window",
