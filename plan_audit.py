@@ -148,6 +148,16 @@ def main() -> None:
     rs = audit(env_s, "streaming sink: stream-clustered correlate + ordered emit")
     assert rs["exchanges"] == 1, "sink payload must cross exactly ONE exchange"
 
+    # composed training recipe: ONE plan tree (no self-join re-executing
+    # the upstream), exactly THREE exchanges — correlation, latest-state
+    # collapse, fingerprint-dedup (PLANS.md / training_pipeline.py)
+    from scylla_cdc_source_connector_spark.plans.training_pipeline import (
+        training_corpus,
+    )
+
+    rt = audit(training_corpus(cl), "training recipe: changelog -> dedup corpus")
+    assert rt["exchanges"] == 3, "training recipe must cross exactly THREE exchanges"
+
     r2 = audit(cdc_envelopes(cl, EngineConfig(), processing_ts_ms=F.lit(0))
                .select("clip_id", "value.op"),
                "cdc pipeline, include=none/none (default)")

@@ -55,9 +55,6 @@ def training_corpus(
     into fixed windows.
     """
     from scylla_cdc_source_connector_spark import audio
-    from scylla_cdc_source_connector_spark.audio_fingerprint import (
-        fingerprint_clips,
-    )
     from scylla_cdc_source_connector_spark.audio_segment import segment_clips
     from scylla_cdc_source_connector_spark.audio_vad import trim_clips
     from scylla_cdc_source_connector_spark.plans.pipeline import cdc_envelopes
@@ -124,34 +121,51 @@ def training_corpus(
         "sr_hz",
     )
 
-    # exact-dup collapse: fingerprints ride a SLIM shuffle to elect one
-    # representative (first by (clip_id, seg_idx)); the payload then makes
-    # its single dedup exchange in the rejoin.  AQE broadcasts reps when
-    # the surviving set is small.
-    fp = fingerprint_clips(
-        segs.select(
-            F.concat_ws(
-                "#", F.col("clip_id"), F.col("seg_idx").cast("string")
-            ).alias("clip_id"),
-            "bytes",
-            "codec",
-        )
-    ).where("fp_ok")
-    ids = fp.select(
-        F.expr(
-            "substring(clip_id, 1, length(clip_id) -"
-            " length(substring_index(clip_id, '#', -1)) - 1)"
-        ).alias("clip_id"),
-        F.substring_index("clip_id", "#", -1).cast("long").alias("seg_idx"),
-        "fingerprint",
+    # exact-dup collapse.  The fingerprint pass CARRIES the segment row
+    # through (one extra Arrow copy out) so the collapse is a single
+    # groupBy(fingerprint) min_by — no rejoin.  A slim-ids + semi-join
+    # variant looks cheaper on paper, but a self-join over an uncached
+    # plan makes Catalyst execute the whole upstream (decode, trim,
+    # segmentation) TWICE; carrying the bytes keeps the pipeline one
+    # tree with exactly one dedup exchange.
+    fp_schema = (
+        "clip_id string, seg_idx long, seg_start_ms long, "
+        "seg_n_samples long, bytes binary, codec string, sr_hz int, "
+        "fingerprint long, fp_ok boolean"
     )
-    reps = (
-        ids.groupBy("fingerprint")
+
+    def fp_passthrough(batches):
+        from scylla_cdc_source_connector_spark.audio_fingerprint import (
+            audio_fingerprint_batches,
+        )
+
+        for pdf in batches:
+            st = next(
+                audio_fingerprint_batches(
+                    iter([pdf[["clip_id", "bytes", "codec"]]])
+                )
+            )
+            out = pdf.copy()
+            out["fingerprint"] = st["fingerprint"].values
+            out["fp_ok"] = st["fp_ok"].values
+            yield out
+
+    corpus = segs.mapInPandas(fp_passthrough, fp_schema).where("fp_ok")
+    cols = [
+        "clip_id",
+        "seg_idx",
+        "seg_start_ms",
+        "seg_n_samples",
+        "bytes",
+        "codec",
+        "sr_hz",
+    ]
+    return (
+        corpus.groupBy("fingerprint")
         .agg(
             F.min_by(
-                F.struct("clip_id", "seg_idx"), F.struct("clip_id", "seg_idx")
+                F.struct(*cols), F.struct("clip_id", "seg_idx")
             ).alias("r")
         )
-        .select(F.col("r.clip_id"), F.col("r.seg_idx"), "fingerprint")
+        .select(*[F.col(f"r.{c}").alias(c) for c in cols], "fingerprint")
     )
-    return segs.join(reps, ["clip_id", "seg_idx"], "inner")
