@@ -1,0 +1,157 @@
+"""Property-based tests (hypothesis) over the pure-numpy kernels — no
+SparkSession needed, so these fuzz far more inputs per second than the
+example-based suites.  Targets the invariants the engine's correctness
+depends on: codec roundtrip fidelity, container parse robustness
+(typed errors only, never arbitrary crashes), resampler behavior, and
+fingerprint determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scylla_cdc_source_connector_spark import audio
+
+pcm16_arrays = st.integers(1, 4000).flatmap(
+    lambda n: st.integers(0, 2**31 - 1).map(
+        lambda seed: np.random.default_rng(seed)
+        .integers(-32768, 32767, n)
+        .astype(np.int16)
+    )
+)
+
+
+@settings(derandomize=True, max_examples=60, deadline=None)
+@given(pcm=pcm16_arrays, codec=st.sampled_from(list(audio.SUPPORTED_CODECS)))
+def test_codec_roundtrip_snr(pcm, codec):
+    """encode→decode must stay within the engine's own validation gate
+    (SNR ≥ 30 dB) for every raw codec, on arbitrary int16 signals; G.711
+    output length must be one byte per sample, PCM16 two."""
+    raw = audio.encode(pcm, codec)
+    assert len(raw) == len(pcm) * (2 if codec == "pcm_s16le" else 1)
+    dec = audio.decode(raw, codec)
+    assert len(dec) == len(pcm)
+    ref = pcm.astype(np.float32) / 32768.0
+    if np.abs(ref).max() > 1e-3:  # SNR undefined on near-silence
+        assert audio.snr_db(ref, dec) >= 30.0
+
+
+@settings(derandomize=True, max_examples=40, deadline=None)
+@given(
+    pcm=pcm16_arrays,
+    sr=st.sampled_from([8000, 16000, 22050, 44100]),
+    fmt=st.sampled_from(["pcm_s16le", "ulaw", "alaw"]),
+    channels=st.sampled_from([1, 2]),
+)
+def test_wav_container_roundtrip(pcm, sr, fmt, channels):
+    """wav_encode→wav_parse returns the same format/sr/channels and a
+    payload that decodes to the same sample count (after downmix)."""
+    if channels == 2:
+        pcm = np.repeat(pcm, 2)
+    blob = audio.wav_encode(pcm, sr, fmt, n_channels=channels)
+    inner, ch, got_sr, payload = audio.wav_parse(blob)
+    assert (inner, ch, got_sr) == (fmt, channels, sr)
+    dec = audio.decode(blob, "wav")  # downmixes
+    assert len(dec) == len(pcm) // channels
+
+
+@settings(derandomize=True, max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_wav_parse_never_crashes_untyped(data):
+    """Arbitrary bytes through the container parser raise ONLY the typed
+    errors the Spark plumbing catches (decode_ok=False), never an
+    IndexError/struct.error/etc that would kill an executor task."""
+    try:
+        audio.wav_parse(data)
+    except (audio.MalformedContainerError, audio.UnsupportedCodecError):
+        pass
+
+
+@settings(derandomize=True, max_examples=120, deadline=None)
+@given(data=st.binary(min_size=44, max_size=300), flip=st.integers(0, 43))
+def test_wav_parse_corrupted_header_typed(data, flip):
+    """A valid header with one corrupted byte must also fail typed (or
+    parse, when the corruption lands in a don't-care byte)."""
+    pcm = np.arange(-50, 50, dtype=np.int16)
+    blob = bytearray(audio.wav_encode(pcm, 8000, "pcm_s16le"))
+    blob[flip] ^= data[flip % len(data)] or 1
+    try:
+        audio.wav_parse(bytes(blob))
+    except (audio.MalformedContainerError, audio.UnsupportedCodecError):
+        pass
+
+
+@settings(derandomize=True, max_examples=40, deadline=None)
+@given(
+    sr_pair=st.sampled_from([(8000, 16000), (44100, 16000), (22050, 8000)]),
+    level=st.integers(1000, 30000),
+    n=st.integers(64, 3000),
+)
+def test_resample_constant_stays_constant(sr_pair, level, n):
+    """Linear-interp resampling of a constant signal is the constant, and
+    the output length tracks the rate ratio."""
+    from scylla_cdc_source_connector_spark.audio_resample import (
+        resample_linear,
+    )
+
+    sr_from, sr_to = sr_pair
+    pcm = np.full(n, level / 32768.0, dtype=np.float32)
+    out = resample_linear(pcm, sr_from, sr_to)
+    expect_n = int(round(n * sr_to / sr_from))
+    assert abs(len(out) - expect_n) <= 1
+    assert np.allclose(out, level / 32768.0, atol=1e-4)
+
+
+@settings(derandomize=True, max_examples=30, deadline=None)
+@given(pcm=pcm16_arrays, codec=st.sampled_from(list(audio.SUPPORTED_CODECS)))
+def test_fingerprint_batch_independence(pcm, codec):
+    """A clip's fingerprint is a pure function of (bytes, codec): the same
+    clip fingerprinted alone and inside a batch of other clips must get
+    the same 48 bits (the incremental dedup index depends on this)."""
+    if len(pcm) < 256:
+        pcm = np.tile(pcm, 256 // len(pcm) + 1)
+    from scylla_cdc_source_connector_spark.audio_fingerprint import (
+        _fingerprint_group,
+    )
+
+    raw = audio.encode(pcm, codec)
+    other = audio.encode(
+        np.random.default_rng(7).integers(-3000, 3000, 777).astype(np.int16),
+        codec,
+    )
+    alone, _, ok1 = _fingerprint_group([raw], codec)
+    batched, _, ok2 = _fingerprint_group([other, raw, other], codec)
+    assert ok1[0] and ok2[1]
+    assert alone[0] == batched[1]
+
+
+@settings(derandomize=True, max_examples=60, deadline=None)
+@given(
+    n_bytes=st.integers(0, 5000),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    window_ms=st.integers(1, 500),
+    hop_ms=st.integers(1, 500),
+    keep_tail=st.booleans(),
+)
+def test_segment_arithmetic_total_coverage(n_bytes, sr, window_ms, hop_ms, keep_tail):
+    """The segmentation count/offset formulas (mirrored from
+    audio_segment.segment_clips) tile the clip: segments never read past
+    the end, starts advance by hop, and keep_tail covers the final byte
+    for hop <= window."""
+    bps = 1  # ulaw
+    win_b = (sr * window_ms // 1000) * bps
+    hop_b = (sr * hop_ms // 1000) * bps
+    if win_b == 0 or hop_b == 0:
+        return
+    n_full = (n_bytes - win_b) // hop_b + 1 if n_bytes >= win_b else 0
+    n_seg = n_full + (1 if keep_tail and n_full * hop_b < n_bytes else 0)
+    last_end = 0
+    for i in range(n_seg):
+        start = i * hop_b
+        end = min(start + win_b, n_bytes)
+        assert start < n_bytes
+        assert end <= n_bytes
+        last_end = max(last_end, end)
+    if keep_tail and hop_b <= win_b and n_bytes:
+        assert last_end == n_bytes
