@@ -28,7 +28,6 @@ from scylla_cdc_source_connector_spark.config import EngineConfig
 from scylla_cdc_source_connector_spark.operators.change_typing import op_code_expr
 from scylla_cdc_source_connector_spark.schemas import (
     NON_PK_COLUMNS,
-    OP_CODE_CREATE,
     OP_CODE_DELETE,
 )
 

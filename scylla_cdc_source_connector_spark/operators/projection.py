@@ -44,7 +44,6 @@ from scylla_cdc_source_connector_spark.schemas import (
     DEFAULT_TABLE,
     OP_CODE_CREATE,
     OP_CODE_DELETE,
-    OP_CODE_UPDATE,
     TableModel,
 )
 

@@ -15,7 +15,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from scylla_cdc_source_connector_spark.schemas import PK_COLUMNS
 
 
 def _is_cell(field_type: T.DataType) -> bool:

@@ -39,7 +39,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from scylla_cdc_source_connector_spark.config import EngineConfig
 from scylla_cdc_source_connector_spark.schemas import (
-    BASE_COLUMNS,
     DELTA_OPS,
     NON_PK_COLUMNS,
     OP_PARTITION_DELETE,
