@@ -1116,6 +1116,56 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id", "seg_idx")
 
 
+def q_training_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus maintenance off the change stream (rows-only):
+    stream the fixture changelog in two halves through the exactly-once
+    sink, maintain the corpus log after each, return the resolved corpus
+    (streaming/corpus.py; update/delete/re-insert semantics pinned by
+    tests/test_corpus.py)."""
+    import os
+    import tempfile
+
+    from scylla_cdc_source_connector_spark.config import EngineConfig, IncludeMode
+    from scylla_cdc_source_connector_spark.fixtures import (
+        FixtureSpec,
+        make_changelog,
+        write_changelog_chunk,
+    )
+    from scylla_cdc_source_connector_spark.streaming.corpus import (
+        maintain_corpus,
+        read_corpus,
+    )
+    from scylla_cdc_source_connector_spark.streaming.engine import run_stream
+
+    _utc(spark)
+    n_events = min(_events(spark, sf_dir).count(), 5_000)
+    root = os.path.join(tempfile.gettempdir(), f"sccs_corpus_{n_events}")
+    cfg = EngineConfig(
+        include_before=IncludeMode.FULL,
+        include_after=IncludeMode.FULL,
+        checkpoint_dir=f"{root}/ckpt",
+        output_dir=f"{root}/out",
+        lineage_dir=f"{root}/lineage",
+    )
+    target = f"{root}/target"
+    if not os.path.isdir(f"{root}/in"):
+        pdf = make_changelog(
+            FixtureSpec(n_events=n_events, n_clips=max(50, n_events // 10))
+        ).sort_values("cdc$time_us", kind="stable")
+        os.makedirs(f"{root}/in", exist_ok=True)
+        half = len(pdf) // 2
+        for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+            write_changelog_chunk(chunk, f"{root}/in/chunk-{i:03d}.parquet")
+            q = run_stream(spark, cfg, f"{root}/in", available_now=True)
+            q.awaitTermination(300)
+            maintain_corpus(spark, cfg, target_dir=target)
+    return (
+        read_corpus(spark, target)
+        .select("clip_id", "seg_idx", "seg_start_ms", "seg_n_samples", "fingerprint")
+        .orderBy("clip_id", "seg_idx")
+    )
+
+
 def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass silence trim (rows-only; decode not SQL-expressible):
     VAD stats + speech-span payload slice in one Arrow pass
@@ -1341,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_containment": q_audio_containment,
         "audio_trim": q_audio_trim,
         "training_pipeline": q_training_pipeline,
+        "training_corpus_incremental": q_training_corpus_incremental,
         "cdc_audio_quality_windows": q_cdc_audio_quality_windows,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_image_decode": q_multimodal_image_decode,
