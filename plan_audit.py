@@ -267,6 +267,28 @@ def main() -> None:
     r10 = audit(ivf_assign(emb, cents), "ivf zero-shuffle argmax assignment")
     assert r10["exchanges"] == 0, "ivf_assign must not shuffle"
 
+    # sink status path: incomplete-group bookkeeping must be (a) driver-
+    # safe — the Observation carries scalars only, never per-group key
+    # structs (a poison all-incomplete batch must cost executor work, not
+    # driver memory) — and (b) metadata-only: the incomplete-keys plan
+    # reads no payload columns
+    import inspect
+
+    from scylla_cdc_source_connector_spark.streaming import sink as sink_mod
+
+    assert "collect_list" not in inspect.getsource(sink_mod), (
+        "sink status path must not collect per-group keys to the driver"
+    )
+    r11 = audit(
+        sink_mod._incomplete_group_keys(cl, cfg_full, DEFAULT_TABLE, hwm=0),
+        "sink incomplete-keys status plan (metadata-only)",
+    )
+    assert r11["exchanges"] == 1, "status plan = one slim hash aggregation"
+    assert "bytes" not in r11["read_schemas"][0], (
+        "status plan must never read the payload"
+    )
+    assert "transcript" not in r11["read_schemas"][0]
+
     print("ALL PLAN INVARIANTS HOLD")
     spark.stop()
 

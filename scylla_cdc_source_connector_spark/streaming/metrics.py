@@ -87,11 +87,12 @@ def streaming_query_summary(query, cfg: EngineConfig | None = None) -> dict:
     """Throughput + per-batch duration percentiles from recentProgress
     (the observable the driver's dashboards scrape).
 
-    With cfg, input_rows is normalized to ROWS ARRIVED: the sink records
-    in each lineage commit how many times that batch scanned its source
-    (a pending-state write against the uncached batch input re-reads it
-    once), and numInputRows is divided back accordingly.  Without cfg the
-    raw scan count is reported unchanged."""
+    With cfg, input_rows is ROWS ARRIVED, taken from the sink's exact
+    per-batch `n_input_rows` lineage field (a scalar Observation on the
+    raw batch input — counted once regardless of how many metadata/
+    pending passes rescanned the source; numInputRows multiplies per
+    scan, recorded as `n_source_scans` for the division fallback on old
+    lineage).  Without cfg the raw numInputRows is reported unchanged."""
     seen: set = set()
     progresses = []
     # recentProgress can report the terminal batch twice — dedupe by batchId
@@ -106,14 +107,17 @@ def streaming_query_summary(query, cfg: EngineConfig | None = None) -> dict:
         for p in progresses
         if p.get("durationMs", {}).get("triggerExecution") is not None
     )
+    arrived_by_batch: dict = {}
     scans_by_batch: dict = {}
     if cfg is not None:
-        scans_by_batch = {
-            rec["batch_id"]: rec.get("n_source_scans", 1)
-            for rec in read_lineage(cfg)
-        }
+        for rec in read_lineage(cfg):
+            scans_by_batch[rec["batch_id"]] = rec.get("n_source_scans", 1)
+            if "n_input_rows" in rec:
+                arrived_by_batch[rec["batch_id"]] = rec["n_input_rows"]
     rows = sum(
-        p["numInputRows"] // max(scans_by_batch.get(p.get("batchId"), 1), 1)
+        arrived_by_batch[p.get("batchId")]
+        if p.get("batchId") in arrived_by_batch
+        else p["numInputRows"] // max(scans_by_batch.get(p.get("batchId"), 1), 1)
         for p in progresses
     )
     total_s = sum(durs) / 1000.0

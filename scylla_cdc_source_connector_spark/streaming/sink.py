@@ -224,6 +224,17 @@ def _make_heartbeat_emitter(cfg: EngineConfig):
     return emit
 
 
+def _obs_get(obs: Observation, defaults: dict) -> dict:
+    """Observation.get, tolerating a plan whose observed subtree never
+    executed (e.g. every file/row statically pruned → Catalyst/AQE
+    replaces the subtree with an empty relation and the CollectMetrics
+    node vanishes with it): the defaults stand in for the missing row."""
+    try:
+        return {**defaults, **obs.get}
+    except Exception:
+        return dict(defaults)
+
+
 def make_sink(cfg: EngineConfig):
     """foreachBatch body.  Usage:
     writeStream.foreachBatch(make_sink(cfg)).option("checkpointLocation",...)
@@ -317,6 +328,13 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
         prev_pending = (
             latest["batch_id"] if latest.get("has_pending") else None
         )
+        # exact rows-arrived accounting: a scalar Observation stamped on
+        # the raw batch input BEFORE the confidence filter / pending union
+        # — evaluated during the main write pass, so lineage records the
+        # true per-batch arrival count and metrics need not guess how many
+        # times the source was rescanned (numInputRows multiplies per scan)
+        obs_in = Observation(f"sink-arrived-{batch_id}")
+        raw_df = raw_df.observe(obs_in, F.count(F.lit(1)).alias("n_arrived"))
         # confidence-window enforcement (S2): drop input rows older than the
         # watermark = max event time of prior batches − confidence window,
         # exactly Spark's withWatermark semantics (watermark advances at
@@ -395,11 +413,12 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
             # itself as an Observation on the correlated rows (evaluated
             # while the plan executes — no second execution, no second
             # source scan, so numInputRows stays an honest per-row count).
-            # Incomplete-group KEYS are collected too: they are only the
-            # groups a micro-batch boundary split (plus whatever the
-            # admission budget deferred), and the budget/trigger caps bound
-            # the batch — a batch where EVERY group is incomplete collects
-            # one key struct per group, which those caps keep driver-safe.
+            # The Observation carries SCALARS ONLY (max event time + an
+            # incomplete-group count): per-group keys never travel to the
+            # driver, so a poison batch where every group is boundary-split
+            # costs executor work, not driver memory.  When the count says
+            # incomplete groups exist, their keys are computed by the
+            # distributed metadata-only status plan below.
             complete = is_complete_expr(cfg)
             group_keys = [*table.pk_columns, "cdc$time"]
             obs = Observation(f"sink-status-{batch_id}")
@@ -407,15 +426,6 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                 obs,
                 F.max("`cdc$time_us`").alias("max_ev"),
                 F.count(F.when(~complete, F.lit(1))).alias("n_inc"),
-                F.collect_list(
-                    F.when(
-                        ~complete,
-                        F.struct(
-                            *[F.col(f"`{c}`") for c in group_keys],
-                            F.col("`cdc$time_us`").alias("__ev_us"),
-                        ),
-                    )
-                ).alias("inc_keys"),
             )
             env = build_envelopes(observed.filter(complete), cfg, table=table)
             # the ONE payload pass: scan → correlate → envelope → ordered
@@ -424,32 +434,30 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                 env, batch_id, cfg, table=table, stream_clustered=True
             )
 
-            status = obs.get
+            status = _obs_get(obs, {"max_ev": None, "n_inc": 0})
             max_ev, n_inc = status["max_ev"], status["n_inc"] or 0
             hwm = max(prev_hwm, max_ev or 0)
 
             # carry incomplete, unexpired groups; expired ones are dropped
-            # like the reference's stale-task cleanup.  The payload-bearing
-            # semi-join (one extra source scan) runs only when incomplete
-            # groups actually exist.
-            ttl_floor = hwm - cfg.incomplete_task_timeout_ms * 1000
-            kept = [
-                k for k in status["inc_keys"] if k["__ev_us"] >= ttl_floor
-            ]
-            n_keep = len(kept)
+            # like the reference's stale-task cleanup.  Both extra passes
+            # (the slim status scan and the payload-bearing semi-join) run
+            # only when incomplete groups actually exist, and both stay
+            # fully distributed — no key structs ever reach the driver.
+            n_keep = 0
+            n_extra_scans = 0
             pend = None
-            if kept:
-                keep_keys = spark.createDataFrame(
-                    [tuple(k[c] for c in group_keys) for k in kept],
-                    schema=all_rows.select(
-                        *[f"`{c}`" for c in group_keys]
-                    ).schema,
-                )
-                # broadcast: keep_keys is tiny (only boundary-split groups
-                # survive a batch)
-                pend = all_rows.join(
-                    F.broadcast(keep_keys), group_keys, "left_semi"
-                )
+            if n_inc:
+                inc_keys = _incomplete_group_keys(all_rows, cfg, table, hwm)
+                # action on the slim plan: the scan reads only the group
+                # keys + op/seq/time metadata columns (payload pruned)
+                n_keep = inc_keys.count()
+                n_extra_scans += 1
+                if n_keep:
+                    # no broadcast hint: inc_keys is tiny for ordinary
+                    # boundary splits and AQE picks broadcast then, but a
+                    # poison all-incomplete batch must not be forced
+                    # through a driver-side broadcast build
+                    pend = all_rows.join(inc_keys, group_keys, "left_semi")
             if deferred is not None:
                 d_cnt = deferred.count()
                 if d_cnt:
@@ -461,12 +469,14 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
             if pend is not None:
                 if cached is None:
                     # the pend write re-reads the (uncached) batch input —
-                    # recorded so metrics can normalize numInputRows back
-                    # to rows-arrived
-                    n_source_scans = 2
+                    # recorded (with the slim status scan) so metrics can
+                    # normalize numInputRows back to rows-arrived
+                    n_source_scans = 2 + n_extra_scans
                 pend.write.mode("overwrite").parquet(
                     pending_path(cfg, batch_id)
                 )
+            elif n_extra_scans and cached is None:
+                n_source_scans = 1 + n_extra_scans
         finally:
             if cached is not None:
                 cached.unpersist()
@@ -484,12 +494,66 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                 "max_event_us": hwm,
                 "has_pending": bool(n_keep),
                 "n_source_scans": n_source_scans,
+                "n_input_rows": _obs_get(obs_in, {"n_arrived": 0})[
+                    "n_arrived"
+                ],
                 "committed_at_ms": int(time.time() * 1000),
                 "sink_seconds": round(time.time() - t0, 3),
             },
         )
 
     return sink
+
+
+def _incomplete_group_keys(
+    all_rows: DataFrame, cfg: EngineConfig, table: TableModel, hwm: int
+) -> DataFrame:
+    """Distributed metadata-only status plan: the group keys of
+    correlation groups that are incomplete under cfg's include modes and
+    not yet expired at the engine watermark `hwm`.
+
+    Re-derives group completeness from the RAW batch input with a slim
+    aggregation over (pk, cdc$time, cdc$operation, cdc$batch_seq_no,
+    cdc$time_us) only — Catalyst prunes the payload columns from the
+    scan, so the audio bytes are never read — then applies the SAME
+    completion predicate as the envelope path (is_complete_expr, one
+    source of truth) plus the stale-task TTL
+    (ScyllaChangesConsumer.java:147-185).  Replaces the former
+    per-group key collection through the Observation: key volume now
+    scales on executors, never on the driver."""
+    from scylla_cdc_source_connector_spark.operators.correlation import (
+        is_complete_expr,
+    )
+    from scylla_cdc_source_connector_spark.schemas import (
+        DELTA_OPS,
+        OP_POST_IMAGE,
+        OP_PRE_IMAGE,
+    )
+
+    op = F.col("`cdc$operation`")
+    seq = F.col("`cdc$batch_seq_no`")
+    is_delta = op.isin(list(DELTA_OPS))
+    group_keys = [*table.pk_columns, "cdc$time"]
+    st = all_rows.groupBy(*[f"`{c}`" for c in group_keys]).agg(
+        F.count(F.when(op == OP_PRE_IMAGE, F.lit(1))).alias("__n_pre"),
+        F.count(F.when(op == OP_POST_IMAGE, F.lit(1))).alias("__n_post"),
+        # op of the LAST delta (by batch seq) — matches correlate_batch's
+        # last-one-wins slot
+        F.max_by(F.when(is_delta, op), F.when(is_delta, seq)).alias(
+            "__delta_op"
+        ),
+        F.max("`cdc$time_us`").alias("__ev_us"),
+    )
+    done = is_complete_expr(
+        cfg,
+        op=F.col("__delta_op"),
+        has_pre=F.col("__n_pre") > 0,
+        has_post=F.col("__n_post") > 0,
+    )
+    ttl_floor = hwm - cfg.incomplete_task_timeout_ms * 1000
+    return st.filter(~done & (F.col("__ev_us") >= F.lit(ttl_floor))).select(
+        *[f"`{c}`" for c in group_keys]
+    )
 
 
 def _write_batch(

@@ -12,6 +12,7 @@ import datetime as dt
 import glob
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -571,6 +572,61 @@ def test_dedup_within_watermark_drops_replays(spark, tmp_root, stream_pdf):
     }
     assert got_keys == ref_keys
     assert got.count() == len(got_keys)  # replays emitted exactly once
+
+
+def test_poison_batch_all_incomplete_stays_off_driver(spark, tmp_root):
+    """~10⁵ all-incomplete groups in ONE availableNow batch (every group a
+    lone pre-image, no delta) — the worst case for incomplete-group
+    bookkeeping.  The sink must carry ALL of them to the pending table via
+    the distributed metadata-only status plan + semi-join, with the driver
+    seeing only scalars (the former per-group Observation collect_list
+    shipped one key struct per group to the driver; plan_audit.py pins the
+    structural invariant, this pins the behavior + a memory tripwire)."""
+    import resource
+
+    n_groups = 100_000
+    base = pd.DataFrame(
+        {
+            "cdc$stream_id": [f"s{i % 16:04d}" for i in range(n_groups)],
+            "cdc$time": pd.to_datetime(BASE_US + np.arange(n_groups), unit="us"),
+            "cdc$time_us": BASE_US + np.arange(n_groups),
+            "cdc$operation": np.zeros(n_groups, dtype=np.int32),  # PRE_IMAGE
+            "cdc$batch_seq_no": np.zeros(n_groups, dtype=np.int32),
+            "generation": np.zeros(n_groups, dtype=np.int32),
+            "clip_id": [f"poison-{i:06d}" for i in range(n_groups)],
+            "bytes": [b"\x00\x01" * 8] * n_groups,
+            "sr_hz": np.full(n_groups, 16_000, dtype=np.int32),
+            "dur_ms": np.full(n_groups, 1, dtype=np.int32),
+            "codec": ["pcm_s16le"] * n_groups,
+            "transcript": ["x"] * n_groups,
+        }
+    )
+    for c in NON_PK_COLUMNS:
+        base[f"cdc$deleted_{c}"] = False
+    d = f"{tmp_root}/poison_in"
+    _write_chunks(base, d, n_chunks=1)
+    cfg = _cfg(tmp_root, "poison")
+
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    q = run_stream(spark, cfg, d, available_now=True)
+    q.awaitTermination(600)
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
+    assert sink_mod.read_emitted(spark, cfg).count() == 0
+    lin = sink_mod.read_lineage(cfg)
+    assert lin and lin[-1]["has_pending"]
+    assert lin[-1]["n_records"] == 0
+    assert lin[-1]["n_input_rows"] == n_groups
+    pend = spark.read.parquet(
+        sink_mod.pending_path(cfg, lin[-1]["batch_id"])
+    )
+    assert pend.count() == n_groups
+    # Python-driver memory tripwire: scalar-only status means the batch
+    # adds no per-group driver state (ru_maxrss is in KiB on Linux)
+    assert (rss_after - rss_before) < 256 * 1024, (
+        rss_before,
+        rss_after,
+    )
 
 
 def test_iceberg_sink_seam(spark, stream_pdf):
