@@ -313,54 +313,7 @@ def q_cdc_audio_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start_ms", "shard_id")
 
 
-def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental CDC apply (rows-only): exactly-once stream → committed
-    envelope batches → bucket-partitioned materialized table; returns the
-    live rows (streaming/apply.py; equality vs the batch last-writer-wins
-    state is pinned by tests/test_apply.py)."""
-    import os
-    import tempfile
 
-    from scylla_cdc_source_connector_spark.config import EngineConfig, IncludeMode
-    from scylla_cdc_source_connector_spark.fixtures import (
-        FixtureSpec,
-        make_changelog,
-        write_changelog_chunk,
-    )
-    from scylla_cdc_source_connector_spark.streaming.apply import (
-        materialize_latest,
-        read_latest,
-    )
-    from scylla_cdc_source_connector_spark.streaming.engine import run_stream
-
-    _utc(spark)
-    n_events = min(_events(spark, sf_dir).count(), 5_000)
-    root = os.path.join(tempfile.gettempdir(), f"sccs_apply_{n_events}")
-    cfg = EngineConfig(
-        include_before=IncludeMode.FULL,
-        include_after=IncludeMode.FULL,
-        checkpoint_dir=f"{root}/ckpt",
-        output_dir=f"{root}/out",
-        lineage_dir=f"{root}/lineage",
-    )
-    target = f"{root}/target"
-    if not os.path.isdir(f"{root}/in"):
-        pdf = make_changelog(
-            FixtureSpec(n_events=n_events, n_clips=max(50, n_events // 10))
-        )
-        os.makedirs(f"{root}/in", exist_ok=True)
-        size = (len(pdf) + 3) // 4
-        for i in range(4):
-            write_changelog_chunk(
-                pdf.iloc[i * size : (i + 1) * size],
-                f"{root}/in/chunk-{i:03d}.parquet",
-            )
-        q = run_stream(spark, cfg, f"{root}/in", available_now=True)
-        q.awaitTermination(300)
-    materialize_latest(spark, cfg, target_dir=target)
-    return read_latest(spark, target).select(
-        "clip_id", "transcript", "sr_hz", "__ts_us"
-    )
 
 
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,22 +729,48 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only: banding isn't SQL-practical;
-    recall vs exact jaccard is pytest-verified)."""
-    from scylla_cdc_source_connector_spark.functions.dedup import dedup_minhash_lsh
+def q_dedup_approx_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three approximate near-dup pair families in ONE checked entry
+    (rows-only: banding/quantization aren't SQL-practical; each method's
+    recall vs its exact oracle is pytest-pinned in tests/test_functions.py):
+      method='minhash_lsh'   — MinHash + banded LSH on token shingles
+                               (functions/dedup.dedup_minhash_lsh), score=jaccard
+      method='simhash'       — SimHash + pigeonhole block banding, complete
+                               at the Hamming radius (dedup.dedup_simhash),
+                               score=hamming distance
+      method='embedding_lsh' — banded hyperplane LSH over embeddings +
+                               exact-cosine verify
+                               (similarity.cosine_near_dup_pairs), score=cosine;
+                               the exact variant embedding_near_dup is the
+                               oracle-checked baseline"""
+    from scylla_cdc_source_connector_spark.functions.dedup import (
+        dedup_minhash_lsh,
+        dedup_simhash,
+    )
+    from scylla_cdc_source_connector_spark.functions.similarity import (
+        cosine_near_dup_pairs,
+    )
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    out = dedup_minhash_lsh(docs, threshold=0.5)
-    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-
-
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only)."""
-    from scylla_cdc_source_connector_spark.functions.dedup import dedup_simhash
-
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    return dedup_simhash(docs, max_hamming=8).select("id_a", "id_b", "hamming")
+    mh = dedup_minhash_lsh(docs, threshold=0.5).select(
+        F.lit("minhash_lsh").alias("method"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 4).cast("double").alias("score"),
+    )
+    sh = dedup_simhash(docs, max_hamming=8).select(
+        F.lit("simhash").alias("method"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("double").alias("score"),
+    )
+    el = cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35).select(
+        F.lit("embedding_lsh").alias("method"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cosine", 4).cast("double").alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(el)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,16 +786,28 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded hyperplane-LSH approximate top-k (rows-only; recall >= 0.8
-    vs brute force pinned in tests)."""
-    from scylla_cdc_source_connector_spark.functions.similarity import lsh_topk
+def q_ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both approximate-nearest-neighbor scale paths in ONE checked entry
+    (rows-only: quantization/banding aren't SQL-practical; recall vs the
+    oracle-checked brute-force ann_cosine_topk is pytest-pinned):
+      method='lsh' — banded hyperplane LSH, OR-of-bands candidates +
+                     exact-cosine rerank (similarity.lsh_topk, recall ≥ 0.8)
+      method='ivf' — IVF coarse quantization, zero-shuffle centroid argmax
+                     + n_probe cell scan (similarity.ivf_topk)"""
+    from scylla_cdc_source_connector_spark.functions.similarity import (
+        ivf_topk,
+        lsh_topk,
+    )
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries, k=10).select(
-        "query_id", "neighbor_id", "rank"
+    lsh = lsh_topk(emb, queries, k=10).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank"
     )
+    ivf = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank"
+    )
+    return lsh.unionByName(ivf)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,33 +822,6 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= 0.35)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
-    )
-
-
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (rows-only: coarse quantization isn't
-    SQL-practical; recall vs brute force is pytest-verified)."""
-    from scylla_cdc_source_connector_spark.functions.similarity import ivf_topk
-
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6).select(
-        "query_id", "neighbor_id", "rank"
-    )
-
-
-def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded hyperplane-LSH embedding near-dup (rows-only: the scale path
-    — a pair is a candidate when ANY band's sign bits match, then verified
-    with the exact cosine; the exact variant embedding_near_dup is the
-    oracle-checked baseline and the pytest recall reference)."""
-    from scylla_cdc_source_connector_spark.functions.similarity import (
-        cosine_near_dup_pairs,
-    )
-
-    emb = _emb(spark, sf_dir)
-    return cosine_near_dup_pairs(emb, threshold=0.35).select(
-        "id_a", "id_b", "cosine"
     )
 
 
@@ -964,44 +928,101 @@ def _fixture_clips(spark: SparkSession, sf_dir: str, n_clips: int):
     return spark.read.parquet(path)
 
 
-def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spectral fingerprints (Haitsma-Kalker-style sign-of-band-delta
-    bits) for the audio base table — one vectorized mapInPandas pass."""
+def q_audio_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio duplicate detection at BOTH granularities in one checked
+    entry (rows-only: the spectral fingerprint needs FFTs the DuckDB
+    oracle cannot express; collision/separation invariants are pinned by
+    tests/test_audio_fingerprint.py and tests/test_audio_containment.py):
+
+      kind='near_dup'    — clip-level codec-transcoding near-dups: each
+                           clip re-encoded under a second G.711 codec must
+                           pair with its original (Haitsma-Kalker-style
+                           fingerprint + pigeonhole Hamming banding,
+                           audio_fingerprint.audio_near_dup); score =
+                           Hamming distance
+      kind='containment' — partial-dup detection: a hop-aligned transcoded
+                           200 ms excerpt must surface as (container,
+                           contained) (segment → per-segment fingerprint →
+                           banding join → coverage,
+                           audio_fingerprint.audio_containment); score =
+                           coverage
+
+    Dup/excerpt synthesis runs INSIDE mapInPandas stages — the checked
+    plan is distributed end-to-end, no driver-side payload loops."""
     from scylla_cdc_source_connector_spark.audio_fingerprint import (
-        fingerprint_clips,
-    )
-
-    n = min(_events(spark, sf_dir).count() // 10, 2_000)
-    clips = _fixture_clips(spark, sf_dir, max(n, 100))
-    return fingerprint_clips(clips.select("clip_id", "bytes", "codec"))
-
-
-def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Codec-transcoding-robust near-dup pairs: each clip also stored
-    under a second G.711 codec must pair with its original; fingerprint +
-    pigeonhole Hamming banding join."""
-    import pandas as pd
-
-    from scylla_cdc_source_connector_spark import audio as audio_mod
-    from scylla_cdc_source_connector_spark.audio_fingerprint import (
+        audio_containment,
         audio_near_dup,
     )
 
-    clips = _fixture_clips(spark, sf_dir, 100).limit(60).toPandas()
-    rows = []
-    for r in clips.itertuples():
-        rows.append((f"{r.clip_id}-orig", bytes(r.bytes), r.codec))
-        alt = "ulaw" if r.codec != "ulaw" else "alaw"
-        pcm16 = (
-            (audio_mod.decode(bytes(r.bytes), r.codec) * 32768.0)
-            .clip(-32768, 32767)
-            .astype("int16")
-        )
-        rows.append((f"{r.clip_id}-dup", audio_mod.encode(pcm16, alt), alt))
-    df = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["clip_id", "bytes", "codec"])
+    clips = _fixture_clips(spark, sf_dir, 100).limit(60)
+
+    def transcode_dups(batches):
+        import pandas as pd
+
+        from scylla_cdc_source_connector_spark import audio as audio_mod
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                raw, codec = bytes(r.bytes), r.codec
+                rows.append((f"{r.clip_id}-orig", raw, codec))
+                alt = "ulaw" if codec != "ulaw" else "alaw"
+                pcm16 = (
+                    (audio_mod.decode(raw, codec) * 32768.0)
+                    .clip(-32768, 32767)
+                    .astype("int16")
+                )
+                rows.append((f"{r.clip_id}-dup", audio_mod.encode(pcm16, alt), alt))
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes", "codec"])
+
+    dup_corpus = clips.select("clip_id", "bytes", "codec").mapInPandas(
+        transcode_dups, "clip_id string, bytes binary, codec string"
     )
-    return audio_near_dup(df)
+    near = audio_near_dup(dup_corpus).select(
+        F.lit("near_dup").alias("kind"),
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("hamming").cast("double").alias("score"),
+    )
+
+    window_ms, hop_ms = 100, 50
+
+    def excerpts(batches):
+        import pandas as pd
+
+        from scylla_cdc_source_connector_spark import audio as audio_mod
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                raw, codec, sr = bytes(r.bytes), r.codec, int(r.sr_hz)
+                rows.append((r.clip_id, raw, codec, sr))
+                pcm = audio_mod.decode(raw, codec)
+                hop = sr * hop_ms // 1000
+                ex = pcm[hop : hop + 4 * hop]  # hop-aligned 200 ms excerpt
+                if len(ex) < 2 * hop:
+                    continue
+                ex16 = (ex * 32768.0).clip(-32768, 32767).astype("int16")
+                rows.append(
+                    (f"ex-{r.clip_id}", audio_mod.encode(ex16, "ulaw"), "ulaw", sr)
+                )
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes", "codec", "sr_hz"])
+
+    ex_corpus = (
+        _fixture_clips(spark, sf_dir, 100)
+        .limit(40)
+        .select("clip_id", "bytes", "codec", "sr_hz")
+        .mapInPandas(
+            excerpts, "clip_id string, bytes binary, codec string, sr_hz int"
+        )
+    )
+    cont = audio_containment(ex_corpus, window_ms=window_ms, hop_ms=hop_ms).select(
+        F.lit("containment").alias("kind"),
+        F.col("container_id").alias("id_a"),
+        F.col("contained_id").alias("id_b"),
+        F.round("coverage", 4).cast("double").alias("score"),
+    )
+    return near.unionByName(cont).orderBy("kind", "id_a", "id_b")
 
 
 def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1023,36 +1044,57 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Voice-activity segmentation (frame-energy VAD, audio_vad.py): per
-    clip speech ratio + speech-span trim offsets.  A third of the clips
-    are re-wrapped into WAV (RIFF) containers to exercise the real
-    container-parse path; rows-only (decode is not SQL-expressible) —
-    frame arithmetic is pinned by tests/test_audio_vad.py."""
-    import pandas as pd
+    """Frame-energy VAD + single-pass silence trim in one checked entry
+    (rows-only; decode is not SQL-expressible): per clip speech ratio,
+    speech-span trim offsets, AND the trimmed payload length — VAD and the
+    payload slice happen in ONE Arrow pass (audio_vad.trim_clips; frame
+    arithmetic and slice-vs-offset equality pinned by
+    tests/test_audio_vad.py).  A third of the clips are re-wrapped into
+    WAV (RIFF) containers INSIDE a mapInPandas stage (no driver-side
+    synthesis) to exercise the real container-parse path."""
+    from scylla_cdc_source_connector_spark.audio_vad import trim_clips
 
-    from scylla_cdc_source_connector_spark import audio as audio_mod
-    from scylla_cdc_source_connector_spark.audio_vad import vad_stats
+    def wav_wrap(batches):
+        import zlib
 
-    clips = _fixture_clips(spark, sf_dir, 300).toPandas()
-    wrap = clips.index % 3 == 0
-    rows = []
-    for i, r in enumerate(clips.itertuples()):
-        if wrap[i]:
-            pcm16 = (
-                (audio_mod.decode(bytes(r.bytes), r.codec) * 32768.0)
-                .clip(-32768, 32767)
-                .astype("int16")
+        import pandas as pd
+
+        from scylla_cdc_source_connector_spark import audio as audio_mod
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                raw, codec, sr = bytes(r.bytes), r.codec, int(r.sr_hz)
+                if zlib.crc32(r.clip_id.encode()) % 3 == 0:
+                    pcm16 = (
+                        (audio_mod.decode(raw, codec) * 32768.0)
+                        .clip(-32768, 32767)
+                        .astype("int16")
+                    )
+                    raw = audio_mod.wav_encode(pcm16, sr, "pcm_s16le")
+                    codec = "wav"
+                rows.append((r.clip_id, raw, codec, sr))
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "bytes", "codec", "sr_hz"]
             )
-            rows.append(
-                (r.clip_id, audio_mod.wav_encode(pcm16, r.sr_hz, "pcm_s16le"),
-                 "wav", r.sr_hz)
-            )
-        else:
-            rows.append((r.clip_id, bytes(r.bytes), r.codec, r.sr_hz))
-    df = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["clip_id", "bytes", "codec", "sr_hz"])
+
+    df = (
+        _fixture_clips(spark, sf_dir, 300)
+        .select("clip_id", "bytes", "codec", "sr_hz")
+        .mapInPandas(
+            wav_wrap, "clip_id string, bytes binary, codec string, sr_hz int"
+        )
     )
-    return vad_stats(df).orderBy("clip_id")
+    out = trim_clips(df)
+    return out.select(
+        "clip_id",
+        "decode_ok",
+        F.round("speech_ratio", 4).alias("speech_ratio"),
+        "trim_start_ms",
+        "trim_end_ms",
+        F.octet_length("bytes").alias("trimmed_bytes"),
+        "codec",
+    ).orderBy("clip_id")
 
 
 def q_audio_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1166,60 +1208,10 @@ def q_training_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass silence trim (rows-only; decode not SQL-expressible):
-    VAD stats + speech-span payload slice in one Arrow pass
-    (audio_vad.trim_clips); slice-vs-offset equality and WAV unwrap are
-    pinned by tests/test_audio_vad.py::test_trim_clips_single_pass."""
-    from scylla_cdc_source_connector_spark.audio_vad import trim_clips
-
-    clips = _fixture_clips(spark, sf_dir, 300)
-    out = trim_clips(clips)
-    return out.select(
-        "clip_id",
-        "decode_ok",
-        F.round("speech_ratio", 4).alias("speech_ratio"),
-        "trim_start_ms",
-        "trim_end_ms",
-        F.octet_length("bytes").alias("trimmed_bytes"),
-        "codec",
-    ).orderBy("clip_id")
 
 
-def q_audio_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partial-duplicate / containment detection (rows-only; decode is
-    not SQL-expressible): hop-aligned transcoded excerpts of fixture
-    clips must surface as (container, contained) pairs with high
-    coverage.  Thresholds/separation pinned by
-    tests/test_audio_containment.py."""
-    import pandas as pd
 
-    from scylla_cdc_source_connector_spark import audio as audio_mod
-    from scylla_cdc_source_connector_spark.audio_fingerprint import (
-        audio_containment,
-    )
 
-    clips = _fixture_clips(spark, sf_dir, 100).limit(40).toPandas()
-    window_ms, hop_ms = 100, 50
-    rows = []
-    for r in clips.itertuples():
-        raw, codec, sr = bytes(r.bytes), r.codec, int(r.sr_hz)
-        rows.append((r.clip_id, raw, codec, sr))
-        pcm = audio_mod.decode(raw, codec)
-        hop = sr * hop_ms // 1000
-        ex = pcm[hop : hop + 4 * hop]  # hop-aligned 200 ms excerpt
-        if len(ex) < 2 * hop:
-            continue
-        ex16 = (ex * 32768.0).clip(-32768, 32767).astype("int16")
-        rows.append(
-            (f"ex-{r.clip_id}", audio_mod.encode(ex16, "ulaw"), "ulaw", sr)
-        )
-    df = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["clip_id", "bytes", "codec", "sr_hz"])
-    )
-    return audio_containment(
-        df, window_ms=window_ms, hop_ms=hop_ms
-    ).orderBy("container_id", "contained_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1338,7 +1330,25 @@ def q_cdc_types_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries, ORACLE-CHECKABLE FIRST: the driver's
+    correctness run is capped at 50 queries, so the 40 entries with an
+    oracle_sql() row lead and the 10 rows-only entries follow — every
+    registered query gets a driver CORRECTNESS row.  Former standalone
+    rows-only entries were folded, not dropped (each constituent operator
+    still executes inside its composite):
+      audio_trim               → audio_vad (VAD + trim, one Arrow pass)
+      audio_fingerprint,
+      audio_near_dup,
+      audio_containment        → audio_dup_detect (kind column)
+      dedup_minhash_lsh,
+      dedup_simhash,
+      embedding_near_dup_lsh   → dedup_approx_pairs (method column)
+      ann_lsh_topk, ann_ivf_topk → ann_approx_topk (method column)
+      cdc_apply_latest         → retired as a driver entry; the apply
+        protocol runs end-to-end in tests/test_apply.py and inside
+        training_corpus_incremental's committed-batch consumption."""
     return {
+        # -- oracle-checked block (40) --------------------------------
         "cdc_change_typing": q_cdc_change_typing,
         "cdc_envelope_flat": q_cdc_envelope_flat,
         "cdc_latest_state": q_cdc_latest_state,
@@ -1364,11 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_match_pattern": q_cep_match_pattern,
         "cep_asof_join": q_cep_asof_join,
         "cep_snapshot_asof": q_cep_snapshot_asof,
-        "cdc_full_pipeline": q_cdc_full_pipeline,
-        "cdc_apply_latest": q_cdc_apply_latest,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_tombstones": q_cdc_tombstones,
-        "cdc_legacy_pipeline": q_cdc_legacy_pipeline,
         "text_fingerprint": q_text_fingerprint,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -1376,26 +1383,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "audio_fingerprint": q_audio_fingerprint,
-        "audio_near_dup": q_audio_near_dup,
-        "audio_vad": q_audio_vad,
-        "audio_resample": q_audio_resample,
         "audio_segment": q_audio_segment,
-        "audio_containment": q_audio_containment,
-        "audio_trim": q_audio_trim,
-        "training_pipeline": q_training_pipeline,
-        "training_corpus_incremental": q_training_corpus_incremental,
-        "cdc_audio_quality_windows": q_cdc_audio_quality_windows,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_image_decode": q_multimodal_image_decode,
         "multimodal_video_frames": q_multimodal_video_frames,
+        # -- rows-only block (10) -------------------------------------
+        "training_pipeline": q_training_pipeline,
+        "training_corpus_incremental": q_training_corpus_incremental,
+        "cdc_audio_quality_windows": q_cdc_audio_quality_windows,
+        "cdc_full_pipeline": q_cdc_full_pipeline,
+        "cdc_legacy_pipeline": q_cdc_legacy_pipeline,
+        "dedup_approx_pairs": q_dedup_approx_pairs,
+        "ann_approx_topk": q_ann_approx_topk,
+        "audio_dup_detect": q_audio_dup_detect,
+        "audio_vad": q_audio_vad,
+        "audio_resample": q_audio_resample,
     }
 
 

@@ -243,11 +243,43 @@ def run_bench(spark, sf_dir: str) -> dict:
         }
 
     # headline: vectorized foreachBatch correlation (zero-Python hot path),
-    # one availableNow batch = max throughput
-    timed_best("cdc_pipeline_streaming", lambda: _stream("vectorized"), repeats=2)
+    # one availableNow batch = max throughput.  The sink is WRITE-bound
+    # (profiled: correlate+envelope ≈ 3 s of the total; the ~1.2 GB
+    # envelope parquet write is the rest, and this box's write throughput
+    # oscillates ~3-5x on minute timescales).  So each stream sample is
+    # interleaved with a zero-logic write CONTROL — read the envelopes the
+    # sink just wrote, write the same bytes back out — pairing every
+    # engine measurement with the box's write ceiling at that moment.
+    stream_samples: list[float] = []
+    ctrl_samples: list[float] = []
+    ctrl_out = "/tmp/sccs_bench_ctrl_write"
+    env_out = "/tmp/sccs_bench_stream_vectorized_0/out"
+    for _ in range(3):
+        t0 = time.time()
+        _stream("vectorized")
+        stream_samples.append(round(time.time() - t0, 3))
+        batch_dirs = [
+            os.path.join(env_out, p)
+            for p in os.listdir(env_out)
+            if p.startswith("batch_id=")
+        ]
+        shutil.rmtree(ctrl_out, ignore_errors=True)
+        t0 = time.time()
+        spark.read.parquet(*batch_dirs).write.parquet(ctrl_out)
+        ctrl_samples.append(round(time.time() - t0, 3))
+    timings["cdc_pipeline_streaming"] = min(stream_samples)
+    timings["control_payload_write"] = min(ctrl_samples)
+    extra.setdefault("timing_samples", {})["cdc_pipeline_streaming"] = (
+        stream_samples
+    )
+    extra["timing_samples"]["control_payload_write"] = ctrl_samples
     extra["events_per_sec_streaming"] = round(
         n_changelog_rows / timings["cdc_pipeline_streaming"], 1
     )
+    # engine overhead over the raw write floor, paired-sample median
+    extra["streaming_minus_control_paired"] = [
+        round(s - c, 3) for s, c in zip(stream_samples, ctrl_samples)
+    ]
     # micro-batched run (1 file/trigger -> 8 batches incl. cross-batch
     # pending-state carryover): per-batch emit-latency percentiles
     q_mb = timed(
@@ -446,7 +478,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         "cdc_hot_keys_salted",
         "cdc_latest_state",
         "dedup_exact",
-        "dedup_minhash_lsh",
+        "dedup_approx_pairs",
         "dedup_clusters",
         "ann_cosine_topk",
         "cep_match_pattern",
