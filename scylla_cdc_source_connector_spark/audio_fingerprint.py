@@ -39,6 +39,13 @@ MIN_SAMPLES = 64
 
 N_BANDS = 16
 
+#: bits actually occupied by the packed fingerprint (3·N_BANDS − 2 sign
+#: bits; short clips with fewer distinct band edges use even fewer).  The
+#: Hamming banding joins MUST split this width, not the full 64-bit
+#: column: blocks over the constant-zero high bits put every row in one
+#: bucket and degenerate the candidate join to a cross product.
+FP_BITS = 3 * N_BANDS - 2
+
 #: output schema of audio_fingerprint_batches (DDL, for mapInPandas)
 AUDIO_FP_SCHEMA = "clip_id string, fingerprint long, n_samples int, fp_ok boolean"
 
@@ -153,33 +160,53 @@ def audio_fingerprint_batches(
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (clip_id, bytes, codec) -> spectral fingerprint.
 
-    Unsupported codecs / null payloads / too-short clips yield
-    fp_ok=false with fingerprint 0 (same contract as audio_stats_batches'
-    decode_ok)."""
+    codec="wav" rows get their RIFF container parsed and the data-chunk
+    payload folded into the matching raw-codec group (same eff_codec/
+    eff_raw pattern as audio._stats_one) — a WAV-payload stream with the
+    dedup index on fingerprints the inner samples instead of silently
+    yielding fp_ok=false.  Unsupported codecs / malformed containers /
+    null payloads / too-short clips yield fp_ok=false with fingerprint 0
+    (same contract as audio_stats_batches' decode_ok)."""
     for pdf in batches:
         n = len(pdf)
         fp = np.zeros(n, dtype=np.int64)
         ns = np.zeros(n, dtype=np.int64)
         ok = np.zeros(n, dtype=bool)
-        codecs = pdf["codec"].values
+        codecs = np.asarray(pdf["codec"].values, dtype=object)
         raws = pdf["bytes"].values
+        eff_codec = codecs.copy()
+        eff_raw: list = list(raws)
+        for i in np.flatnonzero(codecs == "wav"):
+            if raws[i] is None:
+                eff_codec[i] = None
+                continue
+            try:
+                inner, _ch, _sr, payload = audio.wav_parse(bytes(raws[i]))
+            except (
+                audio.MalformedContainerError,
+                audio.UnsupportedCodecError,
+            ):
+                eff_codec[i] = None  # stays fp_ok=False
+                continue
+            eff_codec[i] = inner
+            eff_raw[i] = payload
         valid = np.fromiter(
             (
                 r is not None
                 and c in audio.SUPPORTED_CODECS
                 and not (c == "pcm_s16le" and len(r) % 2)
                 and len(r) > 0
-                for r, c in zip(raws, codecs)
+                for r, c in zip(eff_raw, eff_codec)
             ),
             dtype=bool,
             count=n,
         )
         for codec in audio.SUPPORTED_CODECS:
-            sel = valid & (codecs == codec)
+            sel = valid & (eff_codec == codec)
             if not sel.any():
                 continue
             pos = np.flatnonzero(sel)
-            group = [bytes(raws[i]) for i in pos]
+            group = [bytes(eff_raw[i]) for i in pos]
             f_, n_, ok_ = _fingerprint_group(group, codec)
             fp[pos] = f_
             ns[pos] = n_
@@ -218,7 +245,11 @@ def audio_near_dup(
         .select(F.col("clip_id").alias(id_col), "fingerprint")
     )
     return hamming_near_dup_pairs(
-        fp, id_col=id_col, sig_col="fingerprint", max_hamming=max_hamming
+        fp,
+        id_col=id_col,
+        sig_col="fingerprint",
+        max_hamming=max_hamming,
+        n_bits=FP_BITS,
     )
 
 
@@ -302,7 +333,11 @@ def audio_containment(
         .select(F.col("clip_id").alias("seg_id"), "fingerprint")
     )
     pairs = hamming_near_dup_pairs(
-        fp, id_col="seg_id", sig_col="fingerprint", max_hamming=max_hamming
+        fp,
+        id_col="seg_id",
+        sig_col="fingerprint",
+        max_hamming=max_hamming,
+        n_bits=FP_BITS,
     )
 
     def split(col, part):
@@ -334,10 +369,13 @@ def audio_containment(
     totals = seg.groupBy("clip_id").agg(
         F.count("*").alias("n_segments_contained")
     )
-    # matched (pairs that survived the banding join) is the small side —
-    # totals is one row per clip and must never be broadcast at scale
+    # no broadcast hint on either side: `matched` is usually the small
+    # side but on a dup-heavy corpus the surviving pair set is NOT bounded
+    # by clip count (forcing it through a driver-side broadcast build
+    # would fail the job), and `totals` is one row per clip — let AQE pick
+    # broadcast from runtime sizes
     return (
-        F.broadcast(matched)
+        matched
         .join(
             totals.withColumnRenamed("clip_id", "contained_id"),
             "contained_id",

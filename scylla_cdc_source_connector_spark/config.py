@@ -135,9 +135,10 @@ class EngineConfig:
     # (the post-image payload must ride the envelope).
     dedup_index: bool = False
     # Radius drives the banding join's bucket width: pigeonhole
-    # completeness needs radius+1 blocks over the 48-bit fingerprint, so
-    # radius 8 leaves ~5-bit (32-way) buckets — per-batch candidates grow
-    # as index_size/32 per block.  The default favors RECALL on raw
+    # completeness needs radius+1 blocks over the fingerprint's OCCUPIED
+    # width (audio_fingerprint.FP_BITS = 46 bits of the int64 — the split
+    # covers exactly those bits), so radius 8 leaves ~5-bit (32-way)
+    # buckets — per-batch candidates grow as index_size/32 per block.  The default favors RECALL on raw
     # mixed-codec streams (transcoded copies measure Hamming <= 6).  With
     # normalize-on-ingest (audio_normalize_sr) duplicates measure 0-4, so
     # set 4-5 there: 8-10-bit buckets cut candidate volume ~8-32x at a

@@ -203,30 +203,25 @@ def simhash_from_hashes(tok_hashes: Column, n_bits: int = 64) -> Column:
     return out
 
 
-def hamming_near_dup_pairs(
-    sig: DataFrame,
-    *,
-    id_col: str,
-    sig_col: str,
-    max_hamming: int = 3,
-) -> DataFrame:
-    """Pairs within `max_hamming` of each other on a 64-bit signature
-    column — EXACT at the given radius, no all-pairs.
+def hamming_band_blocks(
+    sig_col: str, max_hamming: int, n_bits: int = 64
+) -> list[Column]:
+    """The pigeonhole block split shared by every Hamming banding join:
+    `n_bits` of the signature column split into max_hamming+1 contiguous
+    blocks, each a (tbl, blk) struct.
 
-    The signature splits into max_hamming+1 contiguous blocks; by
-    pigeonhole, any pair within Hamming distance max_hamming agrees
-    EXACTLY on at least one block (Manku, Jain & Sarma, WWW'07 — the
-    Google web near-dup design), so equality-bucketing each block yields
-    a COMPLETE candidate set: slim (id, block) rows, per-block bucket
-    self-join, bit_count verify on candidates.
-
-    At 10^12 rows, widen the signature (128 bits → wider blocks) rather
-    than shrinking blocks: expected bucket size ~ N / 2^width drives the
-    join fan-out.  Shared by the text simhash and audio-fingerprint
-    near-dup paths."""
+    n_bits MUST be the bits the signature actually occupies (e.g. the
+    audio fingerprint packs only FP_BITS=46 of its int64): splitting the
+    full 64 would make blocks over the constant-zero high bits, whose
+    single bucket holds EVERY row — the candidate join degenerates to a
+    cross product while staying accidentally correct."""
     n_tables = max_hamming + 1
-    # block boundaries: 64 bits split as evenly as possible
-    base, extra = divmod(64, n_tables)
+    base, extra = divmod(n_bits, n_tables)
+    if base == 0:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more blocks than "
+            f"n_bits={n_bits} can fill"
+        )
     blocks, off = [], 0
     for t in range(n_tables):
         width = base + (1 if t < extra else 0)
@@ -239,6 +234,33 @@ def hamming_near_dup_pairs(
             )
         )
         off += width
+    return blocks
+
+
+def hamming_near_dup_pairs(
+    sig: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Pairs within `max_hamming` of each other on an int64 signature
+    column occupying `n_bits` low bits — EXACT at the given radius, no
+    all-pairs.
+
+    The signature splits into max_hamming+1 contiguous blocks; by
+    pigeonhole, any pair within Hamming distance max_hamming agrees
+    EXACTLY on at least one block (Manku, Jain & Sarma, WWW'07 — the
+    Google web near-dup design), so equality-bucketing each block yields
+    a COMPLETE candidate set: slim (id, block) rows, per-block bucket
+    self-join, bit_count verify on candidates.
+
+    At 10^12 rows, widen the signature (128 bits → wider blocks) rather
+    than shrinking blocks: expected bucket size ~ N / 2^width drives the
+    join fan-out.  Shared by the text simhash and audio-fingerprint
+    near-dup paths (the latter passes n_bits=FP_BITS)."""
+    blocks = hamming_band_blocks(sig_col, max_hamming, n_bits)
     banded = sig.select(
         F.col(id_col), sig_col, F.explode(F.array(*blocks)).alias("b")
     ).select(F.col(id_col), sig_col, F.col("b.tbl"), F.col("b.blk"))

@@ -13,7 +13,14 @@ sink batch, idempotent overwrite):
 
     clip_id, __ts_us, __deleted,            -- per-clip version/tombstone
     seg_idx, seg_start_ms, seg_n_samples,   -- null on tombstone rows
-    bytes, codec, sr_hz, fingerprint
+    bytes, codec, sr_hz, fingerprint        -- fingerprint null on the
+                                            -- per-clip VERSION MARKER row
+
+Every live clip processed in a batch writes a version marker alongside
+its admitted segments, so an update that admits ZERO segments (gate
+failure, all-silence trim, dedup-blocked) still retires the clip's
+previous version — the corpus never serves content the table has
+replaced.
 
 Per batch the incremental cost is: the NEW envelopes' payload through
 gate→trim→segment→fingerprint (one Arrow pipeline, no shuffle), one slim
@@ -35,11 +42,11 @@ dedup): if a fingerprint's first-seen representative clip is later
 deleted or updated away, a duplicate that was blocked EARLIER does not
 retroactively re-enter — the fingerprint drops out of the corpus until
 that other clip changes again or a periodic re-derivation
-(training_corpus over the full table) re-admits it.  Clips whose own
-re-ingested content matches their previous version keep their existing
-rows (no new version is written), and a clip re-inserted after a delete
-DOES re-enter — the anti-join blocks on live-resolved fingerprints, not
-on history.
+(training_corpus over the full table) re-admits it.  The dedup block is
+OWNER-aware over live-resolved fingerprints, not history: a clip whose
+re-ingested content matches its own previous version re-admits its
+segments under the new version, and a clip re-inserted after a delete
+re-enters.
 """
 
 from __future__ import annotations
@@ -144,6 +151,26 @@ def maintain_corpus(
         )
 
         live = latest.where((F.col("op") != "d") & F.col("bytes").isNotNull())
+        # per-clip VERSION MARKER for every live clip processed in this
+        # batch: a segment-less row carrying the new __ts_us.  Without it,
+        # an update whose new payload yields zero admitted segments (fails
+        # the SNR gate, trims to all-silence, or is fully blocked by the
+        # dedup anti-join) would write nothing, leaving the clip's PREVIOUS
+        # version as the latest in the log — read_corpus would keep serving
+        # content the table no longer has.  The marker retires the prior
+        # version unconditionally; admitted segments ride alongside it.
+        markers = live.select(
+            "clip_id",
+            "__ts_us",
+            F.lit(False).alias("__deleted"),
+            F.lit(None).cast("long").alias("seg_idx"),
+            F.lit(None).cast("long").alias("seg_start_ms"),
+            F.lit(None).cast("long").alias("seg_n_samples"),
+            F.lit(None).cast("binary").alias("bytes"),
+            F.lit(None).cast("string").alias("codec"),
+            F.lit(None).cast("int").alias("sr_hz"),
+            F.lit(None).cast("long").alias("fingerprint"),
+        )
         verdict = audio.make_audio_verdict_udf()
         ok = (
             live.withColumn("__v", verdict(F.col("bytes"), F.col("codec")))
@@ -208,13 +235,25 @@ def maintain_corpus(
             latest = slim.groupBy("clip_id").agg(
                 F.max("__ts_us").alias("__ts_us")
             )
+            # OWNER-aware block: a fingerprint blocks re-entry only when a
+            # DIFFERENT live clip owns it.  A clip re-ingesting content
+            # matching its own previous version must re-admit (the version
+            # marker above retires the old rows, so blocking on its own
+            # fingerprint would make unchanged content vanish).
             seen = (
                 slim.join(latest, ["clip_id", "__ts_us"])
-                .where(~F.col("__deleted"))
-                .select("fingerprint")
-                .distinct()
+                .where(~F.col("__deleted") & F.col("fingerprint").isNotNull())
+                .groupBy("fingerprint")
+                .agg(F.min("clip_id").alias("__owner"))
             )
-            new_segs = new_segs.join(seen, "fingerprint", "left_anti")
+            new_segs = (
+                new_segs.join(seen, "fingerprint", "left")
+                .where(
+                    F.col("__owner").isNull()
+                    | (F.col("__owner") == F.col("clip_id"))
+                )
+                .drop("__owner")
+            )
         # in-batch exact dedup: one representative per fingerprint
         seg_cols = [c for c in CORPUS_COLUMNS if c != "fingerprint"]
         deduped = (
@@ -239,7 +278,7 @@ def maintain_corpus(
                 "fingerprint",
             )
         )
-        rows = deduped.unionByName(tombstones)
+        rows = deduped.unionByName(markers).unionByName(tombstones)
         rows.write.mode("overwrite").parquet(_data_dir(target_dir, bid))
         import pyarrow.parquet as pq
 
@@ -267,9 +306,11 @@ def read_corpus(spark: SparkSession, target_dir: str) -> DataFrame:
         )
     log = spark.read.parquet(*paths)
     latest_ts = log.groupBy("clip_id").agg(F.max("__ts_us").alias("__ts_us"))
+    # fingerprint IS NOT NULL drops the segment-less version markers: a
+    # clip whose latest version admitted zero segments resolves to nothing
     live = (
         log.join(latest_ts, ["clip_id", "__ts_us"])
-        .where(~F.col("__deleted"))
+        .where(~F.col("__deleted") & F.col("fingerprint").isNotNull())
     )
     seg_cols = [c for c in CORPUS_COLUMNS if c != "fingerprint"]
     return (

@@ -118,23 +118,18 @@ def read_dup_pairs(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
 
 
 def _banded(fp: DataFrame, max_hamming: int) -> DataFrame:
-    """Pigeonhole block split of the 64-bit fingerprint (see
-    functions/dedup.py:hamming_near_dup_pairs for the completeness
-    argument)."""
-    n_tables = max_hamming + 1
-    base, extra = divmod(64, n_tables)
-    blocks, off = [], 0
-    for t in range(n_tables):
-        width = base + (1 if t < extra else 0)
-        blocks.append(
-            F.struct(
-                F.lit(t).alias("tbl"),
-                F.shiftrightunsigned("fingerprint", off)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("blk"),
-            )
-        )
-        off += width
+    """Pigeonhole block split over the fingerprint's OCCUPIED bit width
+    (audio_fingerprint.FP_BITS = 46, not the full int64 — blocks over the
+    constant-zero high bits would collapse the whole index into one
+    bucket per such block and degenerate the candidate join to
+    O(|new|·|index|); see functions/dedup.py:hamming_band_blocks for the
+    completeness argument)."""
+    from scylla_cdc_source_connector_spark.audio_fingerprint import FP_BITS
+    from scylla_cdc_source_connector_spark.functions.dedup import (
+        hamming_band_blocks,
+    )
+
+    blocks = hamming_band_blocks("fingerprint", max_hamming, FP_BITS)
     return fp.select(
         "clip_id",
         "fingerprint",

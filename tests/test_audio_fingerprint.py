@@ -53,6 +53,79 @@ def test_kernel_transcoding_robust_and_content_distinct():
     assert min(cross) > 8  # different content never inside the radius
 
 
+def test_wav_container_unwrapped_in_fingerprint(spark):
+    """A WAV-wrapped payload must fingerprint to the RAW payload's
+    fingerprint (the container is unwrapped like audio._stats_one does) —
+    a wav-codec stream feeding the dedup index must index real bits, not
+    fp_ok=false rows."""
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark.audio_fingerprint import (
+        audio_fingerprint_batches,
+    )
+
+    pcms = [_clip(i) for i in range(4)]
+    pdf = pd.DataFrame(
+        {
+            "clip_id": [f"raw-{i}" for i in range(4)]
+            + [f"wav-{i}" for i in range(4)]
+            + ["bad-wav"],
+            "bytes": [audio.encode(p, "pcm_s16le") for p in pcms]
+            + [audio.wav_encode(p, 8000, "pcm_s16le") for p in pcms]
+            + [b"RIFFxxxxWAVE"],
+            "codec": ["pcm_s16le"] * 4 + ["wav"] * 5,
+        }
+    )
+    out = next(audio_fingerprint_batches(iter([pdf]))).set_index("clip_id")
+    for i in range(4):
+        assert out.loc[f"wav-{i}", "fp_ok"]
+        assert (
+            out.loc[f"wav-{i}", "fingerprint"]
+            == out.loc[f"raw-{i}", "fingerprint"]
+        )
+    assert not out.loc["bad-wav", "fp_ok"]
+
+
+def test_banding_splits_occupied_bits_only():
+    """The Hamming banding must split FP_BITS (46), not the full int64:
+    every block must carry real signature bits (a block over the
+    constant-zero high bits would put ALL rows in one bucket)."""
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_source_connector_spark.audio_fingerprint import FP_BITS
+    from scylla_cdc_source_connector_spark.functions.dedup import (
+        hamming_band_blocks,
+    )
+
+    assert FP_BITS == 46
+    for radius in (3, 8):
+        blocks = hamming_band_blocks("fingerprint", radius, FP_BITS)
+        assert len(blocks) == radius + 1
+    with pytest.raises(ValueError):
+        hamming_band_blocks("fingerprint", 63, FP_BITS)
+
+    # total shifted width covers exactly FP_BITS: reconstructing the
+    # signature from its blocks must be lossless for any 46-bit value
+    import random
+
+    random.seed(7)
+    for radius in (3, 8):
+        n_tables = radius + 1
+        base, extra = divmod(FP_BITS, n_tables)
+        widths = [base + (1 if t < extra else 0) for t in range(n_tables)]
+        assert sum(widths) == FP_BITS
+        for _ in range(20):
+            v = random.getrandbits(FP_BITS)
+            parts, off = [], 0
+            for w in widths:
+                parts.append((v >> off) & ((1 << w) - 1))
+                off += w
+            rebuilt = 0
+            for w, p in zip(reversed(widths), reversed(parts)):
+                rebuilt = (rebuilt << w) | p
+            assert rebuilt == v
+
+
 def test_kernel_deterministic_and_gain_invariant():
     p = _clip(3)
     raw = audio.encode(p, "pcm_s16le")

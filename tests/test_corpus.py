@@ -107,6 +107,69 @@ def test_incremental_and_idempotent(spark, driven):
     assert applied_batch_ids(target)
 
 
+def test_gate_failed_update_retires_prior_version(spark, tmp_root, driven):
+    """An UPDATE whose new payload admits zero segments (here: an
+    undecodable codec failing the SNR gate) must still retire the clip's
+    previous version — the version marker row carries the new __ts_us so
+    read_corpus stops serving the replaced content.  A later update back
+    to the clip's own original payload must re-admit it (owner-aware
+    dedup: a clip never blocks on its own fingerprints)."""
+    import numpy as np
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark import audio
+    from scylla_cdc_source_connector_spark.streaming import sink as sink_mod
+
+    cfg = _cfg(tmp_root, "stalever")
+    target = f"{tmp_root}/stalever_target"
+    os.makedirs(cfg.lineage_dir, exist_ok=True)
+    sr = 8000
+    pcm = (
+        np.sin(2 * np.pi * 500 * np.arange(sr) / sr) * 0.5 * 32767
+    ).astype(np.int16)
+    good = audio.encode(pcm, "pcm_s16le")
+
+    def env_rows(op, ts, payload, codec):
+        return pd.DataFrame(
+            {
+                "clip_id": ["clip-s"],
+                "cdc$time_us": [ts],
+                "value": [
+                    {
+                        "op": op,
+                        "after": {"bytes": payload, "codec": codec, "sr_hz": sr},
+                    }
+                ],
+            }
+        )
+
+    schema = (
+        "clip_id string, `cdc$time_us` long, "
+        "value struct<op string, after struct<bytes binary, codec string, sr_hz int>>"
+    )
+    phases = [
+        ("c", 10, good, "pcm_s16le"),   # insert: segments admitted
+        ("u", 20, b"\x01\x02\x03", "opus"),  # update: gate-failed payload
+        ("u", 30, good, "pcm_s16le"),   # update back to own original
+    ]
+    counts = []
+    for bid, (op, ts, payload, codec) in enumerate(phases):
+        df = spark.createDataFrame(env_rows(op, ts, payload, codec), schema)
+        df.write.mode("overwrite").parquet(sink_mod.batch_output_path(cfg, bid))
+        sink_mod._commit_lineage(
+            cfg, bid, {"batch_id": bid, "n_records": 1, "shards": []}
+        )
+        maintain_corpus(spark, cfg, target_dir=target, window_ms=WINDOW_MS)
+        counts.append(len(read_corpus(spark, target).toPandas()))
+    assert counts[0] > 0, "insert must admit segments"
+    assert counts[1] == 0, (
+        "gate-failed update must retire the prior version's segments"
+    )
+    assert counts[2] == counts[0], (
+        "re-ingesting the clip's own content must re-admit it"
+    )
+
+
 def test_delete_then_reinsert_returns(spark, tmp_root, driven):
     """A clip deleted and later re-inserted with the SAME payload must
     re-enter the corpus: the dedup anti-join blocks on live-resolved
