@@ -1273,14 +1273,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_cdc_types_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P10 CQL type-matrix translation, oracle-checked (flattened to
-    scalars so the DuckDB hash compares values, not container encodings):
-    map→sorted {key,value} entries, non-frozen list (map<timeuuid,V>)→
-    insertion-ordered values, tuple→field_N struct, empty-UDT→NULL,
-    TIME ns→µs (ScyllaSchema.java:297-430,
-    ScyllaChangeRecordEmitter.java:620-795).  The end-to-end pipeline
-    variant (through correlation→envelope) is pinned by
-    tests/test_types_matrix.py."""
+    """P10 CQL type-matrix translation + AVRO ROUND-TRIP, oracle-checked
+    (flattened to scalars so the DuckDB hash compares values, not
+    container encodings): map→sorted {key,value} entries, non-frozen
+    list (map<timeuuid,V>)→insertion-ordered values, tuple→field_N
+    struct, empty-UDT→NULL, TIME ns→µs (ScyllaSchema.java:297-430,
+    ScyllaChangeRecordEmitter.java:620-795).  The flattened row then
+    passes through the pure-Python Avro binary encoder AND decoder
+    (functions/avro.py — the Kafka Connect Avro converter analog,
+    ScyllaTypesAllAvroConnectorIT): the oracle hash matches only if
+    from_avro(to_avro(row)) == row for every value of the matrix.  The
+    end-to-end pipeline variant (through correlation→envelope) is pinned
+    by tests/test_types_matrix.py; byte-level spec conformance by
+    tests/test_avro.py."""
     from scylla_cdc_source_connector_spark.functions.types import (
         empty_udt_to_null,
         map_to_entries,
@@ -1313,7 +1318,7 @@ def q_cdc_types_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = map_to_entries(F.col("tags"))
     lst = nonfrozen_list_values(F.col("track"))
     meta = empty_udt_to_null(F.col("meta"), ["a", "b"])
-    return typed.select(
+    flat = typed.select(
         "event_id",
         F.element_at(ent, 1)["key"].alias("tag_key_1"),
         F.element_at(ent, 1)["value"].alias("tag_val_1"),
@@ -1326,6 +1331,19 @@ def q_cdc_types_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.isNull().alias("meta_is_null"),
         meta["a"].alias("meta_a"),
         time_to_micros(F.col("time_ns")).alias("time_us"),
+    )
+    # Avro round-trip: every checked value travels through the binary
+    # encoding and back; a codec defect breaks the oracle hash
+    from scylla_cdc_source_connector_spark.functions.avro import (
+        from_avro_udf,
+        to_avro_udf,
+    )
+
+    row_t = flat.select(F.struct(*flat.columns).alias("r")).schema["r"].dataType
+    enc, dec = to_avro_udf(row_t), from_avro_udf(row_t)
+    return (
+        flat.select(dec(enc(F.struct(*flat.columns))).alias("r"))
+        .select(*[F.col(f"r.{c}").alias(c) for c in flat.columns])
     )
 
 

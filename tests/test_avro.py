@@ -1,0 +1,324 @@
+"""Avro binary output encoding (functions/avro.py) + Kafka wire records
+(operators/kafka_records.py).
+
+The reference's Avro surface is its largest IT family
+(ScyllaTypesAllAvroConnectorIT, Schema-Registry naming
+ScyllaSchema.java:186-209).  No spark-avro jar / Kafka broker ships in
+this container, so these tests pin (a) byte-level conformance to the
+Avro 1.11 binary-encoding spec via hand-computed golden vectors — the
+interop guarantee with any real Avro consumer — (b) a full
+decode(encode(x)) == x round-trip over every mapped Spark type including
+the CQL-translation container shapes, and (c) the Spark Kafka sink's
+column contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+import json
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scylla_cdc_source_connector_spark.functions import avro
+
+
+# ---------------------------------------------------------------------------
+# spec golden vectors
+# ---------------------------------------------------------------------------
+def _enc_long(v: int) -> bytes:
+    buf = io.BytesIO()
+    avro._write_long(buf, v)
+    return buf.getvalue()
+
+
+def test_zigzag_varint_spec_vectors():
+    """The exact table from the Avro spec 'Primitive Types' section."""
+    assert _enc_long(0) == b"\x00"
+    assert _enc_long(-1) == b"\x01"
+    assert _enc_long(1) == b"\x02"
+    assert _enc_long(-2) == b"\x03"
+    assert _enc_long(2) == b"\x04"
+    assert _enc_long(-64) == b"\x7f"
+    assert _enc_long(64) == b"\x80\x01"
+    assert _enc_long(8192) == b"\x80\x80\x01"
+    assert _enc_long(-8193) == b"\x81\x80\x01"
+    for v in (0, -1, 1, 63, -64, 64, 2**62, -(2**62), 2**63 - 1, -(2**63)):
+        assert avro._read_long(io.BytesIO(_enc_long(v))) == v
+
+
+def test_primitive_golden_bytes():
+    assert avro.encode_record("string", "foo") == b"\x06foo"
+    assert avro.encode_record("bytes", b"\x01\x02") == b"\x04\x01\x02"
+    assert avro.encode_record("boolean", True) == b"\x01"
+    assert avro.encode_record("boolean", False) == b"\x00"
+    assert avro.encode_record("double", 1.0) == b"\x00\x00\x00\x00\x00\x00\xf0?"
+    assert avro.encode_record("float", 1.0) == b"\x00\x00\x80?"
+    # union ["null","string"]: null -> index 0; "a" -> index 1 + payload
+    u = ["null", "string"]
+    assert avro.encode_record(u, None) == b"\x00"
+    assert avro.encode_record(u, "a") == b"\x02\x02a"
+    # array of long [3, 27]: block count 2, items, terminator 0
+    arr = {"type": "array", "items": "long"}
+    assert avro.encode_record(arr, [3, 27]) == b"\x04\x06\x36\x00"
+    # the spec's record example: {"a": 27, "b": "foo"} -> 36 06 66 6f 6f
+    rec = {
+        "type": "record",
+        "name": "test",
+        "fields": [{"name": "a", "type": "long"}, {"name": "b", "type": "string"}],
+    }
+    assert avro.encode_record(rec, {"a": 27, "b": "foo"}) == b"\x36\x06foo"
+
+
+def test_wire_framing():
+    framed = avro.wire_frame(b"\x36\x06foo", schema_id=42)
+    assert framed[:1] == b"\x00" and len(framed) == 5 + 5
+    sid, payload = avro.unwire(framed)
+    assert sid == 42 and payload == b"\x36\x06foo"
+    with pytest.raises(ValueError):
+        avro.unwire(b"\x01zzz")
+
+
+# ---------------------------------------------------------------------------
+# full type-matrix round trip (CQL translation shapes of SURVEY §1.2)
+# ---------------------------------------------------------------------------
+TYPE_MATRIX = T.StructType(
+    [
+        T.StructField("s", T.StringType(), True),
+        T.StructField("i", T.IntegerType(), True),
+        T.StructField("l", T.LongType(), True),
+        T.StructField("sh", T.ShortType(), True),
+        T.StructField("by", T.ByteType(), True),
+        T.StructField("f", T.FloatType(), True),
+        T.StructField("d", T.DoubleType(), True),
+        T.StructField("b", T.BooleanType(), True),
+        T.StructField("bin", T.BinaryType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("dt", T.DateType(), True),
+        # CQL LIST/SET -> array
+        T.StructField("lst", T.ArrayType(T.IntegerType(), True), True),
+        # CQL MAP -> array of {key,value} structs (non-string keys)
+        T.StructField(
+            "mp",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.IntegerType(), True),
+                        T.StructField("value", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+            True,
+        ),
+        # CQL TUPLE/UDT -> nested record
+        T.StructField(
+            "tup",
+            T.StructType(
+                [
+                    T.StructField("field_0", T.IntegerType(), True),
+                    T.StructField("field_1", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        # string-keyed map -> Avro map
+        T.StructField("smap", T.MapType(T.StringType(), T.LongType(), True), True),
+    ]
+)
+
+ROWS = [
+    Row(
+        s="héllo",
+        i=-42,
+        l=2**40,
+        sh=7,
+        by=-3,
+        f=1.5,
+        d=math.pi,
+        b=True,
+        bin=b"\x00\xff\x10",
+        ts=dt.datetime(2024, 1, 1, 12, 30, 0, 123456, tzinfo=dt.timezone.utc),
+        dt=dt.date(2024, 2, 29),
+        lst=[1, 2, 3],
+        mp=[Row(key=1, value="a"), Row(key=2, value=None)],
+        tup=Row(field_0=9, field_1="t"),
+        smap={"x": 1, "y": 2},
+    ),
+    Row(
+        s=None,
+        i=None,
+        l=None,
+        sh=None,
+        by=None,
+        f=None,
+        d=None,
+        b=None,
+        bin=None,
+        ts=None,
+        dt=None,
+        lst=None,
+        mp=None,
+        tup=None,
+        smap=None,
+    ),
+    Row(
+        s="",
+        i=0,
+        l=-1,
+        sh=0,
+        by=0,
+        f=0.0,
+        d=-0.0,
+        b=False,
+        bin=b"",
+        ts=dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc),
+        dt=dt.date(1970, 1, 1),
+        lst=[],
+        mp=[],
+        tup=Row(field_0=None, field_1=None),
+        smap={},
+    ),
+]
+
+
+def test_type_matrix_roundtrip_spark(spark):
+    """decode(encode(value)) == value through the pandas UDF over every
+    mapped Spark type, including the engine's CQL container translations."""
+    df = spark.createDataFrame(ROWS, TYPE_MATRIX).withColumn(
+        "v", F.struct(*[F.col(c) for c in TYPE_MATRIX.fieldNames()])
+    )
+    schema = avro.avro_schema_of(df.schema["v"].dataType)
+    json.dumps(schema)  # must be a valid JSON schema document
+    enc = avro.to_avro_udf(df.schema["v"].dataType)
+    out = df.select("v", enc(F.col("v")).alias("raw")).collect()
+    for r in out:
+        got = avro.decode_record(schema, bytes(r["raw"]))
+        exp = r["v"].asDict(recursive=True)
+        for k, v in exp.items():
+            g = got[k]
+            if k == "ts" and v is not None:
+                epoch = v.replace(tzinfo=dt.timezone.utc) if v.tzinfo is None else v
+                assert g == int(epoch.timestamp() * 1_000_000)
+            elif k == "dt" and v is not None:
+                assert g == (v - dt.date(1970, 1, 1)).days
+            elif k == "f" and v is not None:
+                assert g == pytest.approx(v, rel=1e-6)
+            elif k == "mp" and v is not None:
+                assert g == [dict(e) for e in v]
+            elif k == "tup" and v is not None:
+                assert g == dict(v)
+            else:
+                assert g == v, (k, g, v)
+
+
+def test_nullability_mismatch_raises():
+    with pytest.raises(ValueError, match="non-nullable"):
+        avro.encode_record("string", None)
+    with pytest.raises(TypeError, match="string keys"):
+        avro.avro_schema_of(T.MapType(T.IntegerType(), T.StringType()))
+
+
+# ---------------------------------------------------------------------------
+# Kafka wire records over real envelopes
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def envelopes(spark):
+    from scylla_cdc_source_connector_spark.config import (
+        EngineConfig,
+        IncludeMode,
+        PkPlacement,
+    )
+    from scylla_cdc_source_connector_spark.fixtures import (
+        FixtureSpec,
+        make_changelog,
+        write_changelog_chunk,
+    )
+    from scylla_cdc_source_connector_spark.plans.pipeline import cdc_envelopes
+
+    import tempfile, os
+
+    path = os.path.join(tempfile.gettempdir(), "avro_cl.parquet")
+    write_changelog_chunk(
+        make_changelog(FixtureSpec(n_events=300, n_clips=60)), path
+    )
+    cfg = EngineConfig(
+        include_before=IncludeMode.FULL,
+        include_after=IncludeMode.FULL,
+        pk_placements=(
+            PkPlacement.KAFKA_KEY,
+            PkPlacement.PAYLOAD_AFTER,
+            PkPlacement.PAYLOAD_BEFORE,
+            PkPlacement.KAFKA_HEADERS,
+        ),
+    )
+    return cfg, cdc_envelopes(
+        spark.read.parquet(path), cfg, processing_ts_ms=F.lit(0)
+    )
+
+
+def test_kafka_records_contract_and_json(spark, envelopes):
+    from scylla_cdc_source_connector_spark.operators.kafka_records import (
+        KAFKA_SINK_COLUMNS,
+        kafka_records,
+    )
+
+    cfg, env = envelopes
+    rec = kafka_records(env, fmt="json")
+    assert list(rec.columns[:4]) == list(KAFKA_SINK_COLUMNS)
+    types = dict(rec.dtypes)
+    assert types["key"] == "binary" and types["value"] == "binary"
+    assert types["headers"] == "array<struct<key:string,value:binary>>"
+    rows = rec.limit(20).collect()
+    assert rows
+    for r in rows:
+        v = json.loads(bytes(r["value"]).decode("utf-8"))
+        assert v["op"] in ("c", "u", "d")
+        assert v["source"]["table_name"] == cfg.table
+        k = json.loads(bytes(r["key"]).decode("utf-8"))
+        assert "clip_id" in k
+        assert r["headers"][0]["key"] == "pk.clip_id"
+        assert bytes(r["headers"][0]["value"]).decode() == k["clip_id"]
+
+
+def test_kafka_records_avro_roundtrip(spark, envelopes):
+    """Avro-format records decode back to the envelope's own values —
+    the from_avro(to_avro(v)) == v contract over real pipeline output,
+    with Schema-Registry wire framing."""
+    from scylla_cdc_source_connector_spark.operators.kafka_records import (
+        kafka_records,
+    )
+
+    cfg, env = envelopes
+    value_schema = avro.avro_schema_of(env.schema["value"].dataType)
+    rec = kafka_records(env, fmt="avro", value_schema_id=7)
+    got = (
+        env.select("value", F.col("`cdc$time_us`").alias("t"))
+        .join(
+            rec.select("value", F.col("`cdc$time_us`").alias("t")).withColumnRenamed(
+                "value", "raw"
+            ),
+            "t",
+        )
+        .limit(20)
+        .collect()
+    )
+    assert got
+    for r in got:
+        sid, payload = avro.unwire(bytes(r["raw"]))
+        assert sid == 7
+        dec = avro.decode_record(value_schema, payload)
+        exp = r["value"].asDict(recursive=True)
+        assert dec["op"] == exp["op"]
+        assert dec["source"]["ts_us"] == exp["source"]["ts_us"]
+        after, dafter = exp["after"], dec["after"]
+        if after is None:
+            assert dafter is None
+        else:
+            assert dafter["clip_id"] == after["clip_id"]
+            b = after.get("bytes")
+            assert (dafter["bytes"] or None) == (bytes(b) if b is not None else None)
+            assert dafter["transcript"] == after["transcript"]
