@@ -318,7 +318,9 @@ def run_stream(
         out.writeStream.foreachBatch(sink_fn)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
-        .queryName(f"{cfg.connector_name}-gen{generation}")
+        # cfg.table disambiguates concurrent per-table queries of one
+        # multi-table connector run (streaming/connector.py)
+        .queryName(f"{cfg.connector_name}-{cfg.table}-gen{generation}")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
