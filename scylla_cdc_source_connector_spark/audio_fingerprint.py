@@ -261,6 +261,7 @@ def audio_containment(
     max_hamming: int = 5,
     min_matched_segments: int = 2,
     min_coverage: float = 0.6,
+    offset_sweep: int = 1,
 ) -> DataFrame:
     """Partial-duplicate / containment detection: find (container,
     contained) clip pairs where most of the CONTAINED clip's audio occurs
@@ -281,13 +282,21 @@ def audio_containment(
     Full-duplicate pairs naturally appear with coverage ≈ 1.0 in both
     directions; self-pairs are excluded.
 
-    Alignment caveat (stated, not hidden): spectral fingerprints are not
-    shift-invariant, so an excerpt is GUARANTEED detectable when its
-    offset inside the container is a multiple of hop_ms (hop defaults to
-    window/2); for arbitrary offsets shrink hop_ms — candidate volume
-    grows linearly (segments = dur/hop) while the banding join stays
-    bucket-bounded, the same trade every shingled-fingerprint system
-    makes (cf. Manku et al. WWW'07 shingling).
+    Alignment (the offset-sweep option): spectral fingerprints are not
+    shift-invariant.  Both roles segment on the SAME grid, so an excerpt
+    at offset δ inside the container has EVERY segment misaligned by the
+    same ε = δ − round(δ/hop)·hop, |ε| ≤ hop/2 — a multiple-of-hop
+    offset (ε = 0) is guaranteed; an arbitrary offset is detected iff
+    the fingerprint absorbs an ε-shift of a window_ms window within the
+    Hamming radius.  `offset_sweep = k` divides the effective hop by k
+    on both sides, shrinking the worst-case shift to hop/(2k) of the
+    window — e.g. window 96 ms / hop 48 ms / sweep 4 bounds the shift at
+    6 ms (6% of the window), inside the radius for broadband content
+    (pinned by tests/test_audio_containment.py's misaligned-excerpt
+    case).  Cost: segments ×k, banding-join candidate volume ×k² within
+    buckets — the same recall/volume trade every shingled-fingerprint
+    system makes (cf. Manku et al. WWW'07 shingling); coverage is
+    unaffected because ε is common to all of a pair's segments.
 
     Scale shape: segments multiply rows by ~dur/hop but each carries only
     window-sized bytes and the fan-out is narrow; the only shuffles are
@@ -311,11 +320,16 @@ def audio_containment(
 
     if hop_ms is None:
         hop_ms = max(1, window_ms // 2)
+    if offset_sweep < 1 or hop_ms % offset_sweep:
+        raise ValueError(
+            f"offset_sweep={offset_sweep} must divide hop_ms={hop_ms}"
+        )
+    hop_eff = hop_ms // offset_sweep
 
     seg = segment_clips(
         clips.select("clip_id", "bytes", "codec", "sr_hz"),
         window_ms=window_ms,
-        hop_ms=hop_ms,
+        hop_ms=hop_eff,
     )
     # fingerprint kernel's contract is (clip_id, bytes, codec); ride the
     # segment identity through clip_id as "<clip>#<idx>" and split after

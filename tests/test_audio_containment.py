@@ -94,3 +94,46 @@ def test_counts_and_coverage_shape(corpus):
     got, _ = corpus
     assert (got["n_matched_segments"] <= got["n_segments_contained"]).all()
     assert ((got["coverage"] > 0) & (got["coverage"] <= 1.0)).all()
+
+
+def test_misaligned_excerpt_detected_with_offset_sweep(spark):
+    """A 200 ms excerpt at an ARBITRARY (non-hop-multiple) offset must be
+    detected with offset_sweep: window 96 ms / hop 48 ms / sweep 4 bounds
+    the per-segment shift at 6 ms (6% of the window), inside the
+    fingerprint's Hamming radius for broadband content."""
+    window_ms, hop_ms, sweep = 96, 48, 4
+    rows = []
+    expected = []
+    for i in range(4):
+        n = SR * 2
+        pcm = _broadband_clip(50 + i, n)
+        rows.append(
+            (f"long-{i}", audio.encode(pcm, "pcm_s16le"), "pcm_s16le", SR)
+        )
+        # 37 ms offset: not a multiple of hop (48), nor of hop/sweep (12)
+        off = SR * 37 // 1000
+        ex = pcm[off : off + SR * 200 // 1000]
+        rows.append((f"ex-{i}", audio.encode(ex, "ulaw"), "ulaw", SR))
+        expected.append((f"long-{i}", f"ex-{i}"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "bytes", "codec", "sr_hz"])
+    )
+    got = audio_containment(
+        df,
+        window_ms=window_ms,
+        hop_ms=hop_ms,
+        offset_sweep=sweep,
+        min_matched_segments=1,
+        min_coverage=0.5,
+    ).toPandas()
+    found = {
+        (r["container_id"], r["contained_id"]) for _, r in got.iterrows()
+    }
+    hits = [p for p in expected if p in found]
+    assert len(hits) >= len(expected) - 1, (found, expected)
+    # no cross-clip pollution from the finer grid
+    legit = {p for pair in expected for p in (pair, pair[::-1])}
+    assert found <= legit, found
+
+    with pytest.raises(ValueError, match="offset_sweep"):
+        audio_containment(df, window_ms=96, hop_ms=48, offset_sweep=5)

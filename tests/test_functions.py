@@ -47,8 +47,9 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     exact = _topk_sets(brute_force_topk(emb, queries, k=10))
     approx = _topk_sets(ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6))
     r = _recall(approx, exact)
-    # probing 6/16 cells must beat random cell coverage by a wide margin
-    assert r >= 0.5, f"IVF recall {r:.2f} too low"
+    # same operating point the entry registers (16 cells, 6 probed);
+    # measured 0.93 at sf0.01 — hold the LSH-path bar here too
+    assert r >= 0.8, f"IVF recall {r:.2f} < 0.8"
 
 
 def test_ivf_full_probe_is_exact(spark, emb):
