@@ -265,7 +265,11 @@ def run_bench(spark, sf_dir: str) -> dict:
         ]
         shutil.rmtree(ctrl_out, ignore_errors=True)
         t0 = time.time()
-        spark.read.parquet(*batch_dirs).write.parquet(ctrl_out)
+        # same codec as the sink (EngineConfig.output_compression) so the
+        # control measures the same byte volume the sink pays
+        spark.read.parquet(*batch_dirs).write.option(
+            "compression", "zstd"
+        ).parquet(ctrl_out)
         ctrl_samples.append(round(time.time() - t0, 3))
     timings["cdc_pipeline_streaming"] = min(stream_samples)
     timings["control_payload_write"] = min(ctrl_samples)

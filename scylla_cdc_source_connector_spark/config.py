@@ -105,6 +105,12 @@ class EngineConfig:
     checkpoint_dir: str = ""
     output_dir: str = ""
     lineage_dir: str = ""
+    # parquet codec for the payload-bearing sink outputs (envelopes,
+    # quarantine, pending).  zstd writes ~37% fewer bytes than snappy on
+    # the audio envelopes (measured 0.80 vs 1.27 GB on the sf0.1 batch)
+    # at comparable CPU — the sink is write-bound, so fewer bytes is
+    # directly faster and at 100 TB it is a third less sink I/O.
+    output_compression: str = "zstd"
 
     # streaming audio-validation gate (dead-letter analog of Kafka
     # Connect's errors.tolerance=all + errors.deadletterqueue.topic.name,

@@ -472,9 +472,9 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                     # recorded (with the slim status scan) so metrics can
                     # normalize numInputRows back to rows-arrived
                     n_source_scans = 2 + n_extra_scans
-                pend.write.mode("overwrite").parquet(
-                    pending_path(cfg, batch_id)
-                )
+                pend.write.mode("overwrite").option(
+                    "compression", cfg.output_compression
+                ).parquet(pending_path(cfg, batch_id))
             elif n_extra_scans and cached is None:
                 n_source_scans = 1 + n_extra_scans
         finally:
@@ -625,6 +625,7 @@ def _write_batch(
         (
             df.sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
             .write.mode("overwrite")
+            .option("compression", cfg.output_compression)
             .parquet(batch_output_path(cfg, batch_id))
         )
 
@@ -661,6 +662,7 @@ def _write_batch(
                     bad.withColumn("quarantine_reason", gate["reason"])
                     .drop("__audio_norm")
                     .write.mode("overwrite")
+                    .option("compression", cfg.output_compression)
                     .parquet(quarantine_path(cfg, batch_id))
                 )
             env_df = persisted.filter(gate["pass"]).drop("__audio_verdict")
