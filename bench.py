@@ -472,7 +472,11 @@ def run_bench(spark, sf_dir: str) -> dict:
 
         return training_corpus(changelog).count()
 
-    extra["training_corpus_segments"] = timed("training_pipeline", _training)
+    # best-of-2: the recipe's wall time swings ~4x with host phases
+    # (identical run measured 31.7 s then 8.3 s in one session)
+    extra["training_corpus_segments"] = timed_best(
+        "training_pipeline", _training, repeats=2
+    )
 
     # 4. operator suite over the sf tables (same entries the driver checks)
     suite = [

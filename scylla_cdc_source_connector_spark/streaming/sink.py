@@ -439,32 +439,28 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
             hwm = max(prev_hwm, max_ev or 0)
 
             # carry incomplete, unexpired groups; expired ones are dropped
-            # like the reference's stale-task cleanup.  Both extra passes
-            # (the slim status scan and the payload-bearing semi-join) run
-            # only when incomplete groups actually exist, and both stay
-            # fully distributed — no key structs ever reach the driver.
+            # like the reference's stale-task cleanup.  The extra pass
+            # (slim status scan + payload-bearing semi-join, fused into
+            # the single pending WRITE job) runs only when incomplete
+            # groups actually exist, and stays fully distributed — no key
+            # structs ever reach the driver; the carried-row count comes
+            # off the written parquet footers, not a separate count job
+            # (a per-micro-batch count action measured ~1 s/trigger).
             n_keep = 0
-            n_extra_scans = 0
             pend = None
+            n_extra_scans = 0
             if n_inc:
                 inc_keys = _incomplete_group_keys(all_rows, cfg, table, hwm)
-                # action on the slim plan: the scan reads only the group
-                # keys + op/seq/time metadata columns (payload pruned)
-                n_keep = inc_keys.count()
-                n_extra_scans += 1
-                if n_keep:
-                    # no broadcast hint: inc_keys is tiny for ordinary
-                    # boundary splits and AQE picks broadcast then, but a
-                    # poison all-incomplete batch must not be forced
-                    # through a driver-side broadcast build
-                    pend = all_rows.join(inc_keys, group_keys, "left_semi")
+                # no broadcast hint: inc_keys is tiny for ordinary
+                # boundary splits and AQE picks broadcast then, but a
+                # poison all-incomplete batch must not be forced through
+                # a driver-side broadcast build
+                pend = all_rows.join(inc_keys, group_keys, "left_semi")
+                n_extra_scans = 1  # the slim status scan
             if deferred is not None:
-                d_cnt = deferred.count()
-                if d_cnt:
-                    pend = (
-                        pend.unionByName(deferred) if pend is not None else deferred
-                    )
-                    n_keep += d_cnt
+                pend = (
+                    pend.unionByName(deferred) if pend is not None else deferred
+                )
             n_source_scans = 1
             if pend is not None:
                 if cached is None:
@@ -472,11 +468,17 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                     # recorded (with the slim status scan) so metrics can
                     # normalize numInputRows back to rows-arrived
                     n_source_scans = 2 + n_extra_scans
+                out = pending_path(cfg, batch_id)
                 pend.write.mode("overwrite").option(
                     "compression", cfg.output_compression
-                ).parquet(pending_path(cfg, batch_id))
-            elif n_extra_scans and cached is None:
-                n_source_scans = 1 + n_extra_scans
+                ).parquet(out)
+                import pyarrow.parquet as pq
+
+                n_keep = sum(
+                    pq.read_metadata(os.path.join(out, f)).num_rows
+                    for f in os.listdir(out)
+                    if f.endswith(".parquet")
+                )
         finally:
             if cached is not None:
                 cached.unpersist()
