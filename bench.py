@@ -254,7 +254,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     ctrl_samples: list[float] = []
     ctrl_out = "/tmp/sccs_bench_ctrl_write"
     env_out = "/tmp/sccs_bench_stream_vectorized_0/out"
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         _stream("vectorized")
         stream_samples.append(round(time.time() - t0, 3))
