@@ -11,7 +11,10 @@ Package the engine and run the CDC pipeline on any cluster manager:
 
 The session comes from spark-submit's context (master/executors/confs are
 CLI-owned); this script only applies the payload batch-size tuning and
-declares the job.  Prints ONE JSON line: rows emitted, elapsed seconds,
+declares the job.  In LOCAL mode the driver heap holds the executors, so
+size it for the payload: pass `--driver-memory 8g` (or more) for multi-GB
+changelog inputs — the 1g default OOMs in the parquet reader on fat
+binary rows.  Prints ONE JSON line: rows emitted, elapsed seconds,
 throughput.  Running it at two --master local[N] levels on the same input
 is exactly the two-cluster-size measurement scale_bench.py automates.
 

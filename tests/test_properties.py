@@ -155,3 +155,89 @@ def test_segment_arithmetic_total_coverage(n_bytes, sr, window_ms, hop_ms, keep_
         last_end = max(last_end, end)
     if keep_tail and hop_b <= win_b and n_bytes:
         assert last_end == n_bytes
+
+
+# ---------------------------------------------------------------------------
+# Avro binary codec (functions/avro.py): decode(encode(x)) == x for
+# arbitrary values of an envelope-shaped recursive schema
+# ---------------------------------------------------------------------------
+@st.composite
+def _avro_schema_and_value(draw, depth=2):
+    """A random (schema, matching value) pair over the mapped type set."""
+    kind = draw(
+        st.sampled_from(
+            ["long", "string", "bytes", "boolean", "double", "record", "array"]
+            if depth > 0
+            else ["long", "string", "bytes", "boolean", "double"]
+        )
+    )
+    nullable = draw(st.booleans())
+
+    def wrap(schema, value):
+        if nullable:
+            return ["null", schema], (None if draw(st.booleans()) else value)
+        return schema, value
+
+    if kind == "long":
+        return wrap("long", draw(st.integers(-(2**63), 2**63 - 1)))
+    if kind == "string":
+        return wrap("string", draw(st.text(max_size=40)))
+    if kind == "bytes":
+        return wrap("bytes", draw(st.binary(max_size=40)))
+    if kind == "boolean":
+        return wrap("boolean", draw(st.booleans()))
+    if kind == "double":
+        return wrap("double", draw(st.floats(allow_nan=False, width=64)))
+    if kind == "array":
+        inner_s, _ = draw(_avro_schema_and_value(depth=depth - 1))
+        # all items share inner_s: draw each value against that one schema
+        items = [
+            _value_for(draw, inner_s)
+            for _ in range(draw(st.integers(0, 4)))
+        ]
+        return wrap({"type": "array", "items": inner_s}, items)
+    # record
+    n_fields = draw(st.integers(1, 4))
+    fields, value = [], {}
+    for i in range(n_fields):
+        s2, v2 = draw(_avro_schema_and_value(depth=depth - 1))
+        fields.append({"name": f"f{i}", "type": s2})
+        value[f"f{i}"] = v2
+    return wrap(
+        {"type": "record", "name": f"R{depth}", "fields": fields}, value
+    )
+
+
+def _value_for(draw, schema):
+    """Draw one value conforming to an already-drawn schema node."""
+    if isinstance(schema, list):
+        return None if draw(st.booleans()) else _value_for(draw, schema[1])
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "long":
+        return draw(st.integers(-(2**63), 2**63 - 1))
+    if t == "string":
+        return draw(st.text(max_size=40))
+    if t == "bytes":
+        return draw(st.binary(max_size=40))
+    if t == "boolean":
+        return draw(st.booleans())
+    if t == "double":
+        return draw(st.floats(allow_nan=False, width=64))
+    if t == "array":
+        return [
+            _value_for(draw, schema["items"])
+            for _ in range(draw(st.integers(0, 3)))
+        ]
+    return {
+        f["name"]: _value_for(draw, f["type"]) for f in schema["fields"]
+    }
+
+
+@settings(max_examples=150, deadline=None)
+@given(sv=_avro_schema_and_value())
+def test_avro_roundtrip_arbitrary(sv):
+    from scylla_cdc_source_connector_spark.functions import avro
+
+    schema, value = sv
+    got = avro.decode_record(schema, avro.encode_record(schema, value))
+    assert got == value
