@@ -284,6 +284,64 @@ def test_kafka_records_contract_and_json(spark, envelopes):
         assert bytes(r["headers"][0]["value"]).decode() == k["clip_id"]
 
 
+def test_exactly_once_kafka_record_emission(spark, tmp_root):
+    """maintain_kafka_records consumes the sink's committed batches into
+    wire records under the apply-marker protocol: converts each batch
+    once, replays are no-ops, later batches convert incrementally, and
+    the record stream matches the emitted envelopes 1:1."""
+    import os
+
+    from scylla_cdc_source_connector_spark.config import (
+        EngineConfig,
+        IncludeMode,
+    )
+    from scylla_cdc_source_connector_spark.fixtures import (
+        FixtureSpec,
+        make_changelog,
+        write_changelog_chunk,
+    )
+    from scylla_cdc_source_connector_spark.operators.kafka_records import (
+        maintain_kafka_records,
+        read_kafka_records,
+    )
+    from scylla_cdc_source_connector_spark.streaming import sink as sink_mod
+    from scylla_cdc_source_connector_spark.streaming.engine import run_stream
+
+    d = f"{tmp_root}/krec_in"
+    os.makedirs(d, exist_ok=True)
+    pdf = make_changelog(FixtureSpec(n_events=400, n_clips=60)).sort_values(
+        "cdc$time_us", kind="stable"
+    )
+    half = len(pdf) // 2
+    write_changelog_chunk(pdf.iloc[:half], f"{d}/c0.parquet")
+    cfg = EngineConfig(
+        include_before=IncludeMode.FULL,
+        include_after=IncludeMode.FULL,
+        checkpoint_dir=f"{tmp_root}/krec/ck",
+        output_dir=f"{tmp_root}/krec/out",
+        lineage_dir=f"{tmp_root}/krec/lin",
+    )
+    q = run_stream(spark, cfg, d, available_now=True)
+    q.awaitTermination(300)
+
+    n1 = maintain_kafka_records(spark, cfg, fmt="json")
+    assert n1 == sink_mod.read_emitted(spark, cfg).count() > 0
+    assert maintain_kafka_records(spark, cfg, fmt="json") == 0  # idempotent
+
+    # second half arrives: only the NEW batches convert
+    write_changelog_chunk(pdf.iloc[half:], f"{d}/c1.parquet")
+    q = run_stream(spark, cfg, d, available_now=True)
+    q.awaitTermination(300)
+    n2 = maintain_kafka_records(spark, cfg, fmt="json")
+    emitted = sink_mod.read_emitted(spark, cfg).count()
+    assert n1 + n2 == emitted
+    rec = read_kafka_records(spark, cfg)
+    assert rec.count() == emitted
+    row = rec.limit(1).collect()[0]
+    assert row["topic"] == cfg.topic
+    assert json.loads(bytes(row["value"]).decode())["op"] in ("c", "u", "d")
+
+
 def test_kafka_records_avro_roundtrip(spark, envelopes):
     """Avro-format records decode back to the envelope's own values —
     the from_avro(to_avro(v)) == v contract over real pipeline output,
