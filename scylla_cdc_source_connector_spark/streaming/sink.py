@@ -792,6 +792,49 @@ def _normalize_exprs(env_df: DataFrame, cfg: EngineConfig):
     return {"df": df, "apply": apply}
 
 
+def expire_emitted(
+    cfg: EngineConfig,
+    *,
+    keep_last: int,
+    expire_quarantine: bool = False,
+) -> list[int]:
+    """Emit-log retention — the Kafka broker's log-retention analog for
+    the parquet record stream.  Deletes the OUTPUT payload dirs (and
+    their `_records` wire-record siblings; `_quarantine` only when asked)
+    of all committed batches except the newest `keep_last`, returning the
+    expired batch ids.
+
+    Lineage JSONs are never deleted: they are the offset/progress history
+    (tiny), the resume path reads only the newest record, and
+    `read_emitted`/`read_kafka_records` already skip ids whose dirs are
+    gone — so expiry is invisible to every reader except that old rows
+    stop being served, exactly like segment deletion on a Kafka topic.
+    The newest batch is always kept (its pending-state dir may still be
+    the next batch's carry-over input).
+
+    Like Kafka retention vs consumer lag, expiry does NOT wait for
+    downstream consumers (apply/corpus/records `_applied` markers): run
+    it only for batches every consumer has applied, or those consumers
+    skip the expired ids as empty."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the newest batch stays)")
+    bids = committed_batch_ids(cfg)
+    expired = []
+    from scylla_cdc_source_connector_spark.operators.kafka_records import (
+        records_path,
+    )
+
+    for bid in bids[:-keep_last] if len(bids) > keep_last else []:
+        doomed = [batch_output_path(cfg, bid), records_path(cfg, bid)]
+        if expire_quarantine:
+            doomed.append(quarantine_path(cfg, bid))
+        for d in doomed:
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+        expired.append(bid)
+    return expired
+
+
 def max_consumed_time_us(cfg: EngineConfig, generation: int) -> dict[str, int]:
     """Per-shard high-water mark for a generation — the gate input for
     generation rollover (areTasksFullyConsumedUntil,

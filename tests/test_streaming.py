@@ -629,6 +629,39 @@ def test_poison_batch_all_incomplete_stays_off_driver(spark, tmp_root):
     )
 
 
+def test_expire_emitted_retention(spark, tmp_root, stream_pdf):
+    """Kafka-retention analog: expiring old batches removes their payload
+    dirs but keeps lineage (offset history) and the newest batch; readers
+    serve only the retained rows, resume state is untouched."""
+    d = f"{tmp_root}/retention_in"
+    _write_chunks(stream_pdf.iloc[:900], d, n_chunks=3)
+    cfg = _cfg(tmp_root, "retention")
+    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    bids = sink_mod.committed_batch_ids(cfg)
+    assert len(bids) >= 3
+    total = sink_mod.read_emitted(spark, cfg).count()
+
+    expired = sink_mod.expire_emitted(cfg, keep_last=1)
+    assert expired == bids[:-1]
+    # lineage history intact; newest batch's payload intact
+    assert sink_mod.committed_batch_ids(cfg) == bids
+    assert os.path.isdir(sink_mod.batch_output_path(cfg, bids[-1]))
+    retained = sink_mod.read_emitted(spark, cfg).count()
+    assert 0 < retained < total
+
+    # the stream resumes cleanly from the retained state
+    _write_one(stream_pdf.iloc[900:1200], os.path.join(d, "chunk-late.parquet"))
+    q = run_stream(spark, cfg, d, available_now=True)
+    q.awaitTermination(300)
+    assert sink_mod.read_emitted(spark, cfg).count() > retained
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_last"):
+        sink_mod.expire_emitted(cfg, keep_last=0)
+
+
 def test_iceberg_sink_seam(spark, stream_pdf):
     """The production Iceberg emit path (one atomic staged-append per
     micro-batch): no Iceberg runtime in this container, so the seam must
