@@ -21,14 +21,21 @@ def tumbling_agg(
     aggs: list[Column],
 ) -> DataFrame:
     """groupBy(window(ts, window), *keys).agg(...) with window bounds
-    surfaced as window_start / window_end columns."""
-    w = F.window(F.col(ts_col), window)
+    surfaced as window_start / window_end columns.
+
+    Streaming semantics (pinned by tests/test_streaming.py's streaming
+    windowed-agg case): in append mode a window emits exactly once when
+    the CURRENT watermark passes its end, but late-row FILTERING uses the
+    PREVIOUS micro-batch's watermark (Spark's two-watermark rule,
+    SPARK-40025) — a late row is guaranteed dropped only once its window
+    end is below the previous-trigger watermark; one trigger earlier it
+    is still merged.  That extra leniency is strictly more permissive
+    than the reference's confidence window, never less."""
+    out = df.groupBy(F.window(F.col(ts_col), window), *keys).agg(*aggs)
     return (
-        df.groupBy(w.alias("w"), *keys)
-        .agg(*aggs)
-        .withColumn("window_start", F.col("w.start"))
-        .withColumn("window_end", F.col("w.end"))
-        .drop("w")
+        out.withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
     )
 
 
@@ -40,13 +47,11 @@ def sliding_agg(
     keys: list[str],
     aggs: list[Column],
 ) -> DataFrame:
-    w = F.window(F.col(ts_col), window, slide)
+    out = df.groupBy(F.window(F.col(ts_col), window, slide), *keys).agg(*aggs)
     return (
-        df.groupBy(w.alias("w"), *keys)
-        .agg(*aggs)
-        .withColumn("window_start", F.col("w.start"))
-        .withColumn("window_end", F.col("w.end"))
-        .drop("w")
+        out.withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
     )
 
 
@@ -59,12 +64,10 @@ def session_agg(
 ) -> DataFrame:
     """session_window(ts, gap): a session ends `gap` after its last event
     (session_end = max(ts) + gap), exactly Spark's session_window
-    semantics."""
-    w = F.session_window(F.col(ts_col), gap)
+    semantics (grouping auto-name: `session_window`)."""
+    out = df.groupBy(F.session_window(F.col(ts_col), gap), *keys).agg(*aggs)
     return (
-        df.groupBy(w.alias("w"), *keys)
-        .agg(*aggs)
-        .withColumn("session_start", F.col("w.start"))
-        .withColumn("session_end", F.col("w.end"))
-        .drop("w")
+        out.withColumn("session_start", F.col("session_window.start"))
+        .withColumn("session_end", F.col("session_window.end"))
+        .drop("session_window")
     )

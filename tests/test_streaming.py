@@ -629,6 +629,103 @@ def test_poison_batch_all_incomplete_stays_off_driver(spark, tmp_root):
     )
 
 
+def test_streaming_windowed_agg_watermark_closes_and_drops_late(
+    spark, tmp_root
+):
+    """The north_rule's windowed aggregates as a REAL append-mode
+    Structured Streaming query (not the batch/oracle variant): tumbling
+    counts over change events with a 30 s watermark — a window emits
+    exactly once when the watermark passes its end, and a late event
+    targeting an already-CLOSED window is dropped (a late event whose
+    window is still open would be merged — that is the allowed-lateness
+    the watermark grants, the confidence-window semantics S2)."""
+    from scylla_cdc_source_connector_spark.operators.windows import (
+        tumbling_agg,
+    )
+    from scylla_cdc_source_connector_spark.schemas import DEFAULT_TABLE
+
+    def rows(ts_seconds: list[int]):
+        n = len(ts_seconds)
+        base = pd.DataFrame(
+            {
+                "cdc$stream_id": ["s0000"] * n,
+                "cdc$time": pd.to_datetime(
+                    [BASE_US + t * 1_000_000 for t in ts_seconds], unit="us"
+                ),
+                "cdc$time_us": [BASE_US + t * 1_000_000 for t in ts_seconds],
+                "cdc$operation": np.full(n, 2, dtype=np.int32),  # INSERT
+                "cdc$batch_seq_no": np.zeros(n, dtype=np.int32),
+                "generation": np.zeros(n, dtype=np.int32),
+                "clip_id": [f"w-{t}" for t in ts_seconds],
+                "bytes": [b"\x00\x01" * 4] * n,
+                "sr_hz": np.full(n, 16_000, dtype=np.int32),
+                "dur_ms": np.full(n, 1, dtype=np.int32),
+                "codec": ["pcm_s16le"] * n,
+                "transcript": ["x"] * n,
+            }
+        )
+        for c in NON_PK_COLUMNS:
+            base[f"cdc$deleted_{c}"] = False
+        return base
+
+    d = f"{tmp_root}/wagg_in"
+    os.makedirs(d, exist_ok=True)
+    # trigger 1: windows [0,60) and [60,120) open; watermark -> 40 s
+    # trigger 2: t=300 advances the watermark to 270; [0,60) and [60,120)
+    #   emit (eviction uses the current watermark)
+    # trigger 3: t=800 advances it further.  NOTE Spark's two-watermark
+    #   rule (SPARK-40025): LATE-ROW FILTERING uses the PREVIOUS batch's
+    #   watermark while eviction uses the current one — so a late row is
+    #   only guaranteed dropped once its window end is below the
+    #   previous-trigger watermark.
+    # trigger 4: the late t=5 targets [0,60), whose end (60) is far below
+    #   the previous-trigger filter watermark (270) → DROPPED; t=900
+    #   closes [300,360) (and possibly [800,860) on the final flush)
+    chunks = [[10, 70], [300], [800], [5, 900]]
+    for i, ts in enumerate(chunks):
+        p = f"{d}/chunk-{i:03d}.parquet"
+        _write_one(rows(ts), p)
+        # the file source orders pending files by modification time: pin
+        # ascending mtimes so trigger order matches chunk order
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(DEFAULT_TABLE.changelog_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("`cdc$time`", "30 seconds")
+    )
+    agg = tumbling_agg(
+        stream, "cdc$time", "1 minute", [], [F.count("*").alias("n_events")]
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wagg_closed")
+        .option(
+            "checkpointLocation", f"{tmp_root}/wagg_ck"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"].isoformat(), r["n_events"])
+        for r in spark.table("wagg_closed").collect()
+    }
+    base_dt = dt.datetime(2024, 1, 1)  # BASE_US epoch
+    # the watermark-closed windows, each emitted once; the late t=5 event
+    # absent from the long-closed [0,60) (count stays 1).  availableNow's
+    # final flush may also close t=800's window [780,840) once t=900
+    # lifts the watermark to 870 — t=900's own window stays open.
+    must = {
+        ((base_dt + dt.timedelta(seconds=s)).isoformat(), 1)
+        for s in (0, 60, 300)
+    }
+    optional = {((base_dt + dt.timedelta(seconds=780)).isoformat(), 1)}
+    assert must <= got <= must | optional, got
+
+
 def test_expire_emitted_retention(spark, tmp_root, stream_pdf):
     """Kafka-retention analog: expiring old batches removes their payload
     dirs but keeps lineage (offset history) and the newest batch; readers
