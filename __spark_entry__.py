@@ -39,6 +39,29 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _cached_changelog_path(spec) -> str:
+    """Cached synthetic-changelog parquet for a FixtureSpec, keyed by the
+    spec's CONTENT hash (+ generator version) — never just its sizes, so
+    a fixture change can never silently feed stale payloads into checked
+    queries (the commit-7bac807 bug class, structurally prevented)."""
+    import os
+    import tempfile
+
+    from scylla_cdc_source_connector_spark.fixtures import (
+        make_changelog,
+        write_changelog_chunk,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sccs_changelog_{spec.n_events}_{spec.n_clips}_"
+        f"{spec.content_hash()}.parquet",
+    )
+    if not os.path.exists(path):
+        write_changelog_chunk(make_changelog(spec), path)
+    return path
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -225,11 +248,7 @@ def q_cdc_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = FixtureSpec(
         n_events=min(n_events, 20_000), n_clips=max(50, n_events // 10)
     )
-    path = os.path.join(
-        tempfile.gettempdir(), f"sccs_changelog_{spec.n_events}_{spec.n_clips}.parquet"
-    )
-    if not os.path.exists(path):
-        write_changelog_chunk(make_changelog(spec), path)
+    path = _cached_changelog_path(spec)
     df = spark.read.parquet(path)
     cfg = EngineConfig(
         include_before=IncludeMode.FULL, include_after=IncludeMode.FULL
@@ -268,11 +287,7 @@ def q_cdc_audio_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = FixtureSpec(
         n_events=min(n_events, 20_000), n_clips=max(50, n_events // 10)
     )
-    path = os.path.join(
-        tempfile.gettempdir(), f"sccs_changelog_{spec.n_events}_{spec.n_clips}.parquet"
-    )
-    if not os.path.exists(path):
-        write_changelog_chunk(make_changelog(spec), path)
+    path = _cached_changelog_path(spec)
     df = spark.read.parquet(path)
     post = df.where("`cdc$operation` = 9").select(
         "clip_id", "`cdc$stream_id`", "`cdc$time`", "bytes", "codec"
@@ -446,11 +461,7 @@ def q_cdc_legacy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = FixtureSpec(
         n_events=min(n_events, 20_000), n_clips=max(50, n_events // 10)
     )
-    path = os.path.join(
-        tempfile.gettempdir(), f"sccs_changelog_{spec.n_events}_{spec.n_clips}.parquet"
-    )
-    if not os.path.exists(path):
-        write_changelog_chunk(make_changelog(spec), path)
+    path = _cached_changelog_path(spec)
     df = spark.read.parquet(path)
     env = cdc_legacy_envelopes(df, EngineConfig(), processing_ts_ms=F.lit(0))
     return extract_new_record_state(env).select(
@@ -914,12 +925,18 @@ def _fixture_clips(spark: SparkSession, sf_dir: str, n_clips: int):
 
     from scylla_cdc_source_connector_spark.fixtures import FixtureSpec, make_clips
 
-    path = os.path.join(tempfile.gettempdir(), f"sccs_clips_{n_clips}.parquet")
+    spec = FixtureSpec(n_events=n_clips, n_clips=n_clips)
+    # cache keyed by the spec CONTENT (+ generator version), never just
+    # the clip count — a fixture change can't silently feed stale payloads
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sccs_clips_{n_clips}_{spec.content_hash()}.parquet",
+    )
     if not os.path.exists(path):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pdf = make_clips(FixtureSpec(n_events=n_clips, n_clips=n_clips))
+        pdf = make_clips(spec)
         tbl = pa.Table.from_pandas(
             pdf[["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]],
             preserve_index=False,
@@ -1146,12 +1163,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     n_events = min(_events(spark, sf_dir).count(), 20_000)
     spec = FixtureSpec(n_events=n_events, n_clips=max(50, n_events // 10))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"sccs_changelog_{spec.n_events}_{spec.n_clips}.parquet",
-    )
-    if not os.path.exists(path):
-        write_changelog_chunk(make_changelog(spec), path)
+    path = _cached_changelog_path(spec)
     corpus = training_corpus(spark.read.parquet(path))
     return corpus.select(
         "clip_id", "seg_idx", "seg_start_ms", "seg_n_samples", "fingerprint"

@@ -164,9 +164,13 @@ def audio_fingerprint_batches(
     payload folded into the matching raw-codec group (same eff_codec/
     eff_raw pattern as audio._stats_one) — a WAV-payload stream with the
     dedup index on fingerprints the inner samples instead of silently
-    yielding fp_ok=false.  Unsupported codecs / malformed containers /
-    null payloads / too-short clips yield fp_ok=false with fingerprint 0
-    (same contract as audio_stats_batches' decode_ok)."""
+    yielding fp_ok=false.  Multichannel WAVs are downmixed to mono
+    (mean of channels, the audio.decode contract) before fingerprinting,
+    so the same content stored as stereo WAV and mono raw yields the SAME
+    fingerprint and n_samples counts frames, not interleaved samples.
+    Unsupported codecs / malformed containers / null payloads / too-short
+    clips yield fp_ok=false with fingerprint 0 (same contract as
+    audio_stats_batches' decode_ok)."""
     for pdf in batches:
         n = len(pdf)
         fp = np.zeros(n, dtype=np.int64)
@@ -181,15 +185,37 @@ def audio_fingerprint_batches(
                 eff_codec[i] = None
                 continue
             try:
-                inner, _ch, _sr, payload = audio.wav_parse(bytes(raws[i]))
+                inner, ch, _sr, payload = audio.wav_parse(bytes(raws[i]))
             except (
                 audio.MalformedContainerError,
                 audio.UnsupportedCodecError,
             ):
                 eff_codec[i] = None  # stays fp_ok=False
                 continue
-            eff_codec[i] = inner
-            eff_raw[i] = payload
+            if ch > 1:
+                # Downmix interleaved channels to mono exactly like
+                # audio.decode, then re-quantize to s16le so the group
+                # fingerprint matches the mono-raw form of the same clip.
+                try:
+                    pcm_f = audio.decode(payload, inner)
+                except (
+                    audio.MalformedContainerError,
+                    audio.UnsupportedCodecError,
+                ):
+                    eff_codec[i] = None
+                    continue
+                frames = len(pcm_f) // ch
+                mono = pcm_f[: frames * ch].reshape(frames, ch).mean(
+                    axis=1, dtype=np.float32
+                )
+                mono_i16 = np.clip(
+                    np.round(mono * 32768.0), -32768, 32767
+                ).astype("<i2")
+                eff_codec[i] = "pcm_s16le"
+                eff_raw[i] = mono_i16.tobytes()
+            else:
+                eff_codec[i] = inner
+                eff_raw[i] = payload
         valid = np.fromiter(
             (
                 r is not None

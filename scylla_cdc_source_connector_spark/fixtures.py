@@ -64,6 +64,11 @@ def clip_reference_pcm(clip_index: int, sr_hz: int, n_samples: int) -> np.ndarra
     return np.clip(wave * 20000.0, -32768, 32767).astype(np.int16)
 
 
+#: generator semantics version — part of FixtureSpec.content_hash, bump on
+#: any change to make_clips / make_changelog output for the same spec
+FIXTURE_GEN_VERSION = 1
+
+
 @dataclass(frozen=True)
 class FixtureSpec:
     n_events: int = 10_000
@@ -82,6 +87,20 @@ class FixtureSpec:
     dup_frac: float = 0.01
     grouped_batch_frac: float = 0.02
     null_out_frac: float = 0.05  # updates that set transcript to NULL
+
+    def content_hash(self) -> str:
+        """Stable short hash of the spec AND the generator version — the
+        cache key for any parquet derived from this spec.  Bump
+        FIXTURE_GEN_VERSION whenever make_clips/make_changelog semantics
+        change, so stale cached fixtures can never silently feed checked
+        queries (the commit-7bac807 bug class, prevented structurally)."""
+        import dataclasses
+        import hashlib
+
+        payload = repr(
+            (FIXTURE_GEN_VERSION, sorted(dataclasses.asdict(self).items()))
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 def make_clips(spec: FixtureSpec) -> pd.DataFrame:

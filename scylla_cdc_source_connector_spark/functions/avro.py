@@ -191,7 +191,9 @@ def encode_value(buf: io.BytesIO, schema: Any, v: Any) -> None:
         _write_long(buf, 1)
         encode_value(buf, schema[1], v)
         return
-    if v is None:
+    if _is_null(v):
+        # NaN/NaT from Arrow→pandas must error here, not stringify to
+        # the literal "nan"/"NaT" downstream.
         raise ValueError(f"null for non-nullable Avro schema {schema!r}")
     t = schema["type"] if isinstance(schema, dict) else schema
     if t == "record":
@@ -352,13 +354,22 @@ def from_avro_udf(dt: T.DataType, *, framed: bool = False):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    if any(
-        isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType))
-        for f in dt.fields
-    ):
+    def _has_temporal(t: T.DataType) -> bool:
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return True
+        if isinstance(t, T.StructType):
+            return any(_has_temporal(f.dataType) for f in t.fields)
+        if isinstance(t, T.ArrayType):
+            return _has_temporal(t.elementType)
+        if isinstance(t, T.MapType):
+            return _has_temporal(t.keyType) or _has_temporal(t.valueType)
+        return False
+
+    if _has_temporal(dt):
         raise TypeError(
             "from_avro_udf returns logical types raw (micros/days) — "
-            "declare those fields long/int and convert after decode"
+            "declare those fields long/int (at any nesting depth) and "
+            "convert after decode"
         )
     schema = avro_schema_of(dt)
 

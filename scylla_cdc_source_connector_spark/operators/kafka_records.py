@@ -38,6 +38,7 @@ def kafka_records(
     fmt: str = "json",
     key_schema_id: int | None = None,
     value_schema_id: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Envelope rows → Kafka-sink-ready rows (KAFKA_SINK_COLUMNS plus the
     cdc$stream_id passthrough, kept so a custom partitioner / sorted
@@ -81,6 +82,7 @@ def kafka_records(
         F.col("`cdc$stream_id`"),
         F.col("`cdc$time_us`"),
         F.col("`cdc$batch_seq_no`"),
+        *[F.col(f"`{c}`") for c in extra_cols],
     )
 
 
@@ -97,57 +99,96 @@ def maintain_kafka_records(
     fmt: str = "json",
     key_schema_id: int | None = None,
     value_schema_id: int | None = None,
+    strict: bool = False,
 ) -> int:
     """Exactly-once Kafka-record emission: serialize every committed-but-
     unconverted envelope batch to wire records under
     `output_dir/_records/batch_id=N`, mirroring the sink's own protocol —
-    only committed batches are consumed, each record dir is an idempotent
-    overwrite keyed by the SINK batch id, and `_applied` markers
+    only committed batches are consumed, record dirs are idempotent
+    overwrites keyed by the SINK batch id, and `_applied` markers
     (apply.py protocol) commit progress afterwards, so a crash anywhere
     re-converges.  Returns records written this pass.
+
+    Catch-up is ONE Spark job regardless of backlog size (the reference
+    converts a whole poll batch at once, ScyllaConnectorTask.java:216-219):
+    all unconverted batch dirs are read with `basePath` so `batch_id`
+    surfaces as a partition column, and the converted records are written
+    back in one dynamic-partition overwrite of exactly those batch_id
+    partitions — never a per-batch driver round-trip.
+
+    A committed batch whose output dir is GONE but whose lineage says
+    n_records > 0 was expired (expire_emitted) before conversion caught
+    up: it is counted, warned about, and recorded in its `_applied`
+    marker as expired — never silently treated as an empty heartbeat.
+    Pass strict=True to raise instead (use expire_emitted's
+    keep_min_applied guard to prevent the situation entirely).
 
     This is the converter stage Kafka Connect runs between the
     SourceRecord and the producer; with a broker present the same
     DataFrame goes to `.write.format("kafka")` instead of parquet — the
     column contract is identical (KAFKA_SINK_COLUMNS), and per-shard
-    ordering is preserved by writing each batch sorted within its shard
-    clustering like the sink's ordered emit."""
+    ordering is preserved by clustering each batch on its shard id and
+    sorting within partitions like the sink's ordered emit."""
     import os
 
     from scylla_cdc_source_connector_spark.streaming import sink as sink_mod
     from scylla_cdc_source_connector_spark.streaming.apply import (
         _mark_applied,
         applied_batch_ids,
+        register_consumer,
+        split_consumable,
     )
 
     target = os.path.join(cfg.output_dir, "_records")
+    register_consumer(cfg, target, name="records")
     done = set(applied_batch_ids(target))
-    n_total = 0
-    for bid in sink_mod.committed_batch_ids(cfg):
-        if bid in done:
-            continue
-        out_dir = sink_mod.batch_output_path(cfg, bid)
-        if not os.path.isdir(out_dir):  # empty/heartbeat batch
-            _mark_applied(target, [bid], 0)
-            continue
-        env = spark.read.parquet(out_dir)
-        rec = kafka_records(
-            env,
-            fmt=fmt,
-            key_schema_id=key_schema_id,
-            value_schema_id=value_schema_id,
+    todo = sorted(set(sink_mod.committed_batch_ids(cfg)) - done)
+    if not todo:
+        return 0
+    with_data, dir_less, expired = split_consumable(
+        cfg, todo, consumer="maintain_kafka_records", strict=strict
+    )
+    for bid in dir_less:
+        _mark_applied(
+            target, [bid], 0, extra={"expired": True} if bid in expired else None
         )
-        (
-            rec.sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
-            .write.mode("overwrite")
-            .option("compression", cfg.output_compression)
-            .parquet(records_path(cfg, bid))
-        )
-        import pyarrow.parquet as pq
+    if not with_data:
+        return 0
 
+    env = spark.read.option("basePath", cfg.output_dir).parquet(
+        *[sink_mod.batch_output_path(cfg, bid) for bid in with_data]
+    )
+    rec = kafka_records(
+        env,
+        fmt=fmt,
+        key_schema_id=key_schema_id,
+        value_schema_id=value_schema_id,
+        extra_cols=("batch_id",),
+    )
+    prev_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            rec.repartition("batch_id", "`cdc$stream_id`")
+            .sortWithinPartitions(
+                "batch_id", "`cdc$stream_id`", "`cdc$time_us`", "`cdc$batch_seq_no`"
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("compression", cfg.output_compression)
+            .parquet(target)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_dyn)
+
+    import pyarrow.parquet as pq
+
+    n_total = 0
+    for bid in with_data:
+        d = records_path(cfg, bid)
         n = sum(
-            pq.read_metadata(os.path.join(records_path(cfg, bid), f)).num_rows
-            for f in os.listdir(records_path(cfg, bid))
+            pq.read_metadata(os.path.join(d, f)).num_rows
+            for f in os.listdir(d)
             if f.endswith(".parquet")
         )
         _mark_applied(target, [bid], n)

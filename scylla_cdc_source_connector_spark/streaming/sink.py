@@ -91,6 +91,15 @@ def read_lineage(cfg: EngineConfig) -> list[dict]:
     return out
 
 
+def read_lineage_one(cfg: EngineConfig, batch_id: int) -> dict:
+    """One committed lineage record ({} if the batch never committed)."""
+    p = lineage_path(cfg, batch_id)
+    if not os.path.isfile(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
 def read_emitted(
     spark: SparkSession, cfg: EngineConfig, *, merge_schema: bool = False
 ) -> DataFrame:
@@ -345,11 +354,20 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                 >= prev_hwm - cfg.confidence_window_ms * 1000
             )
         all_rows = raw_df
+        n_carried = 0
         if prev_pending is not None and os.path.isdir(
             pending_path(cfg, prev_pending)
         ):
-            all_rows = raw_df.unionByName(
-                spark.read.parquet(pending_path(cfg, prev_pending))
+            pdir = pending_path(cfg, prev_pending)
+            all_rows = raw_df.unionByName(spark.read.parquet(pdir))
+            # footer-only count of the carried backlog (no Spark job);
+            # feeds the provably-nothing-deferred skip below
+            import pyarrow.parquet as _pq
+
+            n_carried = sum(
+                _pq.read_metadata(os.path.join(pdir, f)).num_rows
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
             )
         # The batch input is deliberately NOT persisted.  Spark's SQL cache
         # builds compressed columnar batches, and on a payload-bearing
@@ -457,6 +475,16 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                 # a driver-side broadcast build
                 pend = all_rows.join(inc_keys, group_keys, "left_semi")
                 n_extra_scans = 1  # the slim status scan
+            if deferred is not None:
+                # the budget cap is per shard, so a batch whose TOTAL
+                # rows entering the ranking (new arrivals + carried
+                # pending backlog) fit the budget provably deferred
+                # nothing — skip the pending write + footer scan entirely
+                # (no extra count() job; the proof rides the existing
+                # observation + the carried dir's parquet footers)
+                arrived = _obs_get(obs_in, {"n_arrived": None})["n_arrived"]
+                if arrived is not None and arrived + n_carried <= budget:
+                    deferred = None
             if deferred is not None:
                 pend = (
                     pend.unionByName(deferred) if pend is not None else deferred
@@ -797,6 +825,7 @@ def expire_emitted(
     *,
     keep_last: int,
     expire_quarantine: bool = False,
+    keep_min_applied: bool = False,
 ) -> list[int]:
     """Emit-log retention — the Kafka broker's log-retention analog for
     the parquet record stream.  Deletes the OUTPUT payload dirs (and
@@ -812,10 +841,15 @@ def expire_emitted(
     The newest batch is always kept (its pending-state dir may still be
     the next batch's carry-over input).
 
-    Like Kafka retention vs consumer lag, expiry does NOT wait for
-    downstream consumers (apply/corpus/records `_applied` markers): run
-    it only for batches every consumer has applied, or those consumers
-    skip the expired ids as empty."""
+    Like Kafka retention vs consumer lag, expiry by default does NOT
+    wait for downstream consumers (apply/corpus/records `_applied`
+    markers) — those consumers detect the loss (apply.split_consumable
+    warns and records {"expired": true}).  Pass keep_min_applied=True to
+    refuse to expire any batch a REGISTERED consumer
+    (apply.register_consumer — the apply/corpus/records maintainers
+    register themselves) hasn't applied yet: the retention-honours-
+    consumer-lag mode, guaranteeing no consumer ever loses a data-bearing
+    batch."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the newest batch stays)")
     bids = committed_batch_ids(cfg)
@@ -824,7 +858,20 @@ def expire_emitted(
         records_path,
     )
 
+    applied_by_all: set[int] | None = None
+    if keep_min_applied:
+        from scylla_cdc_source_connector_spark.streaming.apply import (
+            applied_batch_ids,
+            registered_consumers,
+        )
+
+        applied_by_all = set(bids)
+        for _, target in sorted(registered_consumers(cfg).items()):
+            applied_by_all &= set(applied_batch_ids(target))
+
     for bid in bids[:-keep_last] if len(bids) > keep_last else []:
+        if applied_by_all is not None and bid not in applied_by_all:
+            continue  # a lagging registered consumer still needs it
         doomed = [batch_output_path(cfg, bid), records_path(cfg, bid)]
         if expire_quarantine:
             doomed.append(quarantine_path(cfg, bid))

@@ -86,6 +86,43 @@ def test_wav_container_unwrapped_in_fingerprint(spark):
     assert not out.loc["bad-wav", "fp_ok"]
 
 
+def test_stereo_wav_downmixed_matches_mono_raw():
+    """A multichannel WAV must fingerprint to the MONO downmix (the
+    audio.decode contract), not the interleaved L/R stream: the same
+    content stored as stereo WAV and mono raw must be an exact duplicate,
+    and n_samples must count frames."""
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark.audio_fingerprint import (
+        audio_fingerprint_batches,
+    )
+
+    pcms = [_clip(i) for i in range(3)]
+    stereo = []
+    for p in pcms:
+        inter = np.empty(2 * len(p), dtype=np.int16)
+        inter[0::2] = p  # L == R == mono content
+        inter[1::2] = p
+        stereo.append(audio.wav_encode(inter, 8000, "pcm_s16le", 2))
+    pdf = pd.DataFrame(
+        {
+            "clip_id": [f"raw-{i}" for i in range(3)]
+            + [f"st-{i}" for i in range(3)],
+            "bytes": [audio.encode(p, "pcm_s16le") for p in pcms] + stereo,
+            "codec": ["pcm_s16le"] * 3 + ["wav"] * 3,
+        }
+    )
+    out = next(audio_fingerprint_batches(iter([pdf]))).set_index("clip_id")
+    for i in range(3):
+        assert out.loc[f"st-{i}", "fp_ok"]
+        assert (
+            out.loc[f"st-{i}", "fingerprint"]
+            == out.loc[f"raw-{i}", "fingerprint"]
+        )
+        # frames, not interleaved samples
+        assert out.loc[f"st-{i}", "n_samples"] == len(pcms[i])
+
+
 def test_banding_splits_occupied_bits_only():
     """The Hamming banding must split FP_BITS (46), not the full int64:
     every block must carry real signature bits (a block over the

@@ -222,6 +222,58 @@ def test_nullability_mismatch_raises():
         avro.avro_schema_of(T.MapType(T.IntegerType(), T.StringType()))
 
 
+def test_nan_nat_rejected_for_non_nullable():
+    """pandas NaN/NaT reaching a non-nullable field must raise, never
+    silently encode the literal string "nan"/"NaT"."""
+    import numpy as np
+    import pandas as pd
+
+    for bad in (float("nan"), np.float64("nan"), pd.NaT):
+        with pytest.raises(ValueError, match="non-nullable"):
+            avro.encode_record("string", bad)
+    # nullable union still maps NaN/NaT to Avro null
+    schema = ["null", "string"]
+    assert avro.decode_record is not None
+    import io
+
+    buf = io.BytesIO()
+    avro.encode_value(buf, schema, float("nan"))
+    assert buf.getvalue() == b"\x00"  # union branch 0 = null
+
+
+def test_from_avro_udf_nested_temporal_guard():
+    """The Timestamp/Date guard must see NESTED fields too — a struct,
+    array-element, or map-value temporal decodes to raw micros/days and
+    would mismatch the declared Spark type at Arrow conversion."""
+    nested_struct = T.StructType(
+        [
+            T.StructField(
+                "inner",
+                T.StructType([T.StructField("ts", T.TimestampType())]),
+            )
+        ]
+    )
+    nested_array = T.StructType(
+        [T.StructField("xs", T.ArrayType(T.DateType()))]
+    )
+    nested_map = T.StructType(
+        [T.StructField("m", T.MapType(T.StringType(), T.TimestampNTZType()))]
+    )
+    for dt in (nested_struct, nested_array, nested_map):
+        with pytest.raises(TypeError, match="logical types raw"):
+            avro.from_avro_udf(dt)
+    # a temporal-free nested schema still builds
+    ok = T.StructType(
+        [
+            T.StructField(
+                "inner",
+                T.StructType([T.StructField("ts_us", T.LongType())]),
+            )
+        ]
+    )
+    assert avro.from_avro_udf(ok) is not None
+
+
 # ---------------------------------------------------------------------------
 # Kafka wire records over real envelopes
 # ---------------------------------------------------------------------------

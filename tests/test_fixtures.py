@@ -109,3 +109,35 @@ def test_payload_tuning(spark):
         assert tuning.payload_batch_rows(10**9) == 128
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", before)
+
+
+def test_fixture_cache_keyed_by_content():
+    """A FixtureSpec change (or a generator-version bump) must change the
+    cache key, so stale cached fixture parquet can never silently feed
+    checked queries."""
+    from scylla_cdc_source_connector_spark import fixtures as fx
+    from scylla_cdc_source_connector_spark.fixtures import FixtureSpec
+
+    a = FixtureSpec(n_events=100, n_clips=100)
+    assert a.content_hash() == FixtureSpec(n_events=100, n_clips=100).content_hash()
+    # ANY field change misses, even ones the old size-keyed path ignored
+    assert a.content_hash() != FixtureSpec(
+        n_events=100, n_clips=100, dup_frac=0.5
+    ).content_hash()
+    assert a.content_hash() != FixtureSpec(
+        n_events=100, n_clips=100, seed=43
+    ).content_hash()
+    # a generator-semantics bump misses too
+    h_before = a.content_hash()
+    old = fx.FIXTURE_GEN_VERSION
+    try:
+        fx.FIXTURE_GEN_VERSION = old + 1
+        assert a.content_hash() != h_before
+    finally:
+        fx.FIXTURE_GEN_VERSION = old
+
+    # the entry-side cache paths embed the hash
+    import __spark_entry__ as entry
+
+    p1 = entry._cached_changelog_path.__doc__  # documented contract
+    assert "CONTENT hash" in p1

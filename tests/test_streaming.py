@@ -759,6 +759,77 @@ def test_expire_emitted_retention(spark, tmp_root, stream_pdf):
         sink_mod.expire_emitted(cfg, keep_last=0)
 
 
+def test_retention_honours_lagging_consumer(spark, tmp_root, stream_pdf):
+    """keep_min_applied=True refuses to expire batches a registered
+    consumer hasn't applied (Kafka retention vs consumer lag,
+    README.md:1363-1370); without the guard, the lagging consumer
+    detects — never silently absorbs — the loss."""
+    import warnings
+
+    from scylla_cdc_source_connector_spark.operators.kafka_records import (
+        maintain_kafka_records,
+    )
+    from scylla_cdc_source_connector_spark.streaming.apply import (
+        applied_batch_ids,
+        registered_consumers,
+    )
+
+    d = f"{tmp_root}/ret_lag_in"
+    _write_chunks(stream_pdf.iloc[:900], d, n_chunks=3)
+    cfg = _cfg(tmp_root, "ret_lag")
+    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    bids = sink_mod.committed_batch_ids(cfg)
+    assert len(bids) >= 3
+
+    # consumer applies everything so far, then lags behind new batches
+    assert maintain_kafka_records(spark, cfg) > 0
+    assert "records" in registered_consumers(cfg)
+    _write_one(stream_pdf.iloc[900:1050], os.path.join(d, "late-0.parquet"))
+    _write_one(stream_pdf.iloc[1050:1200], os.path.join(d, "late-1.parquet"))
+    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    new_bids = [
+        b for b in sink_mod.committed_batch_ids(cfg) if b not in set(bids)
+    ]
+    assert len(new_bids) >= 2
+
+    # guarded expiry never touches the unapplied new batches
+    expired = sink_mod.expire_emitted(cfg, keep_last=1, keep_min_applied=True)
+    assert not (set(expired) & set(new_bids))
+    for b in new_bids[:-1]:
+        assert os.path.isdir(sink_mod.batch_output_path(cfg, b))
+
+    # unguarded expiry drops a data-bearing batch the consumer needs:
+    # the consumer must WARN and record {"expired": true}, not silently
+    # mark it an empty heartbeat
+    sink_mod.expire_emitted(cfg, keep_last=1)
+    lost = [
+        b
+        for b in new_bids[:-1]
+        if sink_mod.read_lineage_one(cfg, b).get("n_records", 0) > 0
+    ]
+    assert lost, "fixture should have data-bearing expired batches"
+    with pytest.warns(RuntimeWarning, match="expired before"):
+        maintain_kafka_records(spark, cfg)
+    target = os.path.join(cfg.output_dir, "_records")
+    assert set(applied_batch_ids(target)) == set(sink_mod.committed_batch_ids(cfg))
+    import json as _json
+
+    marker = os.path.join(target, "_applied", f"batch-{lost[0]}.json")
+    assert _json.load(open(marker))["expired"] is True
+
+    # strict mode raises instead (fresh consumer dir sees the same loss)
+    import shutil
+
+    strict_target = os.path.join(cfg.output_dir, "_records")
+    shutil.rmtree(os.path.join(strict_target, "_applied"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no stray warning in strict path
+        with pytest.raises(RuntimeError, match="expired before"):
+            maintain_kafka_records(spark, cfg, strict=True)
+
+
 def test_iceberg_sink_seam(spark, stream_pdf):
     """The production Iceberg emit path (one atomic staged-append per
     micro-batch): no Iceberg runtime in this container, so the seam must
