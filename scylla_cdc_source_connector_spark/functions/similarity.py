@@ -19,6 +19,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -141,8 +142,14 @@ def banded_hyperplane_buckets(
     ANY band bucket matches (OR over bands), mirroring minhash banding in
     dedup.py.  With per-plane agreement p = 1 - theta/pi, pair recall is
     1 - (1 - p^r)^b: at cosine 0.5 (p = 2/3) the defaults give ~0.90 where
-    a single 8-plane bucket gives ~0.04.  All planes are literal constants,
-    so the whole signature is one codegen'd projection."""
+    a single 8-plane bucket gives ~0.04.
+
+    Reference expression form, kept for parity checks: higher-order
+    aggregate/zip_with expressions are INTERPRETED (not codegen'd) in
+    Spark, so with b*r=80 planes of 64 literals each this tree costs
+    ~6 s/2k rows at analysis+eval time.  The hot path (_banded) uses the
+    Arrow-batched matmul UDF below instead — same planes, same sign rule,
+    identical buckets up to float-summation order on |dot| ~ 1e-15."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bands * planes_per_band, dim))
 
@@ -168,6 +175,55 @@ def banded_hyperplane_buckets(
     return F.array(*structs)
 
 
+def _bucket_udf(*, dim: int, n_bands: int, planes_per_band: int, seed: int):
+    """array<long> of per-band sign-bit buckets, computed as ONE numpy
+    matmul per Arrow batch: (batch x dim) @ (dim x b*r) -> sign bits ->
+    bit-packed per band.  Replaces the interpreted 80-plane higher-order
+    expression tree of banded_hyperplane_buckets on the hot path (~40x
+    on 2k x 64-dim rows) while producing the same buckets: same seeded
+    planes, same dot>0 rule, bit r of band b = plane b*r+r."""
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    # (dim, b*r), transposed once at closure build, broadcast with the task
+    planes_t = rng.standard_normal((n_bands * planes_per_band, dim)).T
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        mat = np.vstack(vs.to_numpy()).astype(np.float64, copy=False)
+        bits = (mat @ planes_t > 0).astype(np.int64)
+        bkts = bits.reshape(len(vs), n_bands, planes_per_band) @ weights
+        return pd.Series(list(bkts))
+
+    return buckets
+
+
+def pair_cosine_udf():
+    """double cosine(vec_a, vec_b) as one numpy einsum per Arrow batch —
+    the LSH candidate-verification kernel (candidate sets run to ~N²/2
+    pairs at low thresholds, where the interpreted cosine_expr HOF tree
+    dominates the whole near-dup pass).  Summation order differs from
+    cosine_expr in the last ulps, so oracle-checked EXACT paths
+    (brute_force_topk, embedding_near_dup) keep cosine_expr — this kernel
+    serves the rows-only LSH verify."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype=float)
+        ma = np.vstack(a.to_numpy()).astype(np.float64, copy=False)
+        mb = np.vstack(b.to_numpy()).astype(np.float64, copy=False)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(dots / np.maximum(norms, 1e-30))
+
+    return pair_cosine
+
+
 def _banded(
     df: DataFrame,
     id_alias: str,
@@ -181,20 +237,12 @@ def _banded(
 ) -> DataFrame:
     """SLIM (id, band, bucket) rows — one per band, vectors dropped before
     the explode so candidate duplication across bands never copies them."""
-    return (
-        df.select(
-            F.col(id_col).alias(id_alias),
-            F.explode(
-                banded_hyperplane_buckets(
-                    F.col(vec_col),
-                    dim=dim,
-                    n_bands=n_bands,
-                    planes_per_band=planes_per_band,
-                    seed=seed,
-                )
-            ).alias("bb"),
-        )
-        .select(id_alias, "bb.band", "bb.bucket")
+    buckets = _bucket_udf(
+        dim=dim, n_bands=n_bands, planes_per_band=planes_per_band, seed=seed
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
     )
 
 
@@ -407,7 +455,7 @@ def cosine_near_dup_pairs(
             vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")),
             "id_b",
         )
-        .withColumn("cosine", cosine_expr(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cosine", pair_cosine_udf()(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
