@@ -67,8 +67,14 @@ def run_tables(
     available_now: bool = True,
     mode: str = "vectorized",
     max_files_per_trigger: int | None = None,
+    generation: int | None = None,
 ) -> dict:
     """Start one streaming query per table spec; returns {name: query}.
+
+    With `generation` set, every table drains ONLY that generation
+    (engine.run_stream's gate) — the connector-level analog of
+    run_generations: call once per generation in order, awaiting between
+    calls, and no table's gen-N+1 rows ever commit before gen N drained.
 
     Duplicate table names are a config error (the reference only WARNS
     on TaskId conflicts and drops one grouping,
@@ -89,6 +95,7 @@ def run_tables(
             mode=mode,
             max_files_per_trigger=max_files_per_trigger,
             table=spec.table,
+            generation=generation,
         )
     return queries
 
@@ -102,25 +109,40 @@ def await_tables(queries: dict, timeout_s: float = 600.0) -> None:
             raise TimeoutError(f"table {name!r} did not drain in {timeout_s}s")
 
 
-def connector_lineage(cfg: EngineConfig, specs: list[TableSpec]) -> list[dict]:
+def _resolved_cfg(
+    cfg: EngineConfig, name: str, generation: int | None
+) -> EngineConfig:
+    from scylla_cdc_source_connector_spark.streaming.engine import generation_cfg
+
+    tc = table_cfg(cfg, name)
+    return tc if generation is None else generation_cfg(tc, generation)
+
+
+def connector_lineage(
+    cfg: EngineConfig, specs: list[TableSpec], *, generation: int | None = None
+) -> list[dict]:
     """Merged per-table lineage: every committed record annotated with its
     table name — the Spark analog of the master's merged task groupings
     (ScyllaMasterTransport.java:102-122).  Per-shard offsets stay
-    namespaced by table."""
+    namespaced by table (and by generation when one is given)."""
     from scylla_cdc_source_connector_spark.streaming.sink import read_lineage
 
     merged = []
     for spec in specs:
-        for rec in read_lineage(table_cfg(cfg, spec.name)):
+        for rec in read_lineage(_resolved_cfg(cfg, spec.name, generation)):
             merged.append({**rec, "table": spec.name})
     merged.sort(key=lambda r: (r["table"], r["batch_id"]))
     return merged
 
 
 def read_table_emitted(
-    spark: SparkSession, cfg: EngineConfig, spec: TableSpec
+    spark: SparkSession,
+    cfg: EngineConfig,
+    spec: TableSpec,
+    *,
+    generation: int | None = None,
 ):
     """Exactly-once emitted view for one table of the connector."""
     from scylla_cdc_source_connector_spark.streaming.sink import read_emitted
 
-    return read_emitted(spark, table_cfg(cfg, spec.name))
+    return read_emitted(spark, _resolved_cfg(cfg, spec.name, generation))
