@@ -16,6 +16,8 @@ All hashing uses xxhash64 (stable across Spark runs/partitions).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -56,6 +58,44 @@ def dedup_exact(
     )
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 arrays — the per-seed
+    re-mix of the shingle/token hashes (public-domain constants)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _minhash_udf(n_hashes: int):
+    """array<long> shingle hashes -> K minhash longs, one numpy pass per
+    Arrow batch: each of the K minhashes is a splitmix64 re-mix with its
+    seed, computed as one (S x K) broadcast + min.  Replaces the
+    interpreted K-fold higher-order transform/array_min tree, which
+    costs ~12 ms/doc at K=32 (HOFs never enter codegen).  Input is the
+    COMPACT int64 array (strings were hashed once, JVM-side) so the Arrow
+    transfer ships 8 bytes per shingle, not the shingle text."""
+    from pyspark.sql.functions import pandas_udf
+
+    seeds = _GOLDEN * (np.arange(1, n_hashes + 1, dtype=np.uint64))
+
+    @pandas_udf("array<long>")
+    def mh(sh_hashes: pd.Series) -> pd.Series:
+        out = []
+        for lst in sh_hashes:
+            if lst is None or len(lst) == 0:
+                out.append([0] * n_hashes)
+                continue
+            h = np.asarray(lst, dtype=np.int64).view(np.uint64)
+            mixed = _splitmix64(h[:, None] ^ seeds[None, :])
+            out.append(mixed.min(axis=0).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return mh
+
+
 def minhash_signatures(
     df: DataFrame,
     *,
@@ -64,15 +104,15 @@ def minhash_signatures(
     n_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """K minhash values per doc, computed columnar: no explode, no UDF —
-    `transform` + `array_min` stay in codegen.
-
-    Shingle STRINGS are hashed to 64-bit longs exactly once
-    (`sh_hashes`); each of the K minhashes then re-mixes the long with its
-    seed — K passes over a long array instead of K rounds of string
-    hashing (the string pass dominates: shingles average tens of bytes,
-    re-hashing them K times was ~30 ms/doc).  Jaccard downstream operates
-    on the hash sets (64-bit collisions are negligible)."""
+    """K minhash values per doc.  Shingling and the ONE string-hash pass
+    stay codegen'd/JVM expressions (one shingle definition, shared with
+    the exact-Jaccard oracle; strings never cross the Arrow boundary);
+    the K-seed re-mix + min runs as one numpy kernel (_minhash_udf) —
+    the interpreted K-fold transform/array_min tree this replaces
+    measured ~12 ms/doc at K=32 because Spark evaluates higher-order
+    functions row-at-a-time, never in codegen.  Jaccard downstream
+    operates on the hash sets (`sh_hashes`; 64-bit collisions are
+    negligible)."""
     shingled = _spread(df).select(
         F.col(id_col), shingles_expr(F.col(text_col), shingle_n).alias("shingles")
     )
@@ -80,16 +120,11 @@ def minhash_signatures(
         F.col(id_col),
         F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("sh_hashes"),
     )
-
-    # closure factory: a default-arg lambda would make pyspark pass the
-    # element index as the 2nd arg, clobbering k
-    def _mh(k):
-        return F.array_min(
-            F.transform(F.col("sh_hashes"), lambda h: F.xxhash64(h, F.lit(k)))
-        )
-
-    mh = F.array(*[_mh(k) for k in range(n_hashes)])
-    return hashed.select(F.col(id_col), F.col("sh_hashes"), mh.alias("minhash"))
+    return hashed.select(
+        F.col(id_col),
+        F.col("sh_hashes"),
+        _minhash_udf(n_hashes)(F.col("sh_hashes")).alias("minhash"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -177,12 +212,57 @@ def dedup_minhash_lsh(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _simhash_udf():
+    """array<long> token hashes -> 64-bit simhash, one numpy pass per
+    Arrow batch: bit votes are a (T x 64) broadcast + sign + pack.
+    Replaces the 64 interpreted aggregate folds of simhash_from_hashes on
+    the hot path (HOFs never enter codegen; the expression tree measured
+    ~0.6 ms/doc).  Input is the compact int64 array — token strings were
+    hashed once, JVM-side, and never cross the Arrow boundary."""
+    from pyspark.sql.functions import pandas_udf
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << bit_idx
+
+    @pandas_udf("long")
+    def sh(tok_hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(tok_hashes), dtype=np.uint64)
+        for i, lst in enumerate(tok_hashes):
+            if lst is None or len(lst) == 0:
+                continue
+            h = np.asarray(lst, dtype=np.int64).view(np.uint64)
+            bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = (weights[votes > 0]).sum(dtype=np.uint64)
+        return pd.Series(out.view(np.int64))
+
+    return sh
+
+
+def simhash_signatures(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — tokenization + the one string-hash pass stay
+    shared codegen'd/JVM expressions (text.tokens_expr + xxhash64);
+    the 64 bit votes run in _simhash_udf."""
+    tok_hashes = F.transform(
+        tokens_expr(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+    )
+    return _spread(df).select(
+        F.col(id_col), _simhash_udf()(tok_hashes).alias("simhash")
+    )
+
+
 def simhash_from_hashes(tok_hashes: Column, n_bits: int = 64) -> Column:
     """64-bit simhash from a precomputed token-hash array: each bit
     position votes +1/-1; sign of the vote sets the bit.  Pure expression
     tree (64 folds over the long array).  Pass a MATERIALIZED column (not
     an inline transform) — the 64 folds each reference it, and inlining
-    would recompute the token hashing 64x."""
+    would recompute the token hashing 64x.  Reference form: the hot path
+    (dedup_simhash / simhash_signatures) uses the vectorized _simhash_udf
+    — HOF folds are interpreted and cost ~0.6 ms/doc at 64 bits."""
 
     def _votes(i):
         return F.aggregate(
@@ -294,15 +374,7 @@ def dedup_simhash(
     """Near-dup pairs by text simhash — EXACT at the given Hamming radius
     (see hamming_near_dup_pairs; round 1 bucketed only a 16-bit prefix,
     which silently missed pairs whose flips landed in the prefix)."""
-    hashed = _spread(df).select(
-        F.col(id_col),
-        F.transform(
-            tokens_expr(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
-        ).alias("tok_hashes"),
-    )
-    sh = hashed.select(
-        F.col(id_col), simhash_from_hashes(F.col("tok_hashes")).alias("simhash")
-    )
+    sh = simhash_signatures(df, id_col=id_col, text_col=text_col)
     return hamming_near_dup_pairs(
         sh, id_col=id_col, sig_col="simhash", max_hamming=max_hamming
     )

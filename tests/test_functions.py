@@ -192,19 +192,12 @@ def test_simhash_banding_complete_at_radius(spark, docs):
     single-prefix bucket's blind spot)."""
     from scylla_cdc_source_connector_spark.functions.dedup import (
         dedup_simhash,
-        simhash_from_hashes,
-        tokens_expr,
+        simhash_signatures,
     )
 
     subset = docs.filter(F.col("doc_id") < 400)
-    sh = subset.select(
-        F.col("doc_id"),
-        F.transform(
-            tokens_expr(F.lower(F.col("text"))), lambda t: F.xxhash64(t)
-        ).alias("th"),
-    ).select(
-        "doc_id", simhash_from_hashes(F.col("th")).alias("simhash")
-    )
+    # exact reference over the SAME signature kernel the banding consumes
+    sh = simhash_signatures(subset)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
     exact = {
