@@ -743,7 +743,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_approx_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three approximate near-dup pair families in ONE checked entry
     (rows-only: banding/quantization aren't SQL-practical; each method's
-    recall vs its exact oracle is pytest-pinned in tests/test_functions.py):
+    recall vs its exact oracle is pytest-pinned in tests/test_functions.py).
+    Per-method wall times are attributed in bench extra
+    ("dedup_approx_methods"); the round-3 16 s composite was dominated by
+    embedding_lsh's interpreted hyperplane/cosine expression trees, now
+    vectorized (similarity._bucket_udf / pair_cosine_udf) — the full
+    embedding table stays in scope deliberately: it is the method's
+    realistic input and runs ~3 s warm at sf0.1.
       method='minhash_lsh'   — MinHash + banded LSH on token shingles
                                (functions/dedup.dedup_minhash_lsh), score=jaccard
       method='simhash'       — SimHash + pigeonhole block banding, complete
