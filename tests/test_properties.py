@@ -241,3 +241,75 @@ def test_avro_roundtrip_arbitrary(sv):
     schema, value = sv
     got = avro.decode_record(schema, avro.encode_record(schema, value))
     assert got == value
+
+
+# ---------------------------------------------------------------------------
+# Schema-Registry BACKWARD compatibility gate (functions/schema_registry.py)
+# ---------------------------------------------------------------------------
+
+_avro_primitive = st.sampled_from(["long", "int", "string", "double", "boolean", "bytes"])
+_field_names = st.lists(
+    st.text(alphabet="abcdefghij", min_size=1, max_size=6),
+    min_size=1,
+    max_size=6,
+    unique=True,
+)
+
+
+@st.composite
+def _record_schemas(draw):
+    names = draw(_field_names)
+    fields = []
+    for n in names:
+        t = draw(_avro_primitive)
+        if draw(st.booleans()):
+            fields.append({"name": n, "type": ["null", t], "default": None})
+        else:
+            fields.append({"name": n, "type": t})
+    return {"type": "record", "name": "R", "fields": fields}
+
+
+@settings(derandomize=True, max_examples=60, deadline=None)
+@given(schema=_record_schemas())
+def test_backward_compat_reflexive(schema):
+    """Every schema is BACKWARD-compatible with itself."""
+    from scylla_cdc_source_connector_spark.functions.schema_registry import (
+        backward_compatible,
+    )
+
+    ok, why = backward_compatible(schema, schema)
+    assert ok, why
+
+
+@settings(derandomize=True, max_examples=60, deadline=None)
+@given(schema=_record_schemas(), extra_t=_avro_primitive)
+def test_backward_compat_nullable_add_ok_others_rejected(schema, extra_t):
+    """Adding a nullable field is compatible; adding it non-nullable,
+    removing any field, or changing any field's type is not."""
+    from scylla_cdc_source_connector_spark.functions.schema_registry import (
+        backward_compatible,
+    )
+
+    grown = {
+        **schema,
+        "fields": schema["fields"]
+        + [{"name": "zz_new", "type": ["null", extra_t], "default": None}],
+    }
+    assert backward_compatible(schema, grown)[0]
+    grown_bad = {
+        **schema,
+        "fields": schema["fields"] + [{"name": "zz_new", "type": extra_t}],
+    }
+    assert not backward_compatible(schema, grown_bad)[0]
+
+    shrunk = {**schema, "fields": schema["fields"][:-1]}
+    if schema["fields"]:
+        assert not backward_compatible(schema, shrunk)[0]
+
+    f0 = schema["fields"][0]
+    flipped_t = "string" if f0["type"] != "string" else "long"
+    flipped = {
+        **schema,
+        "fields": [{"name": f0["name"], "type": flipped_t}] + schema["fields"][1:],
+    }
+    assert not backward_compatible(schema, flipped)[0]
