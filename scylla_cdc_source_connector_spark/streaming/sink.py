@@ -222,12 +222,32 @@ def _make_heartbeat_emitter(cfg: EngineConfig):
                 int(now_ms),
             )
         ]
-        (
-            spark.createDataFrame(rows, HEARTBEAT_SCHEMA)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(heartbeat_path(cfg, batch_id))
+        # driver-side pyarrow write: the record set is bounded by the
+        # shard count, so a 1-task Spark job here is pure per-trigger
+        # overhead (job launch + coalesce(1) measured up to ~5 s in slow
+        # host phases).  Same layout/read path (read_heartbeats uses an
+        # explicit schema); idempotent overwrite per batch_id.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = list(zip(*rows))
+        tbl = pa.table(
+            {
+                "topic": pa.array(cols[0], pa.string()),
+                "shard_id": pa.array(cols[1], pa.string()),
+                "generation": pa.array(cols[2], pa.int32()),
+                "window_end_us": pa.array(cols[3], pa.int64()),
+                "batch_id": pa.array(cols[4], pa.int64()),
+                "n_records": pa.array(cols[5], pa.int64()),
+                "committed_at_ms": pa.array(cols[6], pa.int64()),
+            }
         )
+        d = heartbeat_path(cfg, batch_id)
+        import shutil as _shutil
+
+        _shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
         state["last_ms"] = now_ms
 
     return emit
@@ -448,9 +468,12 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
             env = build_envelopes(observed.filter(complete), cfg, table=table)
             # the ONE payload pass: scan → correlate → envelope → ordered
             # write (stats come off a pruned read-back inside _write_batch)
+            phases: dict[str, float] = {}
+            t_ph = time.time()
             n, shards, n_quar, n_dups = _write_batch(
                 env, batch_id, cfg, table=table, stream_clustered=True
             )
+            phases["envelope_write"] = round(time.time() - t_ph, 3)
 
             status = _obs_get(obs, {"max_ev": None, "n_inc": 0})
             max_ev, n_inc = status["max_ev"], status["n_inc"] or 0
@@ -490,6 +513,7 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                     pend.unionByName(deferred) if pend is not None else deferred
                 )
             n_source_scans = 1
+            t_ph = time.time()
             if pend is not None:
                 if cached is None:
                     # the pend write re-reads the (uncached) batch input —
@@ -507,11 +531,14 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                     for f in os.listdir(out)
                     if f.endswith(".parquet")
                 )
+                phases["pending_write"] = round(time.time() - t_ph, 3)
         finally:
             if cached is not None:
                 cached.unpersist()
 
+        t_ph = time.time()
         heartbeat(spark, batch_id, n, shards)
+        phases["heartbeat"] = round(time.time() - t_ph, 3)
         _commit_lineage(
             cfg,
             batch_id,
@@ -529,6 +556,9 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                 ],
                 "committed_at_ms": int(time.time() * 1000),
                 "sink_seconds": round(time.time() - t0, 3),
+                # per-phase breakdown (observability; the unattributed
+                # remainder is plan analysis + the budget-ranking persist)
+                "sink_phase_seconds": phases,
             },
         )
 
