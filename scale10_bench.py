@@ -332,14 +332,15 @@ def headline(rows: int) -> dict:
     return out
 
 
-def main() -> None:
+def main(scaling_only: bool = False) -> None:
     _, rows = prepare_input()
     result = {
         "metric": "sf1-equivalent (10x sf0.1) engine evidence",
         "input_rows": rows,
         "sf": "sf1-synthetic (10 x 100k-event bench chunks)",
     }
-    result["headline"] = headline(rows)
+    if not scaling_only:
+        result["headline"] = headline(rows)
 
     levels = [2, 8]
     best: dict[str, dict[int, float]] = {}
@@ -389,4 +390,4 @@ if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]))
     else:
-        main()
+        main(scaling_only="--scaling-only" in sys.argv[1:])

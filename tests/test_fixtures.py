@@ -141,3 +141,36 @@ def test_fixture_cache_keyed_by_content():
 
     p1 = entry._cached_changelog_path.__doc__  # documented contract
     assert "CONTENT hash" in p1
+
+
+def test_changelog_chunks_write_splittable_row_groups(tmp_path):
+    """Fixture chunks must never be one giant row group: a parquet row
+    group goes entirely to the Spark task owning its byte-range midpoint,
+    so a single-group 250 MB chunk is scanned by ONE task regardless of
+    maxPartitionBytes (measured: 2.4 s/trigger micro-batch envelope write
+    vs 1.0 s once split).  Pin that groups are sized by bytes, not rows."""
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_spark.fixtures import (
+        FixtureSpec,
+        make_changelog,
+        write_changelog_chunk,
+    )
+
+    pdf = make_changelog(FixtureSpec(n_events=300, n_clips=60))
+    path = str(tmp_path / "chunk.parquet")
+    # ~300 events * ~2 rows * ~5-10 kB payload ≈ several MB; a 1 MB target
+    # must yield multiple row groups, each near the target
+    write_changelog_chunk(pdf, path, target_row_group_mb=1)
+    md = pq.read_metadata(path)
+    assert md.num_rows == len(pdf)
+    assert md.num_row_groups >= 3, "row groups must be byte-sized"
+    for i in range(md.num_row_groups - 1):  # last group may be a remainder
+        mb = md.row_group(i).total_byte_size / 1e6
+        assert mb < 8, f"row group {i} is {mb:.1f} MB for a 1 MB target"
+    # values unchanged by the layout: full-file read round-trips
+    import pandas as pd
+
+    got = pd.read_parquet(path)
+    assert len(got) == len(pdf)
+    assert (got["clip_id"].values == pdf["clip_id"].values).all()
