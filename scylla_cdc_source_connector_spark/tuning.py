@@ -17,6 +17,16 @@ rows:
 
 Rule of thumb for both: ``batch_rows ≈ 16–32 MB / avg_row_bytes``.
 
+A third, WRITER-side rule governs scan parallelism downstream: parquet
+row groups must be sized by bytes (~32 MB for payload tables), never by
+a row count tuned for narrow rows.  A row group is assigned entirely to
+the Spark task owning its byte-range midpoint, so a file written as one
+~260 MB group is scanned by ONE task regardless of
+``spark.sql.files.maxPartitionBytes`` — measured 2.4× on the
+micro-batched stream bench before fixture chunks switched to byte-sized
+groups (``fixtures.write_changelog_chunk``).  Iceberg analog for the
+production changelog table: ``write.parquet.row-group-size-bytes``.
+
 These are advisory and session-scoped: the engine's operators never set
 them behind the caller's back.  Call :func:`apply_payload_tuning` on a
 session (the Arrow knob is runtime-settable; the parquet knob must be on
