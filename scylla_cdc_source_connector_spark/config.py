@@ -111,6 +111,16 @@ class EngineConfig:
     # at comparable CPU — the sink is write-bound, so fewer bytes is
     # directly faster and at 100 TB it is a third less sink I/O.
     output_compression: str = "zstd"
+    # parquet row-group size (bytes) for the same payload-bearing outputs.
+    # A row group is scanned by exactly ONE task (byte-range-midpoint
+    # assignment), so groups must be sized by bytes, never by a row count
+    # tuned for narrow rows — a single ~260 MB group makes the file
+    # unsplittable for every downstream consumer (the corpus/apply/record
+    # converters re-read these files).  ~32 MB keeps outputs splittable to
+    # the full executor count while staying above the footer-overhead
+    # floor (tuning.PAYLOAD_ROW_GROUP_BYTES; Iceberg table-property
+    # analog: write.parquet.row-group-size-bytes).
+    output_row_group_bytes: int = 32 << 20
 
     # streaming audio-validation gate (dead-letter analog of Kafka
     # Connect's errors.tolerance=all + errors.deadletterqueue.topic.name,

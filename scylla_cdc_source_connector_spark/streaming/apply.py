@@ -255,7 +255,15 @@ def materialize_latest(
         )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
+            from scylla_cdc_source_connector_spark.tuning import (
+                payload_write_options,
+            )
+
+            # materialized rows carry the audio payload — byte-sized row
+            # groups keep every bucket splittable for downstream scans
+            payload_write_options(
+                merged.write.mode("overwrite").partitionBy("bucket")
+            ).parquet(data_dir)
         finally:
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev_dyn

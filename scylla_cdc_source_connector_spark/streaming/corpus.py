@@ -310,7 +310,13 @@ def maintain_corpus(
         )
     )
     rows = deduped.unionByName(markers).unionByName(tombstones)
-    rows.write.mode("overwrite").parquet(_data_dir(target_dir, bid))
+    # segment rows carry pcm bytes — keep the output splittable for the
+    # consumers that re-scan it (tuning.PAYLOAD_ROW_GROUP_BYTES rule)
+    from scylla_cdc_source_connector_spark.tuning import payload_write_options
+
+    payload_write_options(rows.write.mode("overwrite")).parquet(
+        _data_dir(target_dir, bid)
+    )
     import pyarrow.parquet as pq
 
     n_appended = sum(

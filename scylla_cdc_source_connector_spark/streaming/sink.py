@@ -523,6 +523,8 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
                 out = pending_path(cfg, batch_id)
                 pend.write.mode("overwrite").option(
                     "compression", cfg.output_compression
+                ).option(
+                    "parquet.block.size", str(cfg.output_row_group_bytes)
                 ).parquet(out)
                 import pyarrow.parquet as pq
 
@@ -686,6 +688,7 @@ def _write_batch(
             df.sortWithinPartitions("`cdc$time_us`", "`cdc$batch_seq_no`")
             .write.mode("overwrite")
             .option("compression", cfg.output_compression)
+            .option("parquet.block.size", str(cfg.output_row_group_bytes))
             .parquet(batch_output_path(cfg, batch_id))
         )
 
@@ -723,6 +726,9 @@ def _write_batch(
                     .drop("__audio_norm")
                     .write.mode("overwrite")
                     .option("compression", cfg.output_compression)
+                    .option(
+                        "parquet.block.size", str(cfg.output_row_group_bytes)
+                    )
                     .parquet(quarantine_path(cfg, batch_id))
                 )
             env_df = persisted.filter(gate["pass"]).drop("__audio_verdict")

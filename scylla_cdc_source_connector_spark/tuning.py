@@ -42,6 +42,25 @@ PAYLOAD_SESSION_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
 }
 
+#: writer-side row-group target for payload-bearing parquet outputs.
+#: ``DataFrameWriter.option("parquet.block.size", ...)`` reaches the
+#: Hadoop ParquetOutputFormat for that one write (Spark merges write
+#: options into the job's Hadoop conf), so every payload-bearing output
+#: the engine writes — envelopes, pending, quarantine, corpus segments,
+#: the applied table — stays splittable for whoever scans it next.
+PAYLOAD_ROW_GROUP_BYTES: int = 32 << 20
+
+
+def payload_write_options(writer, row_group_bytes: int | None = None):
+    """Stamp the writer-side payload rule onto a ``DataFrameWriter``.
+
+    Returns the writer with ``parquet.block.size`` set (default
+    :data:`PAYLOAD_ROW_GROUP_BYTES`); compose with the caller's own
+    ``.mode()`` / ``.option("compression", ...)`` calls."""
+    return writer.option(
+        "parquet.block.size", str(row_group_bytes or PAYLOAD_ROW_GROUP_BYTES)
+    )
+
 
 def payload_batch_rows(avg_row_bytes: int, target_mb: int = 24) -> int:
     """batch_rows ≈ target MB / avg row bytes, floored to 128."""

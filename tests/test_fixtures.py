@@ -174,3 +174,50 @@ def test_changelog_chunks_write_splittable_row_groups(tmp_path):
     got = pd.read_parquet(path)
     assert len(got) == len(pdf)
     assert (got["clip_id"].values == pdf["clip_id"].values).all()
+
+
+def test_payload_write_options_reach_the_parquet_writer(spark, tmp_path):
+    """The engine's payload-bearing outputs are re-scanned by downstream
+    consumers (corpus/apply/record converters), so the writer-side
+    row-group rule applies to THEM too: payload_write_options must reach
+    Hadoop's ParquetOutputFormat via the per-write options and produce
+    byte-sized (splittable) groups.  Pinned with a 1 MB target over ~5 MB
+    in one partition: multiple groups; the optionless control write of
+    the same data produces one group (the 128 MB default)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_source_connector_spark.tuning import payload_write_options
+
+    # distinct, high-entropy payloads: parquet flushes a row group when
+    # the BUFFERED (encoded) size crosses block.size, so dictionary- or
+    # RLE-compressible fillers (e.g. repeat('x', N)) never trigger it
+    df = (
+        spark.range(300)
+        .select(
+            F.col("id"),
+            F.expr(
+                "cast(concat_ws('', transform(sequence(1, 128),"
+                " j -> sha2(concat(cast(id as string), '-',"
+                " cast(j as string)), 512))) as binary)"
+            ).alias("bytes"),
+        )
+        .coalesce(1)
+    )
+
+    def groups(d):
+        fs = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(fs) == 1
+        return pq.read_metadata(os.path.join(d, fs[0])).num_row_groups
+
+    tuned = str(tmp_path / "tuned")
+    payload_write_options(
+        df.write.mode("overwrite"), row_group_bytes=1 << 20
+    ).parquet(tuned)
+    control = str(tmp_path / "control")
+    df.write.mode("overwrite").parquet(control)
+
+    assert groups(tuned) >= 2, "parquet.block.size option did not apply"
+    assert groups(control) == 1
