@@ -342,7 +342,12 @@ def main(scaling_only: bool = False) -> None:
     if not scaling_only:
         result["headline"] = headline(rows)
 
-    levels = [2, 8]
+    # the N / 4N pair; SPARK_GRAFT_SCALE_LEVELS="4,16" measures a second
+    # pair (round-3 protocol: report both 2->8 and 4->16)
+    levels = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
+    ]
     best: dict[str, dict[int, float]] = {}
     job_rows = {
         "payload": rows,
@@ -374,13 +379,14 @@ def main(scaling_only: bool = False) -> None:
                 t = rec[job]["seconds"]
                 best[job][cpus] = t if cur is None else min(cur, t)
     result["scaling"] = {}
+    lo, hi = levels[0], levels[-1]
     for job, times in best.items():
-        thr2 = job_rows[job] / times[2]
-        thr8 = job_rows[job] / times[8]
+        thr_lo = job_rows[job] / times[lo]
+        thr_hi = job_rows[job] / times[hi]
         result["scaling"][job] = {
-            "thr_2_rows_per_s": round(thr2, 1),
-            "thr_8_rows_per_s": round(thr8, 1),
-            "efficiency_2to8": round((thr8 / thr2) / 4, 3),
+            f"thr_{lo}_rows_per_s": round(thr_lo, 1),
+            f"thr_{hi}_rows_per_s": round(thr_hi, 1),
+            f"efficiency_{lo}to{hi}": round((thr_hi / thr_lo) / (hi / lo), 3),
         }
     result["scaling_runs"] = runs
     print(json.dumps(result))
