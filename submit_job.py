@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--mode", choices=("batch", "stream"), default="stream")
     ap.add_argument("--fresh", action="store_true",
                     help="clear --output first (otherwise stream resumes)")
+    ap.add_argument("--max-files-per-trigger", type=int, default=None,
+                    help="stream mode: cap source files per micro-batch "
+                         "(1 = one chunk per trigger, the production shape)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -71,7 +74,13 @@ def main() -> None:
         from scylla_cdc_source_connector_spark.streaming.engine import run_stream
         from scylla_cdc_source_connector_spark.streaming.sink import read_emitted
 
-        q = run_stream(spark, cfg, args.input, available_now=True)
+        q = run_stream(
+            spark,
+            cfg,
+            args.input,
+            available_now=True,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
         q.awaitTermination()
         n = read_emitted(spark, cfg).count()
 
