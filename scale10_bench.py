@@ -43,6 +43,13 @@ ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
 META_REPLICAS = 8
 
 
+def _selected_jobs() -> list[str]:
+    """Jobs to measure; SPARK_GRAFT_SCALE_JOBS="metadata,metadata_fused"
+    narrows a campaign to the jobs under study."""
+    default = "payload,metadata,scan_control"
+    return os.environ.get("SPARK_GRAFT_SCALE_JOBS", default).split(",")
+
+
 def prepare_input() -> tuple[str, int]:
     """10 chunks, each an independent bench-spec changelog with a unique
     seed and a per-chunk clip-id suffix (disjoint key spaces, so the union
@@ -161,15 +168,12 @@ def worker(cpus: int) -> None:
             .count()
         )
 
-    def job_metadata() -> int:
-        """Payload-pruned envelope suite over META_REPLICAS in-plan copies
+    def _meta_env():
+        """Payload-pruned envelope plan over META_REPLICAS in-plan copies
         of the input (per-replica clip suffix keeps key spaces disjoint):
         the metadata path is ~40x cheaper per row than payload, so it needs
         more rows for the parallel fraction to dominate fixed costs; the
         replication happens in the scan plan, not on disk."""
-        from scylla_cdc_source_connector_spark.operators.skew import salted_agg
-        from scylla_cdc_source_connector_spark.operators.windows import tumbling_agg
-
         reps = []
         for r in range(META_REPLICAS):
             reps.append(
@@ -180,20 +184,41 @@ def worker(cpus: int) -> None:
         changelog = reps[0]
         for d in reps[1:]:
             changelog = changelog.unionByName(d)
-        env = cdc_envelopes(changelog, cfg_none, processing_ts_ms=F.lit(0)).select(
+        return cdc_envelopes(changelog, cfg_none, processing_ts_ms=F.lit(0)).select(
             "clip_id", "`cdc$time`", F.col("value.op").alias("op")
         )
-        n1 = env.groupBy("op").count().count()
-        n2 = tumbling_agg(
-            env, "cdc$time", "1 minute", ["op"], [F.count("*").alias("n")]
-        ).count()
-        n3 = (
+
+    def _meta_queries(env):
+        from scylla_cdc_source_connector_spark.operators.skew import salted_agg
+        from scylla_cdc_source_connector_spark.operators.windows import tumbling_agg
+
+        return (
+            env.groupBy("op").count(),
+            tumbling_agg(
+                env, "cdc$time", "1 minute", ["op"], [F.count("*").alias("n")]
+            ),
             salted_agg(env, ["clip_id"], {"n_events": ("count", "")}, n_salt=8)
             .orderBy(F.desc("n_events"))
-            .limit(10)
-            .count()
+            .limit(10),
         )
-        return n1 + n2 + n3
+
+    def job_metadata() -> int:
+        q1, q2, q3 = _meta_queries(_meta_env())
+        return q1.count() + q2.count() + q3.count()
+
+    def job_metadata_fused() -> int:
+        """The same three aggregates as ONE action: each branch reduced to
+        a single-row count, unioned, summed.  Isolates the per-action fixed
+        cost (driver planning/codegen/submission of the 8-way-union plan,
+        parallelism-independent) that job_metadata pays three times — the
+        Amdahl term behind its 4->16 efficiency drop (BASELINE.md §D-r4)."""
+        q1, q2, q3 = _meta_queries(_meta_env())
+        fused = (
+            q1.agg(F.count("*").alias("n"))
+            .unionByName(q2.agg(F.count("*").alias("n")))
+            .unionByName(q3.agg(F.count("*").alias("n")))
+        )
+        return int(fused.agg(F.sum("n").alias("s")).first()["s"])
 
     def job_scan_control() -> int:
         row = (
@@ -204,11 +229,14 @@ def worker(cpus: int) -> None:
         return int(row["n"])
 
     out = {"cpus": cpus}
-    for name, job in (
-        ("payload", job_payload),
-        ("metadata", job_metadata),
-        ("scan_control", job_scan_control),
-    ):
+    all_jobs = {
+        "payload": job_payload,
+        "metadata": job_metadata,
+        "metadata_fused": job_metadata_fused,
+        "scan_control": job_scan_control,
+    }
+    for name in _selected_jobs():
+        job = all_jobs[name]
         job()  # warmup
         best_s, n = None, 0
         for _ in range(2):
@@ -349,11 +377,13 @@ def main(scaling_only: bool = False) -> None:
         for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
     ]
     best: dict[str, dict[int, float]] = {}
-    job_rows = {
+    all_rows = {
         "payload": rows,
         "metadata": rows * META_REPLICAS,
+        "metadata_fused": rows * META_REPLICAS,
         "scan_control": rows,
     }
+    job_rows = {j: all_rows[j] for j in _selected_jobs()}
     runs = []
     for rnd in range(ROUNDS):
         for cpus in levels:
