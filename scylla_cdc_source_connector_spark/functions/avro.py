@@ -23,6 +23,7 @@ payload processing.
 from __future__ import annotations
 
 import io
+import os
 import struct
 from typing import Any
 
@@ -381,3 +382,109 @@ def from_avro_udf(dt: T.DataType, *, framed: bool = False):
         return pd.DataFrame(rows, columns=[f.name for f in dt.fields])
 
     return pandas_udf(dec, dt)
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container Files (spec §"Object Container Files")
+# ---------------------------------------------------------------------------
+# Iceberg manifest lists and manifest files are Avro OCFs; this gives the
+# jarless Iceberg metadata source (sources/iceberg_meta.py) a writer and a
+# writer-agnostic reader on top of the same binary codec.  Layout per the
+# Avro 1.11 spec: magic "Obj\x01", a file-metadata map (avro.schema JSON +
+# avro.codec + caller keys), a 16-byte sync marker, then blocks of
+# <count, byte-size, payload, sync>.  Codecs: null and deflate (raw zlib,
+# no header, per spec).
+
+OCF_MAGIC = b"Obj\x01"
+
+_OCF_META_SCHEMA = {"type": "map", "values": "bytes"}
+
+
+def _ocf_sync(schema_json: str, n: int) -> bytes:
+    """Deterministic 16-byte sync marker (content-derived, so identical
+    inputs produce byte-identical files — fixture/golden friendly)."""
+    import hashlib
+
+    return hashlib.md5(
+        schema_json.encode("utf-8") + n.to_bytes(8, "big")
+    ).digest()
+
+
+def write_container(
+    path: str,
+    schema: Any,
+    records: list,
+    *,
+    metadata: dict[str, bytes | str] | None = None,
+    codec: str = "deflate",
+) -> None:
+    """Write one Avro Object Container File (single block)."""
+    import json as _json
+    import zlib
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported OCF codec {codec!r}")
+    schema_json = _json.dumps(schema)
+    meta = {"avro.schema": schema_json, "avro.codec": codec}
+    for k, v in (metadata or {}).items():
+        meta[k] = v.decode("utf-8") if isinstance(v, (bytes, bytearray)) else v
+    sync = _ocf_sync(schema_json, len(records))
+
+    buf = io.BytesIO()
+    buf.write(OCF_MAGIC)
+    encode_value(
+        buf, _OCF_META_SCHEMA, {k: str(v).encode("utf-8") for k, v in meta.items()}
+    )
+    buf.write(sync)
+    if records:
+        block = io.BytesIO()
+        for rec in records:
+            encode_value(block, schema, rec)
+        payload = block.getvalue()
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]  # raw, per spec
+        _write_long(buf, len(records))
+        _write_long(buf, len(payload))
+        buf.write(payload)
+        buf.write(sync)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(buf.getvalue())
+    os.replace(tmp, path)
+
+
+def read_container(path: str) -> tuple[Any, dict[str, bytes], list]:
+    """Read an Avro OCF written by ANY writer: the schema embedded in the
+    file header drives decoding, so readers stay compatible with files
+    whose schema carries extra (e.g. Iceberg column-stats) fields.
+    Returns (schema, file_metadata, records)."""
+    import json as _json
+    import zlib
+
+    with open(path, "rb") as fh:
+        buf = io.BytesIO(fh.read())
+    if buf.read(4) != OCF_MAGIC:
+        raise ValueError(f"{path}: not an Avro object container file")
+    meta = decode_value(buf, _OCF_META_SCHEMA)
+    schema = _json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"{path}: unsupported OCF codec {codec!r}")
+    sync = buf.read(16)
+    records: list = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, io.SEEK_CUR)
+        n = _read_long(buf)
+        size = _read_long(buf)
+        payload = buf.read(size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        block = io.BytesIO(payload)
+        for _ in range(n):
+            records.append(decode_value(block, schema))
+        if buf.read(16) != sync:
+            raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
+    return schema, meta, records

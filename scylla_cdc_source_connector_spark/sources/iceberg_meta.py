@@ -1,0 +1,427 @@
+"""Jarless Iceberg v2 metadata source: snapshot-incremental file resolution.
+
+The production read path (`streaming/engine.py`, source_format="iceberg")
+needs the iceberg-spark-runtime jar, which this container does not carry.
+This module removes the NotImplementedError for the append-only-changelog
+case by implementing the METADATA side of the Iceberg v2 table spec
+(https://iceberg.apache.org/spec/) in pure Python on top of the repo's
+Avro codec (`functions/avro.py` + its Object Container File layer):
+
+  version-hint.text -> vN.metadata.json -> manifest-list (snap-*.avro)
+      -> manifest (*.avro) -> ADDED data-file paths per snapshot
+
+which is exactly the information the engine needs to mirror the reference
+connector's generation/window iteration (ScyllaStreamingChangeEventSource
+.java:53-103) over an Iceberg changelog: each snapshot is one ordered
+micro-batch of arrivals, resolved by sequence number, streamed through the
+existing exactly-once sink (`streaming/engine.py:run_iceberg_meta_stream`).
+
+Scope and honesty:
+- append-only tables (the north-rule changelog shape): manifests with
+  content=DATA and entries with status ADDED/EXISTING; delete manifests
+  and DELETED entries are skipped, mirroring the jar path's
+  `streaming-skip-delete-snapshots` option.
+- the READER is writer-agnostic: decoding is driven by the Avro schema
+  embedded in each manifest file, so manifests written by real Iceberg
+  (with column-stats fields this writer omits) decode fine — but no real
+  Iceberg writer exists in this sandbox, so cross-writer interop is
+  asserted only structurally (spec field names/ids pinned in
+  tests/test_iceberg_meta.py), not end-to-end.
+- the WRITER exists to build test/fixture tables and to let the sink's
+  `iceberg_emit` seam stay honest; it writes v2 metadata with the spec's
+  required fields only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+from scylla_cdc_source_connector_spark.functions import avro
+
+# ---------------------------------------------------------------------------
+# Iceberg schema JSON from a Spark schema (field-ids assigned in order)
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_ICEBERG = {
+    "string": "string",
+    "binary": "binary",
+    "integer": "int",
+    "long": "long",
+    "boolean": "boolean",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamptz",  # Spark TimestampType is tz-aware
+    "timestamp_ntz": "timestamp",
+}
+
+
+def iceberg_schema_of(spark_schema) -> dict:
+    """Spark StructType -> Iceberg schema JSON (spec §Schemas).  Only the
+    flat/primitive shapes a changelog table uses; ids are 1..N in field
+    order, `last-column-id` = N."""
+    fields = []
+    for i, f in enumerate(spark_schema.fields, start=1):
+        tn = f.dataType.typeName()
+        if tn not in _SPARK_TO_ICEBERG:
+            raise TypeError(
+                f"iceberg_schema_of: unsupported changelog column type {tn!r}"
+            )
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _SPARK_TO_ICEBERG[tn],
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+# ---------------------------------------------------------------------------
+# manifest / manifest-list Avro schemas (spec §Manifests, §Manifest Lists)
+# field names and ids are the v2 spec's; optional column-stats fields are
+# omitted from the WRITER schema (they are nullable in the spec, and the
+# reader uses each file's embedded schema, so files that carry them decode)
+# ---------------------------------------------------------------------------
+
+
+def _f(name: str, typ: Any, fid: int, *, optional: bool = False) -> dict:
+    t = ["null", typ] if optional else typ
+    out = {"name": name, "type": t, "field-id": fid}
+    if optional:
+        out["default"] = None
+    return out
+
+
+DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        _f("content", "int", 134),
+        _f("file_path", "string", 100),
+        _f("file_format", "string", 101),
+        # unpartitioned spec -> empty partition struct (spec: r102 matches
+        # the partition spec's fields; this writer only emits spec-id 0 =
+        # unpartitioned, each snapshot IS the window/partition unit)
+        _f("partition", {"type": "record", "name": "r102", "fields": []}, 102),
+        _f("record_count", "long", 103),
+        _f("file_size_in_bytes", "long", 104),
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        _f("status", "int", 0),
+        _f("snapshot_id", "long", 1, optional=True),
+        _f("sequence_number", "long", 3, optional=True),
+        _f("file_sequence_number", "long", 4, optional=True),
+        _f("data_file", DATA_FILE_SCHEMA, 2),
+    ],
+}
+
+FIELD_SUMMARY_SCHEMA = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        _f("contains_null", "boolean", 509),
+        _f("contains_nan", "boolean", 518, optional=True),
+        _f("lower_bound", "bytes", 510, optional=True),
+        _f("upper_bound", "bytes", 511, optional=True),
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        _f("manifest_path", "string", 500),
+        _f("manifest_length", "long", 501),
+        _f("partition_spec_id", "int", 502),
+        _f("content", "int", 517),
+        _f("sequence_number", "long", 515),
+        _f("min_sequence_number", "long", 516),
+        _f("added_snapshot_id", "long", 503),
+        _f("added_files_count", "int", 504),
+        _f("existing_files_count", "int", 505),
+        _f("deleted_files_count", "int", 506),
+        _f("added_rows_count", "long", 512),
+        _f("existing_rows_count", "long", 513),
+        _f("deleted_rows_count", "long", 514),
+        _f(
+            "partitions",
+            {"type": "array", "items": FIELD_SUMMARY_SCHEMA, "element-id": 508},
+            507,
+            optional=True,
+        ),
+    ],
+}
+
+# manifest-entry status values (spec §Manifests)
+ST_EXISTING, ST_ADDED, ST_DELETED = 0, 1, 2
+# content values
+CONTENT_DATA, CONTENT_DELETES = 0, 1
+
+
+# ---------------------------------------------------------------------------
+# table metadata JSON + version hint
+# ---------------------------------------------------------------------------
+
+
+def _meta_dir(location: str) -> str:
+    return os.path.join(location, "metadata")
+
+
+def _version_hint(location: str) -> str:
+    return os.path.join(_meta_dir(location), "version-hint.text")
+
+
+def current_metadata(location: str) -> dict:
+    """Load the current table metadata via version-hint.text (the
+    HadoopCatalog/file-catalog resolution rule)."""
+    with open(_version_hint(location)) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(_meta_dir(location), f"v{v}.metadata.json")) as fh:
+        return json.load(fh)
+
+
+def _write_metadata(location: str, md: dict, version: int) -> None:
+    mdir = _meta_dir(location)
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"v{version}.metadata.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(md, fh, indent=1)
+    os.replace(tmp, path)
+    tmp = _version_hint(location) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, _version_hint(location))
+
+
+def create_table(location: str, spark_schema, *, created_ms: int = 0) -> dict:
+    """Create an empty v2 Iceberg table at `location` (unpartitioned spec;
+    each appended snapshot is one CDC arrival window)."""
+    schema = iceberg_schema_of(spark_schema)
+    md = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, location)),
+        "location": location,
+        "last-sequence-number": 0,
+        "last-updated-ms": created_ms,
+        "last-column-id": max(
+            (f["id"] for f in schema["fields"]), default=0
+        ),
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    os.makedirs(os.path.join(location, "data"), exist_ok=True)
+    _write_metadata(location, md, 1)
+    return md
+
+
+def append_files(
+    location: str,
+    files: list[str],
+    *,
+    timestamp_ms: int = 0,
+) -> int:
+    """Commit one append snapshot covering `files` (parquet paths already
+    under the table's data/ dir).  Row counts come off the parquet footers
+    (no Spark job).  Returns the new snapshot id."""
+    import pyarrow.parquet as pq
+
+    md = current_metadata(location)
+    seq = md["last-sequence-number"] + 1
+    snap_id = seq  # deterministic, monotone with sequence number
+    mdir = _meta_dir(location)
+
+    entries, n_rows = [], 0
+    for p in files:
+        meta = pq.read_metadata(p)
+        n_rows += meta.num_rows
+        entries.append(
+            {
+                "status": ST_ADDED,
+                "snapshot_id": snap_id,
+                "sequence_number": None,  # inherited from the manifest (spec)
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": CONTENT_DATA,
+                    "file_path": os.path.abspath(p),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": meta.num_rows,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+        )
+
+    manifest_path = os.path.join(mdir, f"manifest-{snap_id:020d}.avro")
+    avro.write_container(
+        manifest_path,
+        MANIFEST_ENTRY_SCHEMA,
+        entries,
+        metadata={
+            "schema": json.dumps(md["schemas"][md["current-schema-id"]]),
+            "partition-spec": json.dumps([]),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+
+    # manifest list = this snapshot's manifest + every live prior manifest
+    prior = []
+    if md["current-snapshot-id"] != -1:
+        cur = next(
+            s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        _, _, prior = avro.read_container(cur["manifest-list"])
+    mf_entry = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": CONTENT_DATA,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+    list_path = os.path.join(mdir, f"snap-{snap_id:020d}.avro")
+    avro.write_container(
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        prior + [mf_entry],
+        metadata={
+            "snapshot-id": str(snap_id),
+            "sequence-number": str(seq),
+            "format-version": "2",
+        },
+    )
+
+    md["snapshots"].append(
+        {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": (
+                md["current-snapshot-id"]
+                if md["current-snapshot-id"] != -1
+                else None
+            ),
+            "sequence-number": seq,
+            "timestamp-ms": timestamp_ms,
+            "manifest-list": list_path,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(len(entries)),
+                "added-records": str(n_rows),
+            },
+            "schema-id": md["current-schema-id"],
+        }
+    )
+    md["snapshot-log"].append(
+        {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
+    )
+    md["current-snapshot-id"] = snap_id
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = timestamp_ms
+    with open(_version_hint(location)) as fh:
+        v = int(fh.read().strip())
+    _write_metadata(location, md, v + 1)
+    return snap_id
+
+
+# ---------------------------------------------------------------------------
+# reader: snapshot-incremental ADDED-file resolution
+# ---------------------------------------------------------------------------
+
+
+def snapshots(location: str) -> list[dict]:
+    """All snapshots, ordered by sequence number (the table's commit
+    order — the engine's micro-batch order)."""
+    md = current_metadata(location)
+    return sorted(md["snapshots"], key=lambda s: s["sequence-number"])
+
+
+def added_files(
+    location: str,
+    *,
+    after_snapshot_id: int | None = None,
+    from_timestamp_ms: int | None = None,
+) -> list[dict]:
+    """Resolve the data files each snapshot ADDED, in commit order:
+    [{snapshot_id, sequence_number, timestamp_ms, files: [paths],
+      record_count}].  `after_snapshot_id` resumes past consumed snapshots
+    (exclusive); `from_timestamp_ms` is the initial-lookback analog
+    (S3, `scylla.initial.lookback.ms`) — snapshots strictly older are
+    skipped.  Delete manifests and DELETED entries are skipped like the
+    jar path's streaming-skip-delete-snapshots."""
+    out = []
+    after_seq = None
+    snaps = snapshots(location)
+    if after_snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == after_snapshot_id:
+                after_seq = s["sequence-number"]
+                break
+        else:
+            raise ValueError(
+                f"resume snapshot {after_snapshot_id} not in table history "
+                "(expired?); re-run with from_timestamp_ms"
+            )
+    for s in snaps:
+        if after_seq is not None and s["sequence-number"] <= after_seq:
+            continue
+        if (
+            from_timestamp_ms is not None
+            and s["timestamp-ms"] < from_timestamp_ms
+        ):
+            continue
+        _, _, manifests = avro.read_container(s["manifest-list"])
+        files, n_rows = [], 0
+        for mf in manifests:
+            if mf["content"] != CONTENT_DATA:
+                continue  # delete manifest: skipped (append-only scope)
+            # only manifests this snapshot added: prior manifests carry
+            # earlier snapshots' files, already consumed in their batch
+            if mf["added_snapshot_id"] != s["snapshot-id"]:
+                continue
+            _, _, entries = avro.read_container(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == ST_DELETED:
+                    continue
+                df = e["data_file"]
+                if df["content"] != CONTENT_DATA:
+                    continue
+                files.append(df["file_path"])
+                n_rows += df["record_count"]
+        out.append(
+            {
+                "snapshot_id": s["snapshot-id"],
+                "sequence_number": s["sequence-number"],
+                "timestamp_ms": s["timestamp-ms"],
+                "files": files,
+                "record_count": n_rows,
+            }
+        )
+    return out

@@ -1,0 +1,299 @@
+"""Jarless Iceberg metadata source: OCF codec, spec structure, and the
+snapshot-incremental exactly-once stream (sources/iceberg_meta.py +
+streaming/engine.py:run_iceberg_meta_stream).
+
+Reference analog: the connector's window/offset iteration over the CDC log
+(ScyllaStreamingChangeEventSource.java:53-103) — here snapshot == window,
+sequence number == offset.  Interop caveat: no real Iceberg writer exists
+in this sandbox, so spec conformance is pinned structurally (field names,
+ids, metadata keys per https://iceberg.apache.org/spec/) and the reader is
+writer-agnostic by construction (decodes with each file's embedded schema).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_cdc_source_connector_spark.config import EngineConfig, IncludeMode
+from scylla_cdc_source_connector_spark.fixtures import FixtureSpec, make_changelog
+from scylla_cdc_source_connector_spark.functions import avro
+from scylla_cdc_source_connector_spark.plans.pipeline import cdc_envelopes
+from scylla_cdc_source_connector_spark.schemas import DEFAULT_TABLE
+from scylla_cdc_source_connector_spark.sources import iceberg_meta as im
+from scylla_cdc_source_connector_spark.streaming import sink as sink_mod
+from scylla_cdc_source_connector_spark.streaming.engine import (
+    run_iceberg_meta_stream,
+)
+
+# ---------------------------------------------------------------------------
+# Avro Object Container Files
+# ---------------------------------------------------------------------------
+
+_SCH = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "a", "type": "string"},
+        {"name": "b", "type": ["null", "long"]},
+        {"name": "m", "type": {"type": "map", "values": "bytes"}},
+    ],
+}
+_RECS = [
+    {"a": "x", "b": 7, "m": {"k": b"\x01\x02"}},
+    {"a": "y", "b": None, "m": {}},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_ocf_roundtrip(tmp_root, codec):
+    p = f"{tmp_root}/ocf_{codec}.avro"
+    avro.write_container(p, _SCH, _RECS, metadata={"fmt": "2"}, codec=codec)
+    schema, meta, out = avro.read_container(p)
+    assert out == _RECS
+    assert schema == _SCH
+    assert meta["fmt"] == b"2"
+    assert meta["avro.codec"] == codec.encode()
+
+
+def test_ocf_empty_and_corrupt(tmp_root):
+    p = f"{tmp_root}/ocf_empty.avro"
+    avro.write_container(p, _SCH, [])
+    assert avro.read_container(p)[2] == []
+    with open(p, "r+b") as fh:  # flip a sync byte -> corrupt-block error
+        avro.write_container(p, _SCH, _RECS, codec="null")
+    with open(p, "r+b") as fh:
+        fh.seek(-1, os.SEEK_END)
+        last = fh.read(1)
+        fh.seek(-1, os.SEEK_END)
+        fh.write(bytes([last[0] ^ 0xFF]))
+    with pytest.raises(ValueError, match="sync marker"):
+        avro.read_container(p)
+
+
+def test_ocf_reader_is_writer_agnostic(tmp_root):
+    """A file whose schema carries EXTRA optional fields (e.g. Iceberg
+    column stats this repo's writer omits) decodes via its own embedded
+    schema."""
+    rich = {
+        "type": "record",
+        "name": "r",
+        "fields": _SCH["fields"]
+        + [{"name": "extra_stats", "type": ["null", "long"], "default": None}],
+    }
+    p = f"{tmp_root}/ocf_rich.avro"
+    avro.write_container(
+        p, rich, [{**_RECS[0], "extra_stats": 5}], codec="deflate"
+    )
+    _, _, out = avro.read_container(p)
+    assert out[0]["extra_stats"] == 5 and out[0]["a"] == "x"
+
+
+# ---------------------------------------------------------------------------
+# spec structure goldens (field names/ids per the Iceberg v2 spec tables)
+# ---------------------------------------------------------------------------
+
+
+def _ids(schema):
+    return {f["name"]: f["field-id"] for f in schema["fields"]}
+
+
+def test_manifest_schemas_match_spec_ids():
+    assert _ids(im.MANIFEST_ENTRY_SCHEMA) == {
+        "status": 0,
+        "snapshot_id": 1,
+        "sequence_number": 3,
+        "file_sequence_number": 4,
+        "data_file": 2,
+    }
+    assert _ids(im.DATA_FILE_SCHEMA) == {
+        "content": 134,
+        "file_path": 100,
+        "file_format": 101,
+        "partition": 102,
+        "record_count": 103,
+        "file_size_in_bytes": 104,
+    }
+    mf = _ids(im.MANIFEST_FILE_SCHEMA)
+    assert mf["manifest_path"] == 500
+    assert mf["content"] == 517
+    assert mf["sequence_number"] == 515
+    assert mf["min_sequence_number"] == 516
+    assert mf["added_snapshot_id"] == 503
+    assert mf["added_rows_count"] == 512
+    assert mf["partitions"] == 507
+
+
+def _mk_parquet(path: str, n: int) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"x": list(range(n))}), path)
+    return path
+
+
+def test_create_append_resolve(tmp_root):
+    loc = f"{tmp_root}/ice_plain"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(loc, DEFAULT_TABLE.changelog_schema(), created_ms=1000)
+    s1 = im.append_files(
+        loc,
+        [_mk_parquet(f"{loc}/data/a{i}.parquet", 10 + i) for i in range(2)],
+        timestamp_ms=2000,
+    )
+    s2 = im.append_files(
+        loc, [_mk_parquet(f"{loc}/data/b0.parquet", 5)], timestamp_ms=3000
+    )
+
+    allb = im.added_files(loc)
+    assert [b["snapshot_id"] for b in allb] == [s1, s2]
+    assert [b["record_count"] for b in allb] == [21, 5]
+    # each snapshot resolves ONLY its own added files (prior manifests in
+    # the list are recognized by added_snapshot_id and not re-consumed)
+    assert len(allb[1]["files"]) == 1
+
+    # incremental resume + initial lookback (S3 analog)
+    assert [b["snapshot_id"] for b in im.added_files(loc, after_snapshot_id=s1)] == [s2]
+    assert [b["snapshot_id"] for b in im.added_files(loc, from_timestamp_ms=2500)] == [s2]
+    with pytest.raises(ValueError, match="not in table history"):
+        im.added_files(loc, after_snapshot_id=999)
+
+    md = im.current_metadata(loc)
+    assert md["format-version"] == 2
+    assert md["current-snapshot-id"] == s2
+    assert md["last-sequence-number"] == 2
+    # manifest file-metadata keys the spec requires
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == s2)
+    _, _, manifests = avro.read_container(snap["manifest-list"])
+    _, mmeta, _ = avro.read_container(manifests[-1]["manifest_path"])
+    for k in ("schema", "partition-spec-id", "format-version", "content"):
+        assert k in mmeta
+
+
+def test_unsupported_column_type_rejected():
+    import pyspark.sql.types as T
+
+    with pytest.raises(TypeError, match="unsupported changelog column"):
+        im.iceberg_schema_of(
+            T.StructType([T.StructField("d", T.DecimalType(10, 2))])
+        )
+
+
+# ---------------------------------------------------------------------------
+# snapshot-incremental exactly-once stream
+# ---------------------------------------------------------------------------
+
+
+def _cfg(tmp, name) -> EngineConfig:
+    return EngineConfig(
+        include_before=IncludeMode.FULL,
+        include_after=IncludeMode.FULL,
+        checkpoint_dir=f"{tmp}/{name}/ckpt",
+        output_dir=f"{tmp}/{name}/out",
+        lineage_dir=f"{tmp}/{name}/lineage",
+    )
+
+
+@pytest.fixture(scope="module")
+def ice_pdf():
+    return make_changelog(FixtureSpec(n_events=900, n_clips=120, n_shards=4))
+
+
+def _ice_table(tmp_root, pdf, name, n_snaps):
+    """Changelog rows split into n_snaps arrival-ordered Iceberg snapshots."""
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    loc = f"{tmp_root}/{name}"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(loc, DEFAULT_TABLE.changelog_schema(), created_ms=0)
+    size = (len(pdf) + n_snaps - 1) // n_snaps
+    sids = []
+    for i in range(n_snaps):
+        p = f"{loc}/data/chunk-{i:03d}.parquet"
+        write_changelog_chunk(pdf.iloc[i * size : (i + 1) * size], p)
+        sids.append(im.append_files(loc, [p], timestamp_ms=(i + 1) * 1000))
+    return loc, sids
+
+
+def test_iceberg_stream_matches_batch(spark, tmp_root, ice_pdf):
+    """The jarless snapshot loop equals the single-shot batch plan and is
+    exactly-once idempotent on rerun."""
+    loc, sids = _ice_table(tmp_root, ice_pdf, "ice_tbl", n_snaps=3)
+    cfg = _cfg(tmp_root, "ice_parity")
+
+    res = run_iceberg_meta_stream(spark, cfg, loc)
+    assert res["consumed"] == sids and res["skipped"] == []
+
+    got = sink_mod.read_emitted(spark, cfg)
+    ref = cdc_envelopes(
+        spark.read.parquet(f"{loc}/data"), cfg, processing_ts_ms=F.lit(0)
+    )
+    key = lambda df: {  # noqa: E731
+        (r["clip_id"], r["cdc$time_us"], r["op"])
+        for r in df.select(
+            "clip_id", "`cdc$time_us`", F.col("value.op").alias("op")
+        ).collect()
+    }
+    assert key(got) == key(ref)
+    assert got.count() == res["emitted_total"] == ref.count()
+
+    # rerun: every snapshot already committed -> idempotent no-op
+    res2 = run_iceberg_meta_stream(spark, cfg, loc)
+    assert res2["consumed"] == [] and res2["skipped"] == sids
+    assert res2["emitted_total"] == res["emitted_total"]
+
+
+def test_iceberg_stream_crash_restart_and_growth(spark, tmp_root, ice_pdf):
+    """Crash mid-drain (second snapshot's data file unreadable) leaves a
+    committed prefix; the restart consumes ONLY the remainder, and a
+    snapshot appended later is picked up incrementally."""
+    loc, sids = _ice_table(tmp_root, ice_pdf, "ice_tbl_crash", n_snaps=2)
+    cfg = _cfg(tmp_root, "ice_crash")
+
+    f2 = f"{loc}/data/chunk-001.parquet"
+    os.rename(f2, f2 + ".hidden")
+    with pytest.raises(Exception):
+        run_iceberg_meta_stream(spark, cfg, loc)
+    assert sink_mod.committed_batch_ids(cfg) == [1]  # prefix committed
+    os.rename(f2 + ".hidden", f2)
+
+    res = run_iceberg_meta_stream(spark, cfg, loc)
+    assert res["consumed"] == [sids[1]] and res["skipped"] == [sids[0]]
+
+    # table keeps growing: later append -> only the new snapshot runs.
+    # Fresh rows (new clip ids, event times bumped past the high-water
+    # mark): an append, not a replay — replay semantics are pinned by
+    # the dedup_within_watermark tests in test_streaming.py.
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    extra = make_changelog(
+        FixtureSpec(n_events=60, n_clips=20, n_shards=4)
+    ).copy()
+    extra["clip_id"] = extra["clip_id"] + "-x2"
+    extra["cdc$time"] = extra["cdc$time"] + pd.Timedelta(hours=1)
+    extra["cdc$time_us"] = extra["cdc$time_us"] + 3_600_000_000
+    p = f"{loc}/data/chunk-extra.parquet"
+    write_changelog_chunk(extra, p)
+    s3 = im.append_files(loc, [p], timestamp_ms=9000)
+    res3 = run_iceberg_meta_stream(spark, cfg, loc)
+    assert res3["consumed"] == [s3]
+
+    ref = cdc_envelopes(
+        spark.read.parquet(f"{loc}/data"), cfg, processing_ts_ms=F.lit(0)
+    )
+    assert res3["emitted_total"] == ref.count()
+
+
+def test_iceberg_empty_snapshot_is_heartbeat(spark, tmp_root, ice_pdf):
+    """An empty snapshot advances lineage like an empty CDC window (K4)."""
+    loc, sids = _ice_table(tmp_root, ice_pdf, "ice_tbl_hb", n_snaps=1)
+    s_empty = im.append_files(loc, [], timestamp_ms=5000)
+    cfg = _cfg(tmp_root, "ice_hb")
+    res = run_iceberg_meta_stream(spark, cfg, loc)
+    assert res["consumed"] == [sids[0], s_empty]
+    assert sink_mod.committed_batch_ids(cfg) == [1, 2]
