@@ -60,25 +60,73 @@ _SPARK_TO_ICEBERG = {
 
 
 def iceberg_schema_of(spark_schema) -> dict:
-    """Spark StructType -> Iceberg schema JSON (spec §Schemas).  Only the
-    flat/primitive shapes a changelog table uses; ids are 1..N in field
-    order, `last-column-id` = N."""
-    fields = []
-    for i, f in enumerate(spark_schema.fields, start=1):
-        tn = f.dataType.typeName()
+    """Spark StructType -> Iceberg schema JSON (spec §Schemas).  Handles
+    the changelog's flat shape AND the emitted envelope's nested structs/
+    lists/maps (needed by maintain_iceberg_table); field ids are assigned
+    depth-first and are unique across the whole schema (the spec's only
+    hard requirement); `last-column-id` = _max_field_id(schema)."""
+    import itertools
+
+    from pyspark.sql import types as T
+
+    ids = itertools.count(1)
+
+    def conv(dt):
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                fid = next(ids)
+                fields.append(
+                    {
+                        "id": fid,
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": conv(f.dataType),
+                    }
+                )
+            return {"type": "struct", "fields": fields}
+        if isinstance(dt, T.ArrayType):
+            eid = next(ids)
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": conv(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.MapType):
+            kid, vid = next(ids), next(ids)
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": conv(dt.keyType),
+                "value-id": vid,
+                "value": conv(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        tn = dt.typeName()
         if tn not in _SPARK_TO_ICEBERG:
             raise TypeError(
                 f"iceberg_schema_of: unsupported changelog column type {tn!r}"
             )
-        fields.append(
-            {
-                "id": i,
-                "name": f.name,
-                "required": not f.nullable,
-                "type": _SPARK_TO_ICEBERG[tn],
-            }
+        return _SPARK_TO_ICEBERG[tn]
+
+    out = conv(spark_schema)
+    out["schema-id"] = 0
+    return out
+
+
+def _max_field_id(node) -> int:
+    """Largest field/element/key/value id anywhere in an Iceberg schema."""
+    if isinstance(node, dict):
+        own = [v for k, v in node.items() if k.endswith("-id") and k != "schema-id"]
+        own.append(node.get("id", 0))
+        return max(
+            [x for x in own if isinstance(x, int)]
+            + [_max_field_id(v) for v in node.values()]
         )
-    return {"type": "struct", "schema-id": 0, "fields": fields}
+    if isinstance(node, list):
+        return max([_max_field_id(v) for v in node] + [0])
+    return 0
 
 
 # ---------------------------------------------------------------------------
@@ -214,9 +262,7 @@ def create_table(location: str, spark_schema, *, created_ms: int = 0) -> dict:
         "location": location,
         "last-sequence-number": 0,
         "last-updated-ms": created_ms,
-        "last-column-id": max(
-            (f["id"] for f in schema["fields"]), default=0
-        ),
+        "last-column-id": _max_field_id(schema),
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
@@ -239,6 +285,7 @@ def append_files(
     files: list[str],
     *,
     timestamp_ms: int = 0,
+    summary_extra: dict[str, str] | None = None,
 ) -> int:
     """Commit one append snapshot covering `files` (parquet paths already
     under the table's data/ dir).  Row counts come off the parquet footers
@@ -335,6 +382,7 @@ def append_files(
                 "operation": "append",
                 "added-data-files": str(len(entries)),
                 "added-records": str(n_rows),
+                **(summary_extra or {}),
             },
             "schema-id": md["current-schema-id"],
         }
@@ -425,3 +473,110 @@ def added_files(
             }
         )
     return out
+
+
+def live_files(location: str) -> list[str]:
+    """Every live data file of the current snapshot (append-only table:
+    the union of all snapshots' ADDED files)."""
+    return [p for b in added_files(location) for p in b["files"]]
+
+
+def read_table(spark, location: str):
+    """Current-snapshot read of a jarless table — the metadata-resolved
+    stand-in for `spark.read.format("iceberg").load(location)`."""
+    files = live_files(location)
+    if not files:
+        md = current_metadata(location)
+        raise ValueError(
+            f"iceberg table {location} has no data files "
+            f"(current snapshot {md['current-snapshot-id']})"
+        )
+    return spark.read.parquet(*files)
+
+
+# ---------------------------------------------------------------------------
+# sink side: the emitted record stream as a real Iceberg table
+# ---------------------------------------------------------------------------
+
+
+def maintain_iceberg_table(
+    spark,
+    cfg,
+    location: str,
+    *,
+    strict: bool = False,
+) -> int:
+    """Exactly-once Iceberg mirror of the emitted envelope stream: every
+    committed-but-unmirrored sink batch becomes ONE snapshot whose data
+    files are the batch's OWN parquet files — a metadata-only, zero-copy
+    commit (the Iceberg `add_files` import pattern; the jar path's
+    equivalent is `sink.py:iceberg_emit` + `ICEBERG_SINK_OPTIONS`).
+    Returns the number of snapshots committed this pass.
+
+    Protocol (same as the apply/records consumers, apply.py):
+    - only COMMITTED sink batches (lineage present) are consumed, in
+      batch-id order — snapshot sequence == sink batch order;
+    - idempotent across crashes twice over: each snapshot's summary
+      carries `sccs-batch-id`, so a crash between the metadata commit and
+      the `_applied` marker cannot double-append on rerun;
+    - an expired-before-mirrored batch (dir gone, lineage n_records > 0)
+      warns / raises like the other consumers — never a silent heartbeat.
+
+    Retention caveat (documented, deliberate): the mirror PINS the batch
+    dirs as table data files.  `expire_emitted` on a mirrored stream
+    deletes files out from under the table — either treat the mirror as
+    the retained copy (skip expiry), or compact/rewrite it first.  A real
+    deployment with the runtime jar writes through `iceberg_emit` and
+    lets Iceberg snapshot-expiry own retention instead.
+    """
+    from scylla_cdc_source_connector_spark.streaming import sink as sink_mod
+    from scylla_cdc_source_connector_spark.streaming.apply import (
+        _mark_applied,
+        applied_batch_ids,
+        register_consumer,
+        split_consumable,
+    )
+
+    register_consumer(cfg, location, name="iceberg_table")
+    done = set(applied_batch_ids(location))
+    todo = [b for b in sink_mod.committed_batch_ids(cfg) if b not in done]
+    if not todo:
+        return 0
+
+    first_time = not os.path.exists(_version_hint(location))
+    with_data, _dir_less, expired = split_consumable(
+        cfg, todo, consumer="iceberg_table", strict=strict
+    )
+    if first_time and with_data:
+        schema = spark.read.parquet(
+            sink_mod.batch_output_path(cfg, with_data[0])
+        ).schema
+        create_table(location, schema)
+    stamped = {
+        s["summary"].get("sccs-batch-id")
+        for s in (snapshots(location) if not first_time else [])
+    }
+    committed = 0
+    for bid in sorted(todo):
+        if bid in with_data and str(bid) not in stamped:
+            out_dir = sink_mod.batch_output_path(cfg, bid)
+            files = sorted(
+                os.path.join(out_dir, f)
+                for f in os.listdir(out_dir)
+                if f.endswith(".parquet")
+            )
+            lin = sink_mod.read_lineage_one(cfg, bid)
+            append_files(
+                location,
+                files,
+                timestamp_ms=lin.get("committed_at_ms", 0),
+                summary_extra={"sccs-batch-id": str(bid)},
+            )
+            committed += 1
+        _mark_applied(
+            location,
+            [bid],
+            0,
+            extra={"expired": True} if bid in expired else None,
+        )
+    return committed

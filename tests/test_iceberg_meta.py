@@ -297,3 +297,88 @@ def test_iceberg_empty_snapshot_is_heartbeat(spark, tmp_root, ice_pdf):
     res = run_iceberg_meta_stream(spark, cfg, loc)
     assert res["consumed"] == [sids[0], s_empty]
     assert sink_mod.committed_batch_ids(cfg) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# sink side: emitted stream -> Iceberg table (zero-copy snapshot per batch)
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_schema_nested_ids_unique():
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("topic", T.StringType()),
+            T.StructField(
+                "key",
+                T.StructType([T.StructField("clip_id", T.StringType(), False)]),
+            ),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        ]
+    )
+    s = im.iceberg_schema_of(sch)
+
+    def walk(node, out):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k.endswith("-id") and k != "schema-id":
+                    out.append(v)
+                elif k == "id":
+                    out.append(v)
+                else:
+                    walk(v, out)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v, out)
+        return out
+
+    ids = walk(s, [])
+    assert len(ids) == len(set(ids)) == im._max_field_id(s)
+    assert s["fields"][1]["type"]["type"] == "struct"
+    assert s["fields"][2]["type"]["type"] == "list"
+    assert s["fields"][3]["type"]["type"] == "map"
+
+
+def test_maintain_iceberg_table(spark, tmp_root, ice_pdf):
+    """Committed sink batches become snapshots (zero-copy), read_table
+    equals read_emitted, and the pass is idempotent across reruns AND
+    across a lost _applied marker (the sccs-batch-id stamp)."""
+    from scylla_cdc_source_connector_spark.streaming.engine import run_stream
+
+    d = f"{tmp_root}/ice_mirror_in"
+    os.makedirs(d, exist_ok=True)
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    for i in range(3):
+        write_changelog_chunk(
+            ice_pdf.iloc[i * 300 : (i + 1) * 300], f"{d}/chunk-{i:03d}.parquet"
+        )
+    cfg = _cfg(tmp_root, "ice_mirror")
+    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    loc = f"{tmp_root}/ice_mirror_tbl"
+    n = im.maintain_iceberg_table(spark, cfg, loc)
+    bids = sink_mod.committed_batch_ids(cfg)
+    assert n == len([b for b in bids if os.path.isdir(sink_mod.batch_output_path(cfg, b))])
+
+    got = im.read_table(spark, loc)
+    ref = sink_mod.read_emitted(spark, cfg)
+    assert got.count() == ref.count()
+    key = lambda df: {  # noqa: E731
+        (r["clip_id"], r["cdc$time_us"])
+        for r in df.select("clip_id", "`cdc$time_us`").collect()
+    }
+    assert key(got) == key(ref)
+
+    # idempotent rerun
+    assert im.maintain_iceberg_table(spark, cfg, loc) == 0
+    # crash between metadata commit and marker: lose a marker, rerun —
+    # the summary stamp prevents a duplicate snapshot
+    snaps_before = len(im.snapshots(loc))
+    os.remove(os.path.join(loc, "_applied", f"batch-{bids[-1]}.json"))
+    assert im.maintain_iceberg_table(spark, cfg, loc) == 0
+    assert len(im.snapshots(loc)) == snaps_before
+    assert im.read_table(spark, loc).count() == ref.count()
