@@ -229,19 +229,18 @@ def q_cdc_confidence_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL engine end-to-end (rows-only check): synthetic audio changelog →
-    correlation → completion → envelopes (include before/after = full).
-    Scale of the fixture tracks sf via the events row count."""
+    """REAL engine end-to-end (rows-only check): synthetic audio changelog
+    resolved as an Iceberg table WITHOUT the runtime jar (jarless v2
+    metadata, sources/iceberg_meta.py) → correlation → completion →
+    envelopes (include before/after = full).  Scale of the fixture tracks
+    sf via the events row count."""
     import os
-    import tempfile
 
     from scylla_cdc_source_connector_spark.config import EngineConfig, IncludeMode
-    from scylla_cdc_source_connector_spark.fixtures import (
-        FixtureSpec,
-        make_changelog,
-        write_changelog_chunk,
-    )
+    from scylla_cdc_source_connector_spark.fixtures import FixtureSpec
     from scylla_cdc_source_connector_spark.plans.pipeline import cdc_envelopes
+    from scylla_cdc_source_connector_spark.schemas import DEFAULT_TABLE
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta
 
     _utc(spark)
     n_events = _events(spark, sf_dir).count()
@@ -249,7 +248,16 @@ def q_cdc_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_events=min(n_events, 20_000), n_clips=max(50, n_events // 10)
     )
     path = _cached_changelog_path(spec)
-    df = spark.read.parquet(path)
+    # the changelog chunk committed as one snapshot of a jarless Iceberg
+    # table (cache co-located with the spec-hashed fixture, so staleness
+    # is impossible by the same key); the scan reads the metadata-resolved
+    # ADDED files, exercising the production source shape in this row
+    loc = path[: -len(".parquet")] + ".iceberg"
+    if not os.path.exists(os.path.join(loc, "metadata", "version-hint.text")):
+        iceberg_meta.create_table(loc, DEFAULT_TABLE.changelog_schema())
+        iceberg_meta.append_files(loc, [path], timestamp_ms=1)
+    files = [f for b in iceberg_meta.added_files(loc) for f in b["files"]]
+    df = spark.read.parquet(*files)
     cfg = EngineConfig(
         include_before=IncludeMode.FULL, include_after=IncludeMode.FULL
     )
