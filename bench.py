@@ -292,6 +292,47 @@ def run_bench(spark, sf_dir: str) -> dict:
     )
     extra["emit_latency"] = _batch_latency_pcts(q_mb)
 
+    # jarless Iceberg source over the SAME 8 chunks (one snapshot each):
+    # metadata-resolved snapshot loop through the exactly-once sink —
+    # directly comparable to cdc_streaming_microbatched (one file/trigger)
+    ice_loc = f"{stream_in}_iceberg"
+    if not os.path.exists(
+        os.path.join(ice_loc, "metadata", "version-hint.text")
+    ):
+        from scylla_cdc_source_connector_spark.schemas import DEFAULT_TABLE
+        from scylla_cdc_source_connector_spark.sources import iceberg_meta
+
+        shutil.rmtree(ice_loc, ignore_errors=True)
+        iceberg_meta.create_table(ice_loc, DEFAULT_TABLE.changelog_schema())
+        for i, f in enumerate(sorted(os.listdir(stream_in))):
+            iceberg_meta.append_files(
+                ice_loc,
+                [os.path.join(stream_in, f)],
+                timestamp_ms=(i + 1) * 1000,
+            )
+
+    def _stream_iceberg():
+        from scylla_cdc_source_connector_spark.streaming.engine import (
+            run_iceberg_meta_stream,
+        )
+
+        root = "/tmp/sccs_bench_stream_iceberg"
+        shutil.rmtree(root, ignore_errors=True)
+        scfg = EngineConfig(
+            include_before=IncludeMode.FULL,
+            include_after=IncludeMode.FULL,
+            checkpoint_dir=f"{root}/ck",
+            output_dir=f"{root}/out",
+            lineage_dir=f"{root}/lin",
+        )
+        return run_iceberg_meta_stream(spark, scfg, ice_loc)
+
+    res_ice = timed("cdc_streaming_iceberg_meta", _stream_iceberg)
+    extra["iceberg_meta_snapshots"] = len(res_ice["consumed"])
+    extra["events_per_sec_iceberg_meta"] = round(
+        n_changelog_rows / timings["cdc_streaming_iceberg_meta"], 1
+    )
+
     # reference-shaped per-group state machine, capped input (it is the
     # slow path by construction; measured for the comparison record)
     stateful_rows = min(n_changelog_rows, 5000)
