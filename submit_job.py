@@ -35,7 +35,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="changelog parquet dir")
     ap.add_argument("--output", required=True, help="work/output root")
-    ap.add_argument("--mode", choices=("batch", "stream"), default="stream")
+    ap.add_argument(
+        "--mode",
+        choices=("batch", "stream", "stream-iceberg"),
+        default="stream",
+        help="stream-iceberg: --input is a jarless Iceberg table location "
+             "(sources/iceberg_meta.py); one micro-batch per unconsumed "
+             "snapshot, exactly-once resume via sink lineage",
+    )
     ap.add_argument("--fresh", action="store_true",
                     help="clear --output first (otherwise stream resumes)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None,
@@ -70,6 +77,13 @@ def main() -> None:
         n = cdc_envelopes(
             spark.read.parquet(args.input), cfg, processing_ts_ms=F.lit(0)
         ).count()
+    elif args.mode == "stream-iceberg":
+        from scylla_cdc_source_connector_spark.streaming.engine import (
+            run_iceberg_meta_stream,
+        )
+
+        res = run_iceberg_meta_stream(spark, cfg, args.input)
+        n = res["emitted_total"]
     else:
         from scylla_cdc_source_connector_spark.streaming.engine import run_stream
         from scylla_cdc_source_connector_spark.streaming.sink import read_emitted
