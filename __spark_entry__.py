@@ -14,10 +14,19 @@ oracle can reproduce the same derivation; the REAL audio changelog pipeline
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# the driver loads this module by FILE PATH, so package imports inside the
+# query functions depend on the repo root being importable; self-insert it
+# so the contract works from any harness cwd
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 # -- shared derivation: events → CDC changelog proxy ------------------------
 #   clip_id = printf('clip-%012d', user_id)
