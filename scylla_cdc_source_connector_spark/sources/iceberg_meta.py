@@ -252,10 +252,186 @@ def _write_metadata(location: str, md: dict, version: int) -> None:
     os.replace(tmp, _version_hint(location))
 
 
-def create_table(location: str, spark_schema, *, created_ms: int = 0) -> dict:
-    """Create an empty v2 Iceberg table at `location` (unpartitioned spec;
-    each appended snapshot is one CDC arrival window)."""
+# partition transforms supported by the jarless writer/planner (spec
+# §Partition Transforms).  hour() is the CDC-window transform the north
+# rule names — hours(cdc$time); bucket() needs a per-row murmur3 pass the
+# metadata-only writer deliberately does not do (the jar path owns it).
+_TRANSFORMS = ("identity", "hour")
+_EPOCH_US_PER_HOUR = 3_600_000_000
+
+
+def _parse_partition_by(partition_by, schema) -> list[dict]:
+    name_to_field = {f["name"]: f for f in schema["fields"]}
+    fields = []
+    for i, (col, transform) in enumerate(partition_by or []):
+        if transform not in _TRANSFORMS:
+            raise ValueError(
+                f"unsupported partition transform {transform!r} "
+                f"(jarless writer supports {_TRANSFORMS})"
+            )
+        if col not in name_to_field:
+            raise ValueError(f"partition source column {col!r} not in schema")
+        pname = col.replace("$", "_") + (
+            f"_{transform}" if transform != "identity" else ""
+        )
+        fields.append(
+            {
+                "name": pname,
+                "transform": transform,
+                "source-id": name_to_field[col]["id"],
+                "field-id": 1000 + i,
+            }
+        )
+    return fields
+
+
+def _partition_result_type(field: dict, schema: dict) -> str:
+    """Iceberg result type of a partition field (primitive name)."""
+    if field["transform"] == "hour":
+        return "int"
+    src = next(f for f in schema["fields"] if f["id"] == field["source-id"])
+    if not isinstance(src["type"], str):
+        raise ValueError("identity partition source must be primitive")
+    return src["type"]
+
+
+_AVRO_OF_ICEBERG = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamptz": {"type": "long", "logicalType": "timestamp-micros"},
+    "date": {"type": "int", "logicalType": "date"},
+    "boolean": "boolean",
+    "float": "float",
+    "double": "double",
+    "binary": "bytes",
+}
+
+
+def _partition_record_schema(spec_fields, result_types) -> dict:
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            _f(f["name"], _AVRO_OF_ICEBERG[t], f["field-id"], optional=True)
+            for f, t in zip(spec_fields, result_types)
+        ],
+    }
+
+
+def _entry_schema_for(spec_fields, result_types) -> dict:
+    """Manifest-entry Avro schema with the table's partition record (r102
+    mirrors the partition spec per the Iceberg spec)."""
+    if not spec_fields:
+        return MANIFEST_ENTRY_SCHEMA
+    part = _partition_record_schema(spec_fields, result_types)
+    data_file = {
+        **DATA_FILE_SCHEMA,
+        "fields": [
+            {**f, "type": part} if f["name"] == "partition" else f
+            for f in DATA_FILE_SCHEMA["fields"]
+        ],
+    }
+    return {
+        **MANIFEST_ENTRY_SCHEMA,
+        "fields": [
+            {**f, "type": data_file} if f["name"] == "data_file" else f
+            for f in MANIFEST_ENTRY_SCHEMA["fields"]
+        ],
+    }
+
+
+def _to_epoch_us(v) -> int:
+    """Parquet footer stat value -> epoch micros (naive datetimes are the
+    changelog's UTC timestamps)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    return int(v)
+
+
+def _file_partition_values(path: str, spec_fields, schema, result_types) -> dict:
+    """Partition tuple of one data file, derived from its parquet footer
+    stats — the file must be partition-pure (every row in ONE partition),
+    which is Iceberg's own write invariant for data files."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_metadata(path)
+    arrow_names = meta.schema.to_arrow_schema().names
+    id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    out = {}
+    for f, rtype in zip(spec_fields, result_types):
+        col = id_to_name[f["source-id"]]
+        ci = arrow_names.index(col)
+        lo = hi = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(
+                    f"{path}: no column stats for partition source {col!r}"
+                )
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if f["transform"] == "hour":
+            vlo = _to_epoch_us(lo) // _EPOCH_US_PER_HOUR
+            vhi = _to_epoch_us(hi) // _EPOCH_US_PER_HOUR
+        else:
+            vlo, vhi = lo, hi
+        if vlo != vhi:
+            raise ValueError(
+                f"{path}: not partition-pure on {f['name']} "
+                f"({vlo} != {vhi}) — write one file per partition "
+                "(Iceberg's data-file invariant)"
+            )
+        out[f["name"]] = vlo
+    return out
+
+
+def _bound_bytes(rtype: str, v) -> bytes:
+    """Single-value binary serialization for field-summary bounds (spec
+    Appendix D)."""
+    import struct as _struct
+
+    if rtype == "int":
+        return _struct.pack("<i", int(v))
+    if rtype in ("long", "timestamp", "timestamptz"):
+        return _struct.pack("<q", int(v))
+    if rtype == "string":
+        return str(v).encode("utf-8")
+    raise TypeError(f"no bound serialization for {rtype!r}")
+
+
+def _bound_value(rtype: str, raw: bytes):
+    import struct as _struct
+
+    if rtype == "int":
+        return _struct.unpack("<i", raw)[0]
+    if rtype in ("long", "timestamp", "timestamptz"):
+        return _struct.unpack("<q", raw)[0]
+    if rtype == "string":
+        return raw.decode("utf-8")
+    raise TypeError(f"no bound deserialization for {rtype!r}")
+
+
+def create_table(
+    location: str,
+    spark_schema,
+    *,
+    created_ms: int = 0,
+    partition_by: list[tuple[str, str]] | None = None,
+) -> dict:
+    """Create an empty v2 Iceberg table at `location`.
+
+    partition_by: [(source_column, transform)] with transform "identity"
+    or "hour" — e.g. [("cdc$time", "hour")] is the north-rule CDC-window
+    layout.  Unpartitioned (default): each appended snapshot is the
+    window unit."""
     schema = iceberg_schema_of(spark_schema)
+    spec_fields = _parse_partition_by(partition_by, schema)
     md = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, location)),
@@ -266,8 +442,8 @@ def create_table(location: str, spark_schema, *, created_ms: int = 0) -> dict:
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": -1,
@@ -296,11 +472,19 @@ def append_files(
     seq = md["last-sequence-number"] + 1
     snap_id = seq  # deterministic, monotone with sequence number
     mdir = _meta_dir(location)
+    schema = md["schemas"][md["current-schema-id"]]
+    spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
+    result_types = [_partition_result_type(f, schema) for f in spec_fields]
 
     entries, n_rows = [], 0
     for p in files:
         meta = pq.read_metadata(p)
         n_rows += meta.num_rows
+        part = (
+            _file_partition_values(p, spec_fields, schema, result_types)
+            if spec_fields
+            else {}
+        )
         entries.append(
             {
                 "status": ST_ADDED,
@@ -311,7 +495,7 @@ def append_files(
                     "content": CONTENT_DATA,
                     "file_path": os.path.abspath(p),
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": part,
                     "record_count": meta.num_rows,
                     "file_size_in_bytes": os.path.getsize(p),
                 },
@@ -321,16 +505,33 @@ def append_files(
     manifest_path = os.path.join(mdir, f"manifest-{snap_id:020d}.avro")
     avro.write_container(
         manifest_path,
-        MANIFEST_ENTRY_SCHEMA,
+        _entry_schema_for(spec_fields, result_types),
         entries,
         metadata={
-            "schema": json.dumps(md["schemas"][md["current-schema-id"]]),
-            "partition-spec": json.dumps([]),
-            "partition-spec-id": "0",
+            "schema": json.dumps(schema),
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": str(md["default-spec-id"]),
             "format-version": "2",
             "content": "data",
         },
     )
+
+    # per-manifest field summaries (spec §Manifest Lists): min/max bounds
+    # of each partition field across this manifest's entries — what lets a
+    # planner skip whole manifests without opening them
+    summaries = None
+    if spec_fields and entries:
+        summaries = []
+        for f, rtype in zip(spec_fields, result_types):
+            vals = [e["data_file"]["partition"][f["name"]] for e in entries]
+            summaries.append(
+                {
+                    "contains_null": False,
+                    "contains_nan": None,
+                    "lower_bound": _bound_bytes(rtype, min(vals)),
+                    "upper_bound": _bound_bytes(rtype, max(vals)),
+                }
+            )
 
     # manifest list = this snapshot's manifest + every live prior manifest
     prior = []
@@ -353,7 +554,7 @@ def append_files(
         "added_rows_count": n_rows,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
-        "partitions": None,
+        "partitions": summaries,
     }
     list_path = os.path.join(mdir, f"snap-{snap_id:020d}.avro")
     avro.write_container(
@@ -481,14 +682,115 @@ def live_files(location: str) -> list[str]:
     return [p for b in added_files(location) for p in b["files"]]
 
 
-def read_table(spark, location: str):
+def scan_files(
+    location: str,
+    *,
+    partition_ranges: dict[str, tuple] | None = None,
+) -> dict:
+    """Partition-aware scan planning over the CURRENT snapshot — the
+    metadata-resolved analog of the jar path's partition pruning (the
+    reference's `cdc$stream_id IN (...) AND cdc$time >= .. < ..` CQL
+    pushdown, README.md:1357-1370).
+
+    partition_ranges: {partition_field_name: (lo, hi)} inclusive bounds.
+    Pruning happens at TWO levels, both metadata-only:
+    - whole manifests are skipped via the manifest-list field summaries
+      (lower/upper bound bytes, spec Appendix D) without opening them;
+    - surviving manifests' entries are filtered on their partition tuples.
+
+    Returns {"files": [paths], "partitions": [per-file dicts],
+             "manifests_total": n, "manifests_skipped": n,
+             "files_total": n} so pruning effectiveness is observable."""
+    md = current_metadata(location)
+    if md["current-snapshot-id"] == -1:
+        return {
+            "files": [],
+            "partitions": [],
+            "manifests_total": 0,
+            "manifests_skipped": 0,
+            "files_total": 0,
+        }
+    schema = md["schemas"][md["current-schema-id"]]
+    spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
+    rtypes = {
+        f["name"]: _partition_result_type(f, schema) for f in spec_fields
+    }
+    fnames = [f["name"] for f in spec_fields]
+    ranges = partition_ranges or {}
+    unknown = set(ranges) - set(fnames)
+    if unknown:
+        raise ValueError(f"unknown partition fields {sorted(unknown)}")
+
+    cur = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, _, manifests = avro.read_container(cur["manifest-list"])
+    files, parts = [], []
+    skipped = total = files_total = 0
+    for mf in manifests:
+        if mf["content"] != CONTENT_DATA:
+            continue
+        total += 1
+        summaries = mf.get("partitions")
+        if ranges and summaries:
+            drop = False
+            for f, summ in zip(spec_fields, summaries):
+                if f["name"] not in ranges or summ is None:
+                    continue
+                lo, hi = ranges[f["name"]]
+                mlo = _bound_value(rtypes[f["name"]], summ["lower_bound"])
+                mhi = _bound_value(rtypes[f["name"]], summ["upper_bound"])
+                if mhi < lo or mlo > hi:
+                    drop = True
+                    break
+            if drop:
+                skipped += 1
+                continue
+        _, _, entries = avro.read_container(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == ST_DELETED:
+                continue
+            df_ = e["data_file"]
+            if df_["content"] != CONTENT_DATA:
+                continue
+            files_total += 1
+            part = df_.get("partition") or {}
+            keep = True
+            for name, (lo, hi) in ranges.items():
+                v = part.get(name)
+                if v is None or not (lo <= v <= hi):
+                    keep = False
+                    break
+            if keep:
+                files.append(df_["file_path"])
+                parts.append(part)
+    return {
+        "files": files,
+        "partitions": parts,
+        "manifests_total": total,
+        "manifests_skipped": skipped,
+        "files_total": files_total,
+    }
+
+
+def read_table(
+    spark,
+    location: str,
+    *,
+    partition_ranges: dict[str, tuple] | None = None,
+):
     """Current-snapshot read of a jarless table — the metadata-resolved
-    stand-in for `spark.read.format("iceberg").load(location)`."""
-    files = live_files(location)
+    stand-in for `spark.read.format("iceberg").load(location)`; pass
+    partition_ranges for metadata-level partition pruning (scan_files)."""
+    if partition_ranges:
+        plan = scan_files(location, partition_ranges=partition_ranges)
+        files = plan["files"]
+    else:
+        files = live_files(location)
     if not files:
         md = current_metadata(location)
         raise ValueError(
-            f"iceberg table {location} has no data files "
+            f"iceberg table {location} has no data files matching the scan "
             f"(current snapshot {md['current-snapshot-id']})"
         )
     return spark.read.parquet(*files)

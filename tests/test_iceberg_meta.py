@@ -382,3 +382,127 @@ def test_maintain_iceberg_table(spark, tmp_root, ice_pdf):
     assert im.maintain_iceberg_table(spark, cfg, loc) == 0
     assert len(im.snapshots(loc)) == snaps_before
     assert im.read_table(spark, loc).count() == ref.count()
+
+
+# ---------------------------------------------------------------------------
+# partition specs: hour(cdc$time) layout + metadata-level pruning
+# ---------------------------------------------------------------------------
+
+
+def _hour_table(tmp_root, name, n_files=3):
+    """Table partitioned by hour(cdc$time) with one hour-pure file per
+    even hour (0, 2, 4, ...)."""
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    loc = f"{tmp_root}/{name}"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(
+        loc, DEFAULT_TABLE.changelog_schema(), partition_by=[("cdc$time", "hour")]
+    )
+    pdf = make_changelog(FixtureSpec(n_events=300, n_clips=60, n_shards=4))
+    base = pdf["cdc$time"].min().floor("h")
+    for i in range(n_files):
+        sl = pdf.iloc[i * 100 : (i + 1) * 100].copy()
+        sl["cdc$time"] = (
+            base
+            + pd.Timedelta(hours=i * 2)
+            + pd.to_timedelta((sl["cdc$time_us"] % 3_000_000_000) // 1_000, unit="ms")
+        )
+        sl["cdc$time_us"] = sl["cdc$time"].astype("int64") // 1000
+        p = f"{loc}/data/h{i}.parquet"
+        write_changelog_chunk(sl, p)
+        im.append_files(loc, [p], timestamp_ms=(i + 1) * 1000)
+    return loc
+
+
+def test_partition_spec_hour_pruning(spark, tmp_root):
+    loc = _hour_table(tmp_root, "ice_part_hour")
+    md = im.current_metadata(loc)
+    f = md["partition-specs"][0]["fields"][0]
+    assert (f["transform"], f["field-id"]) == ("hour", 1000)
+
+    full = im.scan_files(loc)
+    assert len(full["files"]) == 3 and full["manifests_skipped"] == 0
+    hours = sorted(p["cdc_time_hour"] for p in full["partitions"])
+    assert hours[1] - hours[0] == 2 and hours[2] - hours[1] == 2
+
+    mid = hours[1]
+    plan = im.scan_files(loc, partition_ranges={"cdc_time_hour": (mid, mid)})
+    # the two other manifests are skipped WITHOUT being opened (field
+    # summaries in the manifest list carry the hour bounds)
+    assert len(plan["files"]) == 1
+    assert plan["manifests_skipped"] == 2 and plan["manifests_total"] == 3
+
+    # pruned read == full read + row filter (row-level parity)
+    got = im.read_table(
+        spark, loc, partition_ranges={"cdc_time_hour": (mid, mid)}
+    ).count()
+    lo_us = mid * 3_600_000_000
+    want = (
+        im.read_table(spark, loc)
+        .where(
+            (F.col("`cdc$time_us`") >= lo_us)
+            & (F.col("`cdc$time_us`") < lo_us + 3_600_000_000)
+        )
+        .count()
+    )
+    assert got == want == 100
+
+    with pytest.raises(ValueError, match="unknown partition fields"):
+        im.scan_files(loc, partition_ranges={"nope": (0, 1)})
+
+
+def test_partition_purity_enforced(tmp_root):
+    """A file spanning two hours violates Iceberg's one-partition-per-file
+    invariant and is rejected at append time."""
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    loc = f"{tmp_root}/ice_part_impure"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(
+        loc, DEFAULT_TABLE.changelog_schema(), partition_by=[("cdc$time", "hour")]
+    )
+    pdf = make_changelog(FixtureSpec(n_events=100, n_clips=30, n_shards=2)).copy()
+    base = pdf["cdc$time"].min().floor("h")
+    half = len(pdf) // 2
+    pdf.loc[pdf.index[:half], "cdc$time"] = base
+    pdf.loc[pdf.index[half:], "cdc$time"] = base + pd.Timedelta(hours=3)
+    pdf["cdc$time_us"] = pdf["cdc$time"].astype("int64") // 1000
+    p = f"{loc}/data/bad.parquet"
+    write_changelog_chunk(pdf, p)
+    with pytest.raises(ValueError, match="not partition-pure"):
+        im.append_files(loc, [p])
+
+
+def test_identity_partition_and_unknown_transform(tmp_root):
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), False),
+        ]
+    )
+    loc = f"{tmp_root}/ice_part_id"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(loc, sch, partition_by=[("k", "identity")])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for k in ("a", "b"):
+        pq.write_table(
+            pa.table({"k": [k] * 5, "v": list(range(5))}),
+            f"{loc}/data/{k}.parquet",
+        )
+    im.append_files(loc, [f"{loc}/data/a.parquet", f"{loc}/data/b.parquet"])
+    plan = im.scan_files(loc, partition_ranges={"k": ("b", "b")})
+    assert len(plan["files"]) == 1 and plan["partitions"] == [{"k": "b"}]
+
+    with pytest.raises(ValueError, match="unsupported partition transform"):
+        im.create_table(
+            f"{tmp_root}/ice_part_bad", sch, partition_by=[("k", "bucket[16]")]
+        )
