@@ -290,8 +290,11 @@ def _partition_result_type(field: dict, schema: dict) -> str:
     if field["transform"] == "hour":
         return "int"
     src = next(f for f in schema["fields"] if f["id"] == field["source-id"])
-    if not isinstance(src["type"], str):
-        raise ValueError("identity partition source must be primitive")
+    if src["type"] not in ("int", "long", "string"):
+        raise ValueError(
+            "identity partition source must be int/long/string "
+            f"(got {src['type']!r}); use the hour transform for timestamps"
+        )
     return src["type"]
 
 
