@@ -885,3 +885,106 @@ def maintain_iceberg_table(
             extra={"expired": True} if bid in expired else None,
         )
     return committed
+
+
+# ---------------------------------------------------------------------------
+# schema evolution through table metadata (ALTER TABLE dynamism, jarless)
+# ---------------------------------------------------------------------------
+
+_ICEBERG_TO_SPARK = {v: k for k, v in _SPARK_TO_ICEBERG.items()}
+
+
+def spark_schema_of(iceberg_schema: dict):
+    """Iceberg schema JSON -> Spark StructType (inverse of
+    iceberg_schema_of for the shapes this module writes)."""
+    from pyspark.sql import types as T
+
+    def conv(node):
+        if isinstance(node, str):
+            tn = _ICEBERG_TO_SPARK[node]
+            return getattr(
+                T,
+                {
+                    "integer": "IntegerType",
+                    "long": "LongType",
+                    "string": "StringType",
+                    "binary": "BinaryType",
+                    "boolean": "BooleanType",
+                    "float": "FloatType",
+                    "double": "DoubleType",
+                    "date": "DateType",
+                    "timestamp": "TimestampType",
+                    "timestamp_ntz": "TimestampNTZType",
+                }[tn],
+            )()
+        if node["type"] == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"], conv(f["type"]), not f.get("required", False)
+                    )
+                    for f in node["fields"]
+                ]
+            )
+        if node["type"] == "list":
+            return T.ArrayType(
+                conv(node["element"]), not node.get("element-required", False)
+            )
+        if node["type"] == "map":
+            return T.MapType(
+                conv(node["key"]),
+                conv(node["value"]),
+                not node.get("value-required", False),
+            )
+        raise TypeError(f"unsupported iceberg type node {node!r}")
+
+    return conv({**iceberg_schema, "type": "struct"})
+
+
+def evolve_schema(location: str, new_spark_schema) -> int:
+    """Commit a new current schema (the ALTER TABLE analog): columns kept
+    by NAME keep their field ids (Iceberg's id-based evolution), added
+    columns get fresh ids past last-column-id, dropped columns simply
+    leave (their ids are never reused).  Type changes are refused — the
+    engine's adoption rule widens by replacement, not by cast (see
+    schema_evolution.adopt).  Returns the new schema-id."""
+    md = current_metadata(location)
+    cur = md["schemas"][md["current-schema-id"]]
+    cur_by_name = {f["name"]: f for f in cur["fields"]}
+    next_id = md["last-column-id"] + 1
+    derived = iceberg_schema_of(new_spark_schema)  # for type mapping only
+    fields = []
+    for f in derived["fields"]:
+        old = cur_by_name.get(f["name"])
+        if old is not None:
+            if old["type"] != f["type"]:
+                raise ValueError(
+                    f"column {f['name']!r} changed type "
+                    f"{old['type']!r} -> {f['type']!r} — not adoptable"
+                )
+            fields.append({**f, "id": old["id"]})
+        else:
+            if not isinstance(f["type"], str):
+                raise ValueError("added columns must be primitive")
+            fields.append({**f, "id": next_id})
+            next_id += 1
+    new_schema = {
+        "type": "struct",
+        "schema-id": len(md["schemas"]),
+        "fields": fields,
+    }
+    md["schemas"].append(new_schema)
+    md["current-schema-id"] = new_schema["schema-id"]
+    md["last-column-id"] = max(md["last-column-id"], next_id - 1)
+    with open(_version_hint(location)) as fh:
+        v = int(fh.read().strip())
+    _write_metadata(location, md, v + 1)
+    return new_schema["schema-id"]
+
+
+def current_spark_schema(location: str):
+    """The table's CURRENT schema as a Spark StructType — what a
+    schema-adopting reader starts from (latest observed wins,
+    ScyllaSchema.updateChangeSchema analog)."""
+    md = current_metadata(location)
+    return spark_schema_of(md["schemas"][md["current-schema-id"]])

@@ -370,6 +370,7 @@ def run_iceberg_meta_stream(
     *,
     table: TableModel = DEFAULT_TABLE,
     from_timestamp_ms: int | None = None,
+    adopt_schema: bool = False,
 ) -> dict:
     """Drain an Iceberg changelog table WITHOUT the runtime jar.
 
@@ -399,6 +400,16 @@ def run_iceberg_meta_stream(
         committed_batch_ids,
         read_emitted,
     )
+
+    if adopt_schema:
+        # ALTER TABLE dynamism without the jar: adopt the table's CURRENT
+        # Iceberg schema (latest observed wins at (re)start, the same rule
+        # the parquet path applies — ScyllaSchema.updateChangeSchema
+        # analog); files from pre-evolution snapshots read with nulls for
+        # the added columns via the explicit read schema
+        from scylla_cdc_source_connector_spark.schema_evolution import adopt
+
+        table = adopt(table, iceberg_meta.current_spark_schema(table_location))
 
     sink_fn = make_correlating_sink(cfg, table=table)
     committed = set(committed_batch_ids(cfg))

@@ -506,3 +506,102 @@ def test_identity_partition_and_unknown_transform(tmp_root):
         im.create_table(
             f"{tmp_root}/ice_part_bad", sch, partition_by=[("k", "bucket[16]")]
         )
+
+
+# ---------------------------------------------------------------------------
+# schema evolution through table metadata (ALTER TABLE analog, jarless)
+# ---------------------------------------------------------------------------
+
+
+def test_evolve_schema_ids_and_guards(tmp_root):
+    import pyspark.sql.types as T
+
+    loc = f"{tmp_root}/ice_evolve_meta"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(loc, DEFAULT_TABLE.changelog_schema())
+    md0 = im.current_metadata(loc)
+    base_last = md0["last-column-id"]
+
+    evolved = T.StructType(
+        list(DEFAULT_TABLE.changelog_schema().fields)
+        + [T.StructField("lang", T.StringType(), True)]
+    )
+    sid = im.evolve_schema(loc, evolved)
+    md = im.current_metadata(loc)
+    assert sid == md["current-schema-id"] == 1
+    new = md["schemas"][1]
+    by_name = {f["name"]: f for f in new["fields"]}
+    # kept columns keep their ids; the added one gets a fresh id
+    old_by_name = {f["name"]: f for f in md["schemas"][0]["fields"]}
+    for n, f in old_by_name.items():
+        assert by_name[n]["id"] == f["id"]
+    assert by_name["lang"]["id"] == base_last + 1
+    assert md["last-column-id"] == base_last + 1
+    assert im.current_spark_schema(loc)["lang"].dataType.typeName() == "string"
+
+    # a type change is refused (widening is not silent adoption)
+    bad = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.LongType() if f.name == "sr_hz" else f.dataType,
+                f.nullable,
+            )
+            for f in evolved.fields
+        ]
+    )
+    with pytest.raises(ValueError, match="changed type"):
+        im.evolve_schema(loc, bad)
+
+
+def test_iceberg_stream_adopts_evolved_schema(spark, tmp_root, ice_pdf):
+    """Snapshot 1 written pre-evolution, snapshot 2 with an added `lang`
+    column: adopt_schema=True streams BOTH through the evolved model —
+    old rows surface lang=NULL in the envelopes, new rows carry values
+    (the parquet path's adopt-at-start rule, now via table metadata)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    from scylla_cdc_source_connector_spark.fixtures import (
+        arrow_changelog_schema,
+        write_changelog_chunk,
+    )
+
+    loc = f"{tmp_root}/ice_evolve_stream"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(loc, DEFAULT_TABLE.changelog_schema())
+
+    p1 = f"{loc}/data/old.parquet"
+    write_changelog_chunk(ice_pdf.iloc[:300], p1)
+    im.append_files(loc, [p1], timestamp_ms=1000)
+
+    im.evolve_schema(
+        loc,
+        T.StructType(
+            list(DEFAULT_TABLE.changelog_schema().fields)
+            + [T.StructField("lang", T.StringType(), True)]
+        ),
+    )
+    new_pdf = ice_pdf.iloc[300:600].copy()
+    new_pdf["lang"] = "en"
+    sch = arrow_changelog_schema().append(pa.field("lang", pa.string()))
+    p2 = f"{loc}/data/new.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(new_pdf, schema=sch, preserve_index=False), p2
+    )
+    im.append_files(loc, [p2], timestamp_ms=2000)
+
+    cfg = _cfg(tmp_root, "ice_evolve")
+    res = run_iceberg_meta_stream(spark, cfg, loc, adopt_schema=True)
+    assert len(res["consumed"]) == 2
+    got = sink_mod.read_emitted(spark, cfg)
+    assert "lang" in got.select("value.after.*").columns
+    langs = dict(
+        got.where("value.op in ('c','u')")
+        .groupBy(F.col("value.after.lang").alias("lang"))
+        .count()
+        .collect()
+    )
+    # both populations present: pre-evolution rows as NULL, new as 'en'
+    assert langs.get("en", 0) > 0 and langs.get(None, 0) > 0
