@@ -212,8 +212,12 @@ MANIFEST_FILE_SCHEMA = {
 
 # manifest-entry status values (spec §Manifests)
 ST_EXISTING, ST_ADDED, ST_DELETED = 0, 1, 2
-# content values
+# manifest_file.content values (spec §Manifest Lists)
 CONTENT_DATA, CONTENT_DELETES = 0, 1
+# data_file.content values (spec §Manifests): 0=DATA, 1=POSITION_DELETES,
+# 2=EQUALITY_DELETES — position deletes share the numeric value of the
+# manifest-level DELETES marker
+CONTENT_POSITION_DELETES = 1
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +381,19 @@ def _file_partition_values(path: str, spec_fields, schema, result_types) -> dict
                 raise ValueError(
                     f"{path}: no column stats for partition source {col!r}"
                 )
+            # writers may TRUNCATE long string bounds; a truncated bound
+            # would yield a silently wrong identity-partition value and
+            # break scan_files pruning — refuse inexact stats (pyarrow
+            # exposes exactness flags where the footer carries them)
+            if (
+                getattr(st, "is_min_value_exact", None) is False
+                or getattr(st, "is_max_value_exact", None) is False
+            ):
+                raise ValueError(
+                    f"{path}: inexact (truncated) column stats for "
+                    f"partition source {col!r} — cannot derive an exact "
+                    "partition value; write with untruncated statistics"
+                )
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
         if f["transform"] == "hour":
@@ -469,6 +486,33 @@ def append_files(
     """Commit one append snapshot covering `files` (parquet paths already
     under the table's data/ dir).  Row counts come off the parquet footers
     (no Spark job).  Returns the new snapshot id."""
+    return _commit_snapshot(
+        location,
+        files,
+        [],
+        operation="append",
+        timestamp_ms=timestamp_ms,
+        summary_extra=summary_extra,
+    )
+
+
+def _commit_snapshot(
+    location: str,
+    data_files: list[str],
+    delete_files: list[str],
+    *,
+    operation: str,
+    timestamp_ms: int = 0,
+    summary_extra: dict[str, str] | None = None,
+) -> int:
+    """Commit one snapshot adding `data_files` (content=DATA manifest)
+    and/or `delete_files` (position-delete parquet files, content=DELETES
+    manifest — spec §Position Delete Files: columns file_path/pos).
+    operation: "append" (data only), "delete" (deletes only), "overwrite"
+    (both — the row-level CDC merge shape).  added_files delivers rows
+    only from "append" snapshots; delete/overwrite snapshots surface as
+    empty heartbeat batches on the streaming path (the jar path's
+    streaming-skip-delete/overwrite-snapshots).  Returns the snapshot id."""
     import pyarrow.parquet as pq
 
     md = current_metadata(location)
@@ -479,91 +523,136 @@ def append_files(
     spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
     result_types = [_partition_result_type(f, schema) for f in spec_fields]
 
-    entries, n_rows = [], 0
-    for p in files:
-        meta = pq.read_metadata(p)
-        n_rows += meta.num_rows
-        part = (
-            _file_partition_values(p, spec_fields, schema, result_types)
-            if spec_fields
-            else {}
+    def mk_entries(paths: list[str], content: int, with_part: bool):
+        entries, n_rows = [], 0
+        for p in paths:
+            meta = pq.read_metadata(p)
+            n_rows += meta.num_rows
+            part = (
+                _file_partition_values(p, spec_fields, schema, result_types)
+                if (spec_fields and with_part)
+                else {}
+            )
+            entries.append(
+                {
+                    "status": ST_ADDED,
+                    "snapshot_id": snap_id,
+                    "sequence_number": None,  # inherited from manifest (spec)
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": content,
+                        "file_path": os.path.abspath(p),
+                        "file_format": "PARQUET",
+                        "partition": part,
+                        "record_count": meta.num_rows,
+                        "file_size_in_bytes": os.path.getsize(p),
+                    },
+                }
+            )
+        return entries, n_rows
+
+    new_manifests, n_rows = [], 0
+    if data_files:
+        entries, n_rows = mk_entries(data_files, CONTENT_DATA, True)
+        manifest_path = os.path.join(mdir, f"manifest-{snap_id:020d}.avro")
+        avro.write_container(
+            manifest_path,
+            _entry_schema_for(spec_fields, result_types),
+            entries,
+            metadata={
+                "schema": json.dumps(schema),
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": str(md["default-spec-id"]),
+                "format-version": "2",
+                "content": "data",
+            },
         )
-        entries.append(
+        # per-manifest field summaries (spec §Manifest Lists): min/max
+        # bounds of each partition field across this manifest's entries —
+        # what lets a planner skip whole manifests without opening them
+        summaries = None
+        if spec_fields and entries:
+            summaries = []
+            for f, rtype in zip(spec_fields, result_types):
+                vals = [e["data_file"]["partition"][f["name"]] for e in entries]
+                summaries.append(
+                    {
+                        "contains_null": False,
+                        "contains_nan": None,
+                        "lower_bound": _bound_bytes(rtype, min(vals)),
+                        "upper_bound": _bound_bytes(rtype, max(vals)),
+                    }
+                )
+        new_manifests.append(
             {
-                "status": ST_ADDED,
-                "snapshot_id": snap_id,
-                "sequence_number": None,  # inherited from the manifest (spec)
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": CONTENT_DATA,
-                    "file_path": os.path.abspath(p),
-                    "file_format": "PARQUET",
-                    "partition": part,
-                    "record_count": meta.num_rows,
-                    "file_size_in_bytes": os.path.getsize(p),
-                },
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": CONTENT_DATA,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": summaries,
+            }
+        )
+    n_del_rows = 0
+    if delete_files:
+        # delete manifests carry NO partition tuple in this writer (the
+        # delete parquet rows name exact (file_path, pos) targets, so a
+        # non-matching delete file is a no-op in the applying anti-join)
+        entries, n_del_rows = mk_entries(
+            delete_files, CONTENT_POSITION_DELETES, False
+        )
+        manifest_path = os.path.join(mdir, f"manifest-{snap_id:020d}-d.avro")
+        avro.write_container(
+            manifest_path,
+            MANIFEST_ENTRY_SCHEMA,
+            entries,
+            metadata={
+                "schema": json.dumps(schema),
+                "partition-spec": json.dumps([]),
+                "partition-spec-id": str(md["default-spec-id"]),
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        new_manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": CONTENT_DELETES,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_del_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
             }
         )
 
-    manifest_path = os.path.join(mdir, f"manifest-{snap_id:020d}.avro")
-    avro.write_container(
-        manifest_path,
-        _entry_schema_for(spec_fields, result_types),
-        entries,
-        metadata={
-            "schema": json.dumps(schema),
-            "partition-spec": json.dumps(spec_fields),
-            "partition-spec-id": str(md["default-spec-id"]),
-            "format-version": "2",
-            "content": "data",
-        },
-    )
-
-    # per-manifest field summaries (spec §Manifest Lists): min/max bounds
-    # of each partition field across this manifest's entries — what lets a
-    # planner skip whole manifests without opening them
-    summaries = None
-    if spec_fields and entries:
-        summaries = []
-        for f, rtype in zip(spec_fields, result_types):
-            vals = [e["data_file"]["partition"][f["name"]] for e in entries]
-            summaries.append(
-                {
-                    "contains_null": False,
-                    "contains_nan": None,
-                    "lower_bound": _bound_bytes(rtype, min(vals)),
-                    "upper_bound": _bound_bytes(rtype, max(vals)),
-                }
-            )
-
-    # manifest list = this snapshot's manifest + every live prior manifest
+    # manifest list = this snapshot's manifests + every live prior manifest
     prior = []
     if md["current-snapshot-id"] != -1:
         cur = next(
             s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
         )
         _, _, prior = avro.read_container(cur["manifest-list"])
-    mf_entry = {
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
-        "content": CONTENT_DATA,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snap_id,
-        "added_files_count": len(entries),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": n_rows,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-        "partitions": summaries,
-    }
     list_path = os.path.join(mdir, f"snap-{snap_id:020d}.avro")
     avro.write_container(
         list_path,
         MANIFEST_FILE_SCHEMA,
-        prior + [mf_entry],
+        prior + new_manifests,
         metadata={
             "snapshot-id": str(snap_id),
             "sequence-number": str(seq),
@@ -583,9 +672,11 @@ def append_files(
             "timestamp-ms": timestamp_ms,
             "manifest-list": list_path,
             "summary": {
-                "operation": "append",
-                "added-data-files": str(len(entries)),
+                "operation": operation,
+                "added-data-files": str(len(data_files)),
+                "added-delete-files": str(len(delete_files)),
                 "added-records": str(n_rows),
+                "added-position-deletes": str(n_del_rows),
                 **(summary_extra or {}),
             },
             "schema-id": md["current-schema-id"],
@@ -615,19 +706,88 @@ def snapshots(location: str) -> list[dict]:
     return sorted(md["snapshots"], key=lambda s: s["sequence-number"])
 
 
+def _prune_ctx(md) -> tuple[list[dict], dict[str, str]]:
+    """(partition spec fields, field name -> result type) of the current
+    default spec — what both scan planning paths prune with."""
+    schema = md["schemas"][md["current-schema-id"]]
+    spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
+    rtypes = {f["name"]: _partition_result_type(f, schema) for f in spec_fields}
+    return spec_fields, rtypes
+
+
+def _check_ranges(ranges: dict, spec_fields: list[dict]) -> None:
+    unknown = set(ranges) - {f["name"] for f in spec_fields}
+    if unknown:
+        raise ValueError(f"unknown partition fields {sorted(unknown)}")
+
+
+def _manifest_pruned(mf, spec_fields, rtypes, ranges) -> bool:
+    """True when the manifest-list field summaries prove no entry of this
+    manifest can match `ranges` — the manifest is skipped UNOPENED."""
+    summaries = mf.get("partitions")
+    if not ranges or not summaries:
+        return False
+    for f, summ in zip(spec_fields, summaries):
+        if f["name"] not in ranges or summ is None:
+            continue
+        lo, hi = ranges[f["name"]]
+        mlo = _bound_value(rtypes[f["name"]], summ["lower_bound"])
+        mhi = _bound_value(rtypes[f["name"]], summ["upper_bound"])
+        if mhi < lo or mlo > hi:
+            return True
+    return False
+
+
+def _entry_pruned(part: dict, ranges: dict) -> bool:
+    """True when a data file's partition tuple falls outside `ranges`."""
+    for name, (lo, hi) in ranges.items():
+        v = part.get(name)
+        if v is None or not (lo <= v <= hi):
+            return True
+    return False
+
+
 def added_files(
     location: str,
     *,
     after_snapshot_id: int | None = None,
     from_timestamp_ms: int | None = None,
+    partition_ranges: dict[str, tuple] | None = None,
 ) -> list[dict]:
     """Resolve the data files each snapshot ADDED, in commit order:
     [{snapshot_id, sequence_number, timestamp_ms, files: [paths],
       record_count}].  `after_snapshot_id` resumes past consumed snapshots
     (exclusive); `from_timestamp_ms` is the initial-lookback analog
     (S3, `scylla.initial.lookback.ms`) — snapshots strictly older are
-    skipped.  Delete manifests and DELETED entries are skipped like the
-    jar path's streaming-skip-delete-snapshots."""
+    skipped.
+
+    Incremental-delivery rules (the jar path's streaming-skip-delete/
+    overwrite-snapshots semantics):
+    - only snapshots whose summary operation is "append" deliver rows;
+      replace/delete/overwrite snapshots (manifest merges, compaction,
+      row-level deletes) surface as EMPTY batches so lineage stays
+      monotone but no row is ever re-delivered;
+    - within an append snapshot, only entries with status == ADDED in
+      manifests this snapshot added count.  A merged manifest written by
+      a real Iceberg writer carries the prior snapshots' files as
+      status=EXISTING under a fresh added_snapshot_id — those rows were
+      already consumed in their own batch and are skipped here (EXISTING
+      participates only in the current-snapshot full scan, scan_files/
+      live_files).
+
+    `partition_ranges` ({partition_field: (lo, hi)} inclusive) prunes the
+    STREAMING path the same two metadata levels scan_files prunes batch
+    reads — the jarless analog of the reference's per-task
+    `cdc$stream_id IN (...)` scoping (ConfigSerializerUtil.java:39-52):
+    whole manifests are skipped unopened via the manifest-list field
+    summaries, surviving entries are filtered on their partition tuples.
+    Each batch dict carries `manifests_skipped` / `files_skipped`
+    counters so pruning effectiveness is observable per snapshot."""
+    md = current_metadata(location)
+    ranges = partition_ranges or {}
+    spec_fields, rtypes = _prune_ctx(md) if ranges else ([], {})
+    if ranges:
+        _check_ranges(ranges, spec_fields)
     out = []
     after_seq = None
     snaps = snapshots(location)
@@ -649,24 +809,34 @@ def added_files(
             and s["timestamp-ms"] < from_timestamp_ms
         ):
             continue
-        _, _, manifests = avro.read_container(s["manifest-list"])
         files, n_rows = [], 0
-        for mf in manifests:
-            if mf["content"] != CONTENT_DATA:
-                continue  # delete manifest: skipped (append-only scope)
-            # only manifests this snapshot added: prior manifests carry
-            # earlier snapshots' files, already consumed in their batch
-            if mf["added_snapshot_id"] != s["snapshot-id"]:
-                continue
-            _, _, entries = avro.read_container(mf["manifest_path"])
-            for e in entries:
-                if e["status"] == ST_DELETED:
+        manifests_skipped = files_skipped = 0
+        if s.get("summary", {}).get("operation", "append") == "append":
+            _, _, manifests = avro.read_container(s["manifest-list"])
+            for mf in manifests:
+                if mf["content"] != CONTENT_DATA:
+                    continue  # delete manifest: never new rows
+                # only manifests this snapshot added: prior manifests carry
+                # earlier snapshots' files, already consumed in their batch
+                if mf["added_snapshot_id"] != s["snapshot-id"]:
                     continue
-                df = e["data_file"]
-                if df["content"] != CONTENT_DATA:
+                if _manifest_pruned(mf, spec_fields, rtypes, ranges):
+                    manifests_skipped += 1
                     continue
-                files.append(df["file_path"])
-                n_rows += df["record_count"]
+                _, _, entries = avro.read_container(mf["manifest_path"])
+                for e in entries:
+                    # ADDED only: a merged manifest re-lists earlier
+                    # snapshots' files as EXISTING — already consumed
+                    if e["status"] != ST_ADDED:
+                        continue
+                    df = e["data_file"]
+                    if df["content"] != CONTENT_DATA:
+                        continue
+                    if ranges and _entry_pruned(df.get("partition") or {}, ranges):
+                        files_skipped += 1
+                        continue
+                    files.append(df["file_path"])
+                    n_rows += df["record_count"]
         out.append(
             {
                 "snapshot_id": s["snapshot-id"],
@@ -674,6 +844,8 @@ def added_files(
                 "timestamp_ms": s["timestamp-ms"],
                 "files": files,
                 "record_count": n_rows,
+                "manifests_skipped": manifests_skipped,
+                "files_skipped": files_skipped,
             }
         )
     return out
@@ -702,53 +874,44 @@ def scan_files(
     - surviving manifests' entries are filtered on their partition tuples.
 
     Returns {"files": [paths], "partitions": [per-file dicts],
+             "delete_files": [position-delete parquet paths],
              "manifests_total": n, "manifests_skipped": n,
-             "files_total": n} so pruning effectiveness is observable."""
+             "files_total": n} so pruning effectiveness is observable.
+    Position-delete files (content=DELETES manifests) are collected
+    UNPRUNED — they carry no partition tuple in this writer, and a delete
+    file that matches none of the scanned data files is a no-op in the
+    anti-join that applies it (read_table)."""
     md = current_metadata(location)
     if md["current-snapshot-id"] == -1:
         return {
             "files": [],
             "partitions": [],
+            "delete_files": [],
             "manifests_total": 0,
             "manifests_skipped": 0,
             "files_total": 0,
         }
-    schema = md["schemas"][md["current-schema-id"]]
-    spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
-    rtypes = {
-        f["name"]: _partition_result_type(f, schema) for f in spec_fields
-    }
-    fnames = [f["name"] for f in spec_fields]
+    spec_fields, rtypes = _prune_ctx(md)
     ranges = partition_ranges or {}
-    unknown = set(ranges) - set(fnames)
-    if unknown:
-        raise ValueError(f"unknown partition fields {sorted(unknown)}")
+    _check_ranges(ranges, spec_fields)
 
     cur = next(
         s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
     )
     _, _, manifests = avro.read_container(cur["manifest-list"])
-    files, parts = [], []
+    files, parts, delete_files = [], [], []
     skipped = total = files_total = 0
     for mf in manifests:
-        if mf["content"] != CONTENT_DATA:
+        if mf["content"] == CONTENT_DELETES:
+            _, _, entries = avro.read_container(mf["manifest_path"])
+            for e in entries:
+                if e["status"] != ST_DELETED:
+                    delete_files.append(e["data_file"]["file_path"])
             continue
         total += 1
-        summaries = mf.get("partitions")
-        if ranges and summaries:
-            drop = False
-            for f, summ in zip(spec_fields, summaries):
-                if f["name"] not in ranges or summ is None:
-                    continue
-                lo, hi = ranges[f["name"]]
-                mlo = _bound_value(rtypes[f["name"]], summ["lower_bound"])
-                mhi = _bound_value(rtypes[f["name"]], summ["upper_bound"])
-                if mhi < lo or mlo > hi:
-                    drop = True
-                    break
-            if drop:
-                skipped += 1
-                continue
+        if _manifest_pruned(mf, spec_fields, rtypes, ranges):
+            skipped += 1
+            continue
         _, _, entries = avro.read_container(mf["manifest_path"])
         for e in entries:
             if e["status"] == ST_DELETED:
@@ -758,22 +921,56 @@ def scan_files(
                 continue
             files_total += 1
             part = df_.get("partition") or {}
-            keep = True
-            for name, (lo, hi) in ranges.items():
-                v = part.get(name)
-                if v is None or not (lo <= v <= hi):
-                    keep = False
-                    break
-            if keep:
-                files.append(df_["file_path"])
-                parts.append(part)
+            if ranges and _entry_pruned(part, ranges):
+                continue
+            files.append(df_["file_path"])
+            parts.append(part)
     return {
         "files": files,
         "partitions": parts,
+        "delete_files": delete_files,
         "manifests_total": total,
         "manifests_skipped": skipped,
         "files_total": files_total,
     }
+
+
+#: normalizes Spark's `_metadata.file_path` URI (file:///abs/path) to the
+#: plain absolute path manifests store; local-fs sandbox assumption —
+#: with a remote FS the manifest paths are URIs already and this is a
+#: pass-through of the scheme-less part
+_FILE_URI_RE = "^file:/+"
+
+
+def _with_file_pos(spark, files: list[str]):
+    """Data-file scan annotated with (__fp, __pos) — the row's exact
+    (file path, position-in-file) identity that position deletes target.
+    `_metadata.row_index` is Spark's parquet row position (3.5+), so the
+    annotation is free (no window/zipWithIndex shuffle)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(*files)
+        .withColumn(
+            "__fp",
+            F.regexp_replace(F.col("_metadata.file_path"), _FILE_URI_RE, "/"),
+        )
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+
+
+def _apply_position_deletes(spark, data_df, delete_files: list[str]):
+    """Filter rows named by position-delete files out of a (__fp, __pos)-
+    annotated scan: one broadcast LEFT ANTI join.  Delete sets are tiny
+    relative to data (CDC merge churn), so broadcast is the right 100-TB
+    plan; Iceberg's own readers do the same positional filtering
+    vectorized inside the scan."""
+    from pyspark.sql import functions as F
+
+    dels = spark.read.parquet(*delete_files).select(
+        F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+    )
+    return data_df.join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
 
 
 def read_table(
@@ -781,27 +978,122 @@ def read_table(
     location: str,
     *,
     partition_ranges: dict[str, tuple] | None = None,
+    apply_deletes: bool = True,
 ):
     """Current-snapshot read of a jarless table — the metadata-resolved
     stand-in for `spark.read.format("iceberg").load(location)`; pass
-    partition_ranges for metadata-level partition pruning (scan_files)."""
-    if partition_ranges:
-        plan = scan_files(location, partition_ranges=partition_ranges)
-        files = plan["files"]
-    else:
-        files = live_files(location)
-    if not files:
-        md = current_metadata(location)
+    partition_ranges for metadata-level partition pruning (scan_files).
+    Position-delete files are applied by default (MoR read): rows they
+    name are absent from the result, so UPDATE/DELETE committed via
+    overwrite/delete snapshots read back as row-level changes."""
+    md = current_metadata(location)
+    if md["current-snapshot-id"] == -1:
         raise ValueError(
-            f"iceberg table {location} has no data files matching the scan "
-            f"(current snapshot {md['current-snapshot-id']})"
+            f"iceberg table {location} has no current snapshot "
+            "(never appended to)"
         )
-    return spark.read.parquet(*files)
+    plan = scan_files(location, partition_ranges=partition_ranges)
+    files = plan["files"]
+    if not files:
+        # a pruned scan legitimately matching zero files is an EMPTY
+        # result, not a broken table
+        return spark.createDataFrame([], current_spark_schema(location))
+    delete_files = plan["delete_files"] if apply_deletes else []
+    if not delete_files:
+        return spark.read.parquet(*files)
+    out = _apply_position_deletes(spark, _with_file_pos(spark, files), delete_files)
+    return out.drop("__fp", "__pos")
+
+
+def write_position_deletes(
+    spark,
+    location: str,
+    deletes_df,
+    *,
+    data_files: list[str] | None = None,
+    timestamp_ms: int = 0,
+    operation: str = "delete",
+    summary_extra: dict[str, str] | None = None,
+) -> int:
+    """Commit `deletes_df` (columns file_path:string, pos:long — the
+    spec's position-delete shape, field ids 2147483546/2147483545) as one
+    delete (or overwrite, with `data_files`) snapshot.  The delete rows
+    are written sorted by (file_path, pos) as the spec requires.  Returns
+    the snapshot id."""
+    md = current_metadata(location)
+    seq = md["last-sequence-number"] + 1
+    out_dir = os.path.join(location, "data", f"deletes-{seq:020d}")
+    (
+        deletes_df.select("file_path", "pos")
+        .repartition(1)
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    delete_files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    return _commit_snapshot(
+        location,
+        data_files or [],
+        delete_files,
+        operation=operation,
+        timestamp_ms=timestamp_ms,
+        summary_extra=summary_extra,
+    )
+
+
+def delete_where(spark, location: str, condition, *, timestamp_ms: int = 0) -> int:
+    """Row-level DELETE (the `DELETE FROM t WHERE ...` analog, MoR): scan
+    live rows with their (file, pos) identity, keep those matching
+    `condition` (a Column or SQL string), and commit their positions as
+    ONE position-delete snapshot.  No data file is rewritten — exactly
+    Iceberg's merge-on-read delete.  Returns the new snapshot id, or -1
+    when nothing matched (no snapshot committed)."""
+    from pyspark.sql import functions as F
+
+    plan = scan_files(location)
+    if not plan["files"]:
+        return -1
+    data = _with_file_pos(spark, plan["files"])
+    if plan["delete_files"]:
+        # already-deleted rows must not be re-targeted
+        data = _apply_position_deletes(spark, data, plan["delete_files"])
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    hits = data.where(cond).select(
+        F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
+    )
+    # cheap emptiness probe before committing a snapshot
+    if hits.isEmpty():
+        return -1
+    return write_position_deletes(
+        spark, location, hits, timestamp_ms=timestamp_ms
+    )
 
 
 # ---------------------------------------------------------------------------
 # sink side: the emitted record stream as a real Iceberg table
 # ---------------------------------------------------------------------------
+
+
+def _stamped_batch_ids(location: str) -> set[int]:
+    """Sink batch ids already represented in the table's snapshot history
+    (the `sccs-batch-id(s)` summary stamps) — the crash-window guard: a
+    lost `_applied` marker cannot cause a double-append/merge."""
+    if not os.path.exists(_version_hint(location)):
+        return set()
+    out: set[int] = set()
+    for s in snapshots(location):
+        summ = s.get("summary", {})
+        one = summ.get("sccs-batch-id")
+        if one is not None:
+            out.add(int(one))
+        many = summ.get("sccs-batch-ids")
+        if many:
+            out.update(int(x) for x in json.loads(many))
+    return out
 
 
 def maintain_iceberg_table(
@@ -857,13 +1149,10 @@ def maintain_iceberg_table(
             sink_mod.batch_output_path(cfg, with_data[0])
         ).schema
         create_table(location, schema)
-    stamped = {
-        s["summary"].get("sccs-batch-id")
-        for s in (snapshots(location) if not first_time else [])
-    }
+    stamped = _stamped_batch_ids(location) if not first_time else set()
     committed = 0
     for bid in sorted(todo):
-        if bid in with_data and str(bid) not in stamped:
+        if bid in with_data and bid not in stamped:
             out_dir = sink_mod.batch_output_path(cfg, bid)
             files = sorted(
                 os.path.join(out_dir, f)
@@ -878,6 +1167,161 @@ def maintain_iceberg_table(
                 summary_extra={"sccs-batch-id": str(bid)},
             )
             committed += 1
+        _mark_applied(
+            location,
+            [bid],
+            0,
+            extra={"expired": True} if bid in expired else None,
+        )
+    return committed
+
+
+def maintain_latest_state_mirror(
+    spark,
+    cfg,
+    location: str,
+    *,
+    table=None,
+    strict: bool = False,
+) -> int:
+    """COMPACTED latest-state Iceberg mirror: one live row per primary
+    key, maintained with ROW-LEVEL ops — new/updated keys append, stale
+    images and deleted keys become position deletes — so the mirrored
+    table reads back (read_table, MoR) as the source table's current
+    state.  This is the reference's core DELETE/tombstone semantics
+    (ScyllaChangesConsumer.java:234-249) landing in the queryable output,
+    vs maintain_iceberg_table's append-only emit log.
+
+    One maintenance pass merges ALL committed-but-unmirrored sink batches
+    into ONE overwrite snapshot (Iceberg's own CDC-merge shape):
+    - upserts: one row per key across the new envelopes (max_by on
+      cdc$time_us — last writer wins), same reduction apply.py uses;
+    - position deletes: the CURRENT mirror rows whose key is touched this
+      pass, located by (__fp, __pos) via a broadcast semi-join of the
+      pass's keys (churn ≪ table, the 100-TB-honest plan — Iceberg MERGE
+      does the same under the jar);
+    - appends: the pass's surviving post-images as new data files.
+
+    Exactly-once: batches merge in batch-id order, each snapshot summary
+    stamps `sccs-batch-ids`, `_applied` markers commit progress — a crash
+    between the snapshot commit and the markers cannot double-merge on
+    rerun, and replayed older batches are never re-applied, so deleted
+    keys stay deleted (no tombstone rows needed, unlike apply.py whose
+    consumers may replay).  Returns snapshots committed this pass."""
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_source_connector_spark.config import IncludeMode
+    from scylla_cdc_source_connector_spark.schemas import DEFAULT_TABLE
+    from scylla_cdc_source_connector_spark.streaming import sink as sink_mod
+    from scylla_cdc_source_connector_spark.streaming.apply import (
+        _mark_applied,
+        applied_batch_ids,
+        register_consumer,
+        split_consumable,
+    )
+
+    if table is None:
+        table = DEFAULT_TABLE
+    if cfg.include_after is not IncludeMode.FULL:
+        raise ValueError(
+            "maintain_latest_state_mirror needs full after-images "
+            "(cfg.include_after=FULL) — partial images cannot be merged"
+        )
+    register_consumer(cfg, location, name="iceberg_latest")
+    done = set(applied_batch_ids(location))
+    todo = [b for b in sink_mod.committed_batch_ids(cfg) if b not in done]
+    if not todo:
+        return 0
+    with_data, _dir_less, expired = split_consumable(
+        cfg, todo, consumer="iceberg_latest", strict=strict
+    )
+    merge_bids = sorted(set(with_data) - _stamped_batch_ids(location))
+    committed = 0
+    if merge_bids:
+        pk = list(table.pk_columns)
+        img = list(table.non_pk_columns)
+        env = spark.read.parquet(
+            *[sink_mod.batch_output_path(cfg, b) for b in merge_bids]
+        )
+        flat = env.select(
+            *[F.col(c) for c in pk],
+            F.col("`cdc$time_us`").alias("__ts_us"),
+            (F.col("value.op") == "d").alias("__deleted"),
+            *[F.col(f"value.after.{c}").alias(c) for c in img],
+        )
+        upserts = (
+            flat.groupBy(*pk)
+            .agg(
+                F.max_by(
+                    F.struct("__ts_us", "__deleted", *img), F.col("__ts_us")
+                ).alias("__row")
+            )
+            .select(*pk, "__row.*")
+        )
+        upserts.persist()
+        try:
+            first_time = not os.path.exists(_version_hint(location))
+            live = upserts.where(~F.col("__deleted")).drop("__deleted")
+            if first_time:
+                create_table(location, live.schema)
+            # stale images of keys touched this pass -> position deletes
+            hits = None
+            if not first_time:
+                plan = scan_files(location)
+                if plan["files"]:
+                    cur = _with_file_pos(spark, plan["files"])
+                    if plan["delete_files"]:
+                        cur = _apply_position_deletes(
+                            spark, cur, plan["delete_files"]
+                        )
+                    hits = cur.join(
+                        F.broadcast(upserts.select(*pk)), pk, "left_semi"
+                    ).select(
+                        F.col("__fp").alias("file_path"),
+                        F.col("__pos").alias("pos"),
+                    )
+                    if hits.isEmpty():
+                        hits = None
+            data_files = []
+            if not live.isEmpty():
+                out_dir = os.path.join(
+                    location, "data", f"merge-{max(merge_bids):012d}"
+                )
+                live.write.mode("overwrite").parquet(out_dir)
+                data_files = sorted(
+                    os.path.join(out_dir, f)
+                    for f in os.listdir(out_dir)
+                    if f.endswith(".parquet")
+                )
+            ts = max(
+                sink_mod.read_lineage_one(cfg, b).get("committed_at_ms", 0)
+                for b in merge_bids
+            )
+            stamp = {"sccs-batch-ids": json.dumps(merge_bids)}
+            if hits is not None:
+                write_position_deletes(
+                    spark,
+                    location,
+                    hits,
+                    data_files=data_files,
+                    timestamp_ms=ts,
+                    operation="overwrite",
+                    summary_extra=stamp,
+                )
+                committed += 1
+            elif data_files:
+                _commit_snapshot(
+                    location,
+                    data_files,
+                    [],
+                    operation="append",
+                    timestamp_ms=ts,
+                    summary_extra=stamp,
+                )
+                committed += 1
+        finally:
+            upserts.unpersist()
+    for bid in sorted(todo):
         _mark_applied(
             location,
             [bid],
@@ -941,13 +1385,31 @@ def spark_schema_of(iceberg_schema: dict):
     return conv({**iceberg_schema, "type": "struct"})
 
 
+def _strip_type_ids(node):
+    """Type node with every assigned id key removed — structural type
+    equality must not depend on the depth-first id numbering, which
+    shifts when columns before a nested column are added or dropped."""
+    if isinstance(node, dict):
+        return {
+            k: _strip_type_ids(v)
+            for k, v in node.items()
+            if not (k == "id" or k.endswith("-id"))
+        }
+    if isinstance(node, list):
+        return [_strip_type_ids(v) for v in node]
+    return node
+
+
 def evolve_schema(location: str, new_spark_schema) -> int:
     """Commit a new current schema (the ALTER TABLE analog): columns kept
     by NAME keep their field ids (Iceberg's id-based evolution), added
     columns get fresh ids past last-column-id, dropped columns simply
     leave (their ids are never reused).  Type changes are refused — the
     engine's adoption rule widens by replacement, not by cast (see
-    schema_evolution.adopt).  Returns the new schema-id."""
+    schema_evolution.adopt).  Kept columns are compared STRUCTURALLY
+    (ids stripped — fresh depth-first numbering shifts when earlier
+    columns change) and keep their old type node verbatim, so nested
+    element/key/value ids stay stable too.  Returns the new schema-id."""
     md = current_metadata(location)
     cur = md["schemas"][md["current-schema-id"]]
     cur_by_name = {f["name"]: f for f in cur["fields"]}
@@ -957,12 +1419,13 @@ def evolve_schema(location: str, new_spark_schema) -> int:
     for f in derived["fields"]:
         old = cur_by_name.get(f["name"])
         if old is not None:
-            if old["type"] != f["type"]:
+            if _strip_type_ids(old["type"]) != _strip_type_ids(f["type"]):
                 raise ValueError(
                     f"column {f['name']!r} changed type "
                     f"{old['type']!r} -> {f['type']!r} — not adoptable"
                 )
-            fields.append({**f, "id": old["id"]})
+            # old node verbatim: keeps nested ids from the OLD schema
+            fields.append({**f, "type": old["type"], "id": old["id"]})
         else:
             if not isinstance(f["type"], str):
                 raise ValueError("added columns must be primitive")

@@ -274,6 +274,14 @@ def run_stream(
         cfg = generation_cfg(cfg, generation)
     else:
         checkpoint = cfg.checkpoint_dir
+    # refuse to resume a lineage namespace written by a different source
+    # mode/location — the Iceberg-meta path numbers batches by snapshot
+    # sequence (1-based), this path by checkpoint batch id (0-based)
+    from scylla_cdc_source_connector_spark.streaming.sink import stamp_source
+
+    stamp_source(
+        cfg, f"file_stream:{source_format}:{os.path.abspath(input_path)}"
+    )
 
     # S3 initial lookback (ScyllaConnectorConfig.java:199-213, applied
     # ScyllaConnectorTask.java:197-210): on FIRST start — no offsets/
@@ -371,6 +379,7 @@ def run_iceberg_meta_stream(
     table: TableModel = DEFAULT_TABLE,
     from_timestamp_ms: int | None = None,
     adopt_schema: bool = False,
+    partition_ranges: dict[str, tuple] | None = None,
 ) -> dict:
     """Drain an Iceberg changelog table WITHOUT the runtime jar.
 
@@ -391,14 +400,35 @@ def run_iceberg_meta_stream(
     lineage, not the wall clock, decides (same rule as
     checkpoint_has_offsets on the file path).
 
+    `partition_ranges` scopes the drain to a partition subset — the
+    jarless analog of the reference's per-task `cdc$stream_id IN (...)`
+    CQL scoping (ConfigSerializerUtil.java:39-52): manifests outside the
+    ranges are skipped UNOPENED via the manifest-list field summaries and
+    surviving entries are filtered on their partition tuples
+    (iceberg_meta.added_files).  NOTE: a scoped drain and a full drain
+    are different streams — the partition scope is part of the lineage
+    identity, so one EngineConfig cannot alternate between scopes.
+
     Returns {"consumed": [snapshot ids run this call],
              "skipped": [snapshot ids already committed],
-             "emitted_total": rows in the exactly-once view afterwards}.
+             "emitted_total": rows in the exactly-once view afterwards,
+             "manifests_skipped": pruned-unopened manifest count,
+             "files_skipped": entry-level pruned file count}.
     """
     from scylla_cdc_source_connector_spark.sources import iceberg_meta
     from scylla_cdc_source_connector_spark.streaming.sink import (
         committed_batch_ids,
         read_emitted,
+        stamp_source,
+    )
+
+    scope = ""
+    if partition_ranges:
+        scope = ":" + ",".join(
+            f"{k}=[{lo},{hi}]" for k, (lo, hi) in sorted(partition_ranges.items())
+        )
+    stamp_source(
+        cfg, f"iceberg_meta:{os.path.abspath(table_location)}{scope}"
     )
 
     if adopt_schema:
@@ -415,13 +445,18 @@ def run_iceberg_meta_stream(
     committed = set(committed_batch_ids(cfg))
     lookback = from_timestamp_ms if not committed else None
     consumed, skipped = [], []
+    manifests_skipped = files_skipped = 0
     for b in iceberg_meta.added_files(
-        table_location, from_timestamp_ms=lookback
+        table_location,
+        from_timestamp_ms=lookback,
+        partition_ranges=partition_ranges,
     ):
         bid = b["sequence_number"]
         if bid in committed:
             skipped.append(b["snapshot_id"])
             continue
+        manifests_skipped += b["manifests_skipped"]
+        files_skipped += b["files_skipped"]
         if b["files"]:
             df = spark.read.schema(table.changelog_schema()).parquet(*b["files"])
         else:
@@ -434,4 +469,6 @@ def run_iceberg_meta_stream(
         "consumed": consumed,
         "skipped": skipped,
         "emitted_total": read_emitted(spark, cfg).count(),
+        "manifests_skipped": manifests_skipped,
+        "files_skipped": files_skipped,
     }

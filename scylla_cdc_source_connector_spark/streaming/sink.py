@@ -72,6 +72,33 @@ def pending_path(cfg: EngineConfig, batch_id: int) -> str:
     return os.path.join(cfg.output_dir, "_pending", f"batch_id={batch_id}")
 
 
+def stamp_source(cfg: EngineConfig, identity: str) -> None:
+    """Pin the lineage namespace to ONE source identity (mode + location).
+
+    The file-stream path numbers batches with Spark's 0-based checkpoint
+    batch ids while the jarless Iceberg path uses 1-based snapshot
+    sequence numbers; pointing both modes at one EngineConfig would make
+    resume silently skip snapshots as 'already committed'.  The first
+    run stamps `lineage_dir/_source.json`; a later run with a DIFFERENT
+    identity fails loudly instead."""
+    os.makedirs(cfg.lineage_dir, exist_ok=True)
+    p = os.path.join(cfg.lineage_dir, "_source.json")
+    if os.path.isfile(p):
+        with open(p) as fh:
+            prev = json.load(fh)["identity"]
+        if prev != identity:
+            raise ValueError(
+                f"lineage dir {cfg.lineage_dir} belongs to source {prev!r}; "
+                f"refusing to resume it as {identity!r} — use a fresh "
+                "output/lineage namespace per source"
+            )
+        return
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"identity": identity}, fh)
+    os.replace(tmp, p)
+
+
 def committed_batch_ids(cfg: EngineConfig) -> list[int]:
     if not os.path.isdir(cfg.lineage_dir):
         return []
