@@ -605,3 +605,418 @@ def test_iceberg_stream_adopts_evolved_schema(spark, tmp_root, ice_pdf):
     )
     # both populations present: pre-evolution rows as NULL, new as 'en'
     assert langs.get("en", 0) > 0 and langs.get(None, 0) > 0
+
+
+# ---------------------------------------------------------------------------
+# round 5: position deletes, latest-state mirror, streaming pruning,
+# incremental-delivery guards, lineage source stamping
+# ---------------------------------------------------------------------------
+
+
+def _kv_table(tmp_root, name, n_files=2, rows_per=10):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    loc = f"{tmp_root}/{name}"
+    shutil.rmtree(loc, ignore_errors=True)
+    sch = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), False),
+        ]
+    )
+    im.create_table(loc, sch)
+    for i in range(n_files):
+        base = i * rows_per
+        pq.write_table(
+            pa.table(
+                {
+                    "k": [f"k{base + j}" for j in range(rows_per)],
+                    "v": [base + j for j in range(rows_per)],
+                }
+            ),
+            f"{loc}/data/f{i}.parquet",
+        )
+        im.append_files(loc, [f"{loc}/data/f{i}.parquet"], timestamp_ms=i + 1)
+    return loc
+
+
+def test_position_deletes_read_and_delete_where(spark, tmp_root):
+    """MoR row-level DELETE: delete_where commits ONE delete snapshot, no
+    data file is rewritten, read_table hides the deleted rows, and the
+    streaming path never re-delivers (delete snapshot == empty batch)."""
+    loc = _kv_table(tmp_root, "ice_posdel")
+    assert im.read_table(spark, loc).count() == 20
+
+    data_files_before = sorted(im.live_files(loc))
+    sid = im.delete_where(spark, loc, "v % 2 = 0", timestamp_ms=3)
+    assert sid == 3
+    got = im.read_table(spark, loc)
+    assert got.count() == 10 and got.where("v % 2 = 0").count() == 0
+    # merge-on-read: data files untouched, one delete file planned
+    assert sorted(im.live_files(loc)) == data_files_before
+    plan = im.scan_files(loc)
+    assert len(plan["delete_files"]) == 1
+    # delete rows carry the spec's (file_path, pos) shape, sorted
+    dels = spark.read.parquet(*plan["delete_files"]).collect()
+    assert {r["file_path"] for r in dels} <= set(data_files_before)
+    pairs = [(r["file_path"], r["pos"]) for r in dels]
+    assert pairs == sorted(pairs)
+
+    # stacked second delete applies on top of the first
+    assert im.delete_where(spark, loc, "v = 1") == 4
+    assert im.read_table(spark, loc).count() == 9
+    # already-deleted rows are not re-targeted -> no-op, no snapshot
+    assert im.delete_where(spark, loc, "v % 2 = 0") == -1
+    assert im.current_metadata(loc)["last-sequence-number"] == 4
+
+    # streaming path: delete snapshots surface as EMPTY batches
+    batches = im.added_files(loc)
+    assert [(b["snapshot_id"], len(b["files"])) for b in batches] == [
+        (1, 1),
+        (2, 1),
+        (3, 0),
+        (4, 0),
+    ]
+    # apply_deletes=False reads the raw (pre-delete) data
+    assert im.read_table(spark, loc, apply_deletes=False).count() == 20
+
+
+def test_added_files_skips_existing_and_nonappend(tmp_root):
+    """A merged manifest (real-Iceberg append with manifest compaction)
+    re-lists prior files as status=EXISTING under a fresh
+    added_snapshot_id: only the ADDED entry may be delivered.  A
+    replace-operation snapshot delivers nothing at all."""
+    import json as _json
+
+    loc = _kv_table(tmp_root, "ice_merged", n_files=2)
+    fa, fb = sorted(im.live_files(loc))
+    fc = _mk_parquet(f"{loc}/data/f2.parquet", 7)
+
+    # hand-craft snapshot 3 the way a merging writer would
+    md = im.current_metadata(loc)
+    snap = md["last-sequence-number"] + 1
+    entries = []
+    for p, st, sid in [
+        (fa, im.ST_EXISTING, 1),
+        (fb, im.ST_EXISTING, 2),
+        (fc, im.ST_ADDED, snap),
+    ]:
+        entries.append(
+            {
+                "status": st,
+                "snapshot_id": sid,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": im.CONTENT_DATA,
+                    "file_path": os.path.abspath(p),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 7,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+        )
+    mdir = os.path.join(loc, "metadata")
+    mpath = os.path.join(mdir, f"manifest-merged-{snap}.avro")
+    avro.write_container(
+        mpath,
+        im.MANIFEST_ENTRY_SCHEMA,
+        entries,
+        metadata={"format-version": "2", "content": "data"},
+    )
+    lpath = os.path.join(mdir, f"snap-merged-{snap}.avro")
+    avro.write_container(
+        lpath,
+        im.MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": im.CONTENT_DATA,
+                "sequence_number": snap,
+                "min_sequence_number": 1,
+                "added_snapshot_id": snap,
+                "added_files_count": 1,
+                "existing_files_count": 2,
+                "deleted_files_count": 0,
+                "added_rows_count": 7,
+                "existing_rows_count": 20,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+        ],
+        metadata={"snapshot-id": str(snap), "format-version": "2"},
+    )
+    md["snapshots"].append(
+        {
+            "snapshot-id": snap,
+            "parent-snapshot-id": md["current-snapshot-id"],
+            "sequence-number": snap,
+            "timestamp-ms": 99,
+            "manifest-list": lpath,
+            "summary": {"operation": "append"},
+            "schema-id": md["current-schema-id"],
+        }
+    )
+    md["current-snapshot-id"] = snap
+    md["last-sequence-number"] = snap
+    with open(os.path.join(mdir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    im._write_metadata(loc, md, v + 1)
+
+    batches = im.added_files(loc)
+    # the merged snapshot delivers ONLY its ADDED file — fa/fb were
+    # consumed in their own batches and must not be re-delivered
+    assert [len(b["files"]) for b in batches] == [1, 1, 1]
+    assert batches[-1]["files"] == [os.path.abspath(fc)]
+    assert batches[-1]["record_count"] == 7
+    # the full scan still sees every live file (EXISTING kept there)
+    assert len(im.scan_files(loc)["files"]) == 3
+
+    # a replace/compaction snapshot delivers nothing
+    fd = _mk_parquet(f"{loc}/data/f3.parquet", 3)
+    im._commit_snapshot(loc, [fd], [], operation="replace", timestamp_ms=100)
+    assert im.added_files(loc)[-1]["files"] == []
+
+
+def test_latest_state_mirror(spark, tmp_root, ice_pdf):
+    """Compacted mirror == apply.read_latest row-for-row; updates land as
+    overwrite snapshots (position deletes + appends); idempotent across
+    reruns and across a lost _applied marker (sccs-batch-ids stamp)."""
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+    from scylla_cdc_source_connector_spark.streaming import apply as apply_mod
+
+    loc, _sids = _ice_table(tmp_root, ice_pdf, "ice_ls_src", n_snaps=2)
+    cfg = _cfg(tmp_root, "ice_ls")
+    run_iceberg_meta_stream(spark, cfg, loc)
+
+    mir = f"{tmp_root}/ice_ls_mirror"
+    assert im.maintain_latest_state_mirror(spark, cfg, mir) == 1
+    # first pass: pure append (no prior rows to supersede)
+    assert [s["summary"]["operation"] for s in im.snapshots(mir)] == ["append"]
+
+    # second wave: updates + deletes for existing keys -> overwrite snapshot
+    import pandas as pd
+
+    extra = ice_pdf.iloc[:200].copy()
+    extra["cdc$time"] = extra["cdc$time"] + pd.Timedelta(hours=2)
+    extra["cdc$time_us"] = extra["cdc$time_us"] + 7_200_000_000
+    p = f"{loc}/data/extra.parquet"
+    write_changelog_chunk(extra, p)
+    im.append_files(loc, [p], timestamp_ms=9000)
+    run_iceberg_meta_stream(spark, cfg, loc)
+    assert im.maintain_latest_state_mirror(spark, cfg, mir) == 1
+    ops = [s["summary"]["operation"] for s in im.snapshots(mir)]
+    assert ops == ["append", "overwrite"]
+
+    tgt = f"{tmp_root}/ice_ls_apply"
+    apply_mod.materialize_latest(spark, cfg, target_dir=tgt)
+    want = apply_mod.read_latest(spark, tgt)
+    got = im.read_table(spark, mir)
+    key = lambda df: {  # noqa: E731
+        (r["clip_id"], r["__ts_us"], r["transcript"])
+        for r in df.select("clip_id", "__ts_us", "transcript").collect()
+    }
+    assert got.count() == want.count() and key(got) == key(want)
+    # one live row per key
+    assert got.select("clip_id").distinct().count() == got.count()
+
+    # idempotent rerun; crash window (lost marker) guarded by the stamp
+    assert im.maintain_latest_state_mirror(spark, cfg, mir) == 0
+    markers = sorted(os.listdir(os.path.join(mir, "_applied")))
+    os.remove(os.path.join(mir, "_applied", markers[-1]))
+    n_snaps = len(im.snapshots(mir))
+    assert im.maintain_latest_state_mirror(spark, cfg, mir) == 0
+    assert len(im.snapshots(mir)) == n_snaps
+    assert im.read_table(spark, mir).count() == want.count()
+
+
+def test_streaming_partition_subset_parity(spark, tmp_root):
+    """Per-task stream-subset pushdown (ConfigSerializerUtil.java:39-52
+    analog): a 2-shard identity(cdc$stream_id) table drained as two
+    disjoint scoped streams — manifests outside the scope are skipped
+    UNOPENED, and subset ∪ complement == the full drain."""
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    pdf = make_changelog(FixtureSpec(n_events=600, n_clips=80, n_shards=2))
+    loc = f"{tmp_root}/ice_subset_tbl"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(
+        loc,
+        DEFAULT_TABLE.changelog_schema(),
+        partition_by=[("cdc$stream_id", "identity")],
+    )
+    # snapshots 1/2: single-shard (whole-manifest pruning); snapshot 3:
+    # both shards in one snapshot (entry-level pruning)
+    shards = sorted(pdf["cdc$stream_id"].unique())
+    assert len(shards) == 2
+    half = pdf.iloc[: len(pdf) // 2]
+    rest = pdf.iloc[len(pdf) // 2 :]
+    for i, sid in enumerate(shards):
+        p = f"{loc}/data/s{i}.parquet"
+        write_changelog_chunk(half[half["cdc$stream_id"] == sid], p)
+        im.append_files(loc, [p], timestamp_ms=i + 1)
+    mixed = []
+    for i, sid in enumerate(shards):
+        p = f"{loc}/data/m{i}.parquet"
+        write_changelog_chunk(rest[rest["cdc$stream_id"] == sid], p)
+        mixed.append(p)
+    im.append_files(loc, mixed, timestamp_ms=10)
+
+    def emitted_keys(cfg):
+        df = sink_mod.read_emitted(spark, cfg)
+        return {
+            (r["clip_id"], r["cdc$time_us"], r["op"])
+            for r in df.select(
+                "clip_id", "`cdc$time_us`", F.col("value.op").alias("op")
+            ).collect()
+        }
+
+    cfg_full = _cfg(tmp_root, "ice_subset_full")
+    run_iceberg_meta_stream(spark, cfg_full, loc)
+
+    cfg_a = _cfg(tmp_root, "ice_subset_a")
+    res_a = run_iceberg_meta_stream(
+        spark,
+        cfg_a,
+        loc,
+        partition_ranges={"cdc_stream_id": (shards[0], shards[0])},
+    )
+    cfg_b = _cfg(tmp_root, "ice_subset_b")
+    res_b = run_iceberg_meta_stream(
+        spark,
+        cfg_b,
+        loc,
+        partition_ranges={"cdc_stream_id": (shards[1], shards[1])},
+    )
+    # the other shard's single-shard snapshot is pruned WITHOUT opening
+    # its manifest; the mixed snapshot prunes at the entry level
+    assert res_a["manifests_skipped"] == 1 and res_a["files_skipped"] == 1
+    assert res_b["manifests_skipped"] == 1 and res_b["files_skipped"] == 1
+    # every snapshot still heartbeats in both scoped drains (lineage
+    # stays monotone even when a batch is fully pruned)
+    assert len(res_a["consumed"]) == len(res_b["consumed"]) == 3
+
+    ka, kb, kf = emitted_keys(cfg_a), emitted_keys(cfg_b), emitted_keys(cfg_full)
+    assert ka and kb and not (ka & kb)
+    assert (ka | kb) == kf
+
+
+def test_lineage_source_stamp_guard(spark, tmp_root, ice_pdf):
+    """One lineage namespace cannot be shared across source modes (the
+    two paths number batches differently) or across partition scopes."""
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+    from scylla_cdc_source_connector_spark.streaming.engine import run_stream
+
+    d = f"{tmp_root}/stamp_chunks"
+    os.makedirs(d, exist_ok=True)
+    write_changelog_chunk(ice_pdf.iloc[:100], f"{d}/c0.parquet")
+    cfg = _cfg(tmp_root, "stamp_guard")
+    q = run_stream(spark, cfg, d, available_now=True)
+    q.awaitTermination(120)
+
+    loc, _ = _ice_table(tmp_root, ice_pdf, "ice_stamp_tbl", n_snaps=1)
+    with pytest.raises(ValueError, match="belongs to source"):
+        run_iceberg_meta_stream(spark, cfg, loc)
+
+    # scope is part of the identity too
+    cfg2 = _cfg(tmp_root, "stamp_guard2")
+    run_iceberg_meta_stream(spark, cfg2, loc)
+    with pytest.raises(ValueError, match="belongs to source"):
+        run_iceberg_meta_stream(
+            spark, cfg2, loc, partition_ranges={"nope": (0, 1)}
+        )
+
+
+def test_evolve_schema_nested_id_stability(tmp_root):
+    """Dropping a column BEFORE a kept list column must not shift the
+    kept column's nested ids or spuriously raise 'changed type'."""
+    import pyspark.sql.types as T
+
+    loc = f"{tmp_root}/ice_evolve_nested"
+    shutil.rmtree(loc, ignore_errors=True)
+    sch = T.StructType(
+        [
+            T.StructField("a", T.IntegerType(), False),
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+            T.StructField("c", T.StringType(), True),
+        ]
+    )
+    im.create_table(loc, sch)
+    old = im.current_metadata(loc)["schemas"][0]
+    old_tags = next(f for f in old["fields"] if f["name"] == "tags")
+
+    # drop `a`: fresh depth-first numbering would renumber tags' element
+    im.evolve_schema(
+        loc,
+        T.StructType(
+            [
+                T.StructField("tags", T.ArrayType(T.StringType()), True),
+                T.StructField("c", T.StringType(), True),
+                T.StructField("d", T.LongType(), True),
+            ]
+        ),
+    )
+    md = im.current_metadata(loc)
+    new = md["schemas"][md["current-schema-id"]]
+    new_tags = next(f for f in new["fields"] if f["name"] == "tags")
+    assert new_tags["id"] == old_tags["id"]
+    assert new_tags["type"]["element-id"] == old_tags["type"]["element-id"]
+
+
+def test_read_table_empty_pruned_scan(spark, tmp_root):
+    """A pruned scan matching zero files is an EMPTY typed result, not an
+    error; only a never-appended table errors."""
+    loc = _hour_table(tmp_root, "ice_empty_scan")
+    got = im.read_table(
+        spark, loc, partition_ranges={"cdc_time_hour": (10**6, 10**6)}
+    )
+    assert got.count() == 0
+    assert got.schema == im.current_spark_schema(loc)
+
+    loc2 = f"{tmp_root}/ice_never_appended"
+    shutil.rmtree(loc2, ignore_errors=True)
+    im.create_table(loc2, DEFAULT_TABLE.changelog_schema())
+    with pytest.raises(ValueError, match="no current snapshot"):
+        im.read_table(spark, loc2)
+
+
+def test_inexact_partition_stats_rejected(tmp_root, monkeypatch):
+    """Truncated (inexact) footer stats cannot derive a partition value."""
+    import types
+
+    st = types.SimpleNamespace(
+        has_min_max=True,
+        min="aaaa",
+        max="aaab",
+        is_min_value_exact=True,
+        is_max_value_exact=False,  # truncated upper bound
+    )
+    rg = types.SimpleNamespace(column=lambda ci: types.SimpleNamespace(statistics=st))
+    arrow_schema = types.SimpleNamespace(names=["k", "v"])
+    meta = types.SimpleNamespace(
+        num_row_groups=1,
+        num_rows=1,
+        row_group=lambda i: rg,
+        schema=types.SimpleNamespace(to_arrow_schema=lambda: arrow_schema),
+    )
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(pq, "read_metadata", lambda p: meta)
+    spec_fields = [
+        {"name": "k", "transform": "identity", "source-id": 1, "field-id": 1000}
+    ]
+    schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "k", "required": True, "type": "string"},
+            {"id": 2, "name": "v", "required": True, "type": "long"},
+        ],
+    }
+    with pytest.raises(ValueError, match="inexact"):
+        im._file_partition_values("/nope.parquet", spec_fields, schema, ["string"])
