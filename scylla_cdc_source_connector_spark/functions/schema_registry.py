@@ -64,19 +64,75 @@ def _is_nullable(ftype) -> bool:
     return isinstance(ftype, list) and "null" in ftype
 
 
+def _norm_type(s):
+    if isinstance(s, str):
+        st = s.strip()
+        if st.startswith("{") or st.startswith("["):
+            return json.loads(s)
+    return s
+
+
 def backward_compatible(old, new) -> tuple[bool, str]:
-    """BACKWARD: a reader with `new` can read data written with `old`."""
-    of, nf = _fields_of(old), _fields_of(new)
-    for name, ftype in nf.items():
-        if name not in of:
-            if not _is_nullable(ftype):
-                return False, f"added non-nullable field {name!r}"
-        elif canonical(of[name]) != canonical(ftype):
-            return False, f"field {name!r} changed type"
-    for name in of:
-        if name not in nf:
-            return False, f"removed field {name!r}"
-    return True, ""
+    """BACKWARD: a reader with `new` can read data written with `old`.
+
+    RECURSIVE over records/arrays/maps/nullable unions, so adding a
+    nullable (or defaulted) field at ANY nesting depth — e.g. an adopted
+    image column inside the envelope's before/after structs — is
+    compatible.  Removing a field anywhere gates as incompatible: Avro
+    readers would merely skip it, but this registry protects downstream
+    consumers that select envelope fields by name (deliberately stricter,
+    like Confluent's BACKWARD for removed-without-default readers)."""
+
+    def walk(o, n, path) -> tuple[bool, str]:
+        o, n = _norm_type(o), _norm_type(n)
+        label = path or "<root>"
+        if isinstance(o, list) or isinstance(n, list):
+            o_null = isinstance(o, list) and "null" in o
+            n_null = isinstance(n, list) and "null" in n
+            if o_null and not n_null:
+                return False, f"field {label} lost nullability"
+            ob = [x for x in (o if isinstance(o, list) else [o]) if x != "null"]
+            nb = [x for x in (n if isinstance(n, list) else [n]) if x != "null"]
+            if len(ob) != len(nb):
+                return False, f"field {label} changed union shape"
+            for a, b in zip(ob, nb):
+                ok, why = walk(a, b, path)
+                if not ok:
+                    return ok, why
+            return True, ""
+        if isinstance(o, dict) and isinstance(n, dict):
+            ot, nt = o.get("type"), n.get("type")
+            if ot != nt:
+                return False, f"field {label} changed type"
+            if ot == "record":
+                of = {f["name"]: f for f in o.get("fields", [])}
+                nf = {f["name"]: f for f in n.get("fields", [])}
+                for name, f in nf.items():
+                    sub = f"{path}.{name}" if path else name
+                    if name not in of:
+                        if not (_is_nullable(f["type"]) or "default" in f):
+                            return False, f"added non-nullable field {sub!r}"
+                    else:
+                        ok, why = walk(of[name]["type"], f["type"], sub)
+                        if not ok:
+                            return ok, why
+                for name in of:
+                    if name not in nf:
+                        sub = f"{path}.{name}" if path else name
+                        return False, f"removed field {sub!r}"
+                return True, ""
+            if ot == "array":
+                return walk(o["items"], n["items"], f"{path}[]")
+            if ot == "map":
+                return walk(o["values"], n["values"], path + "{}")
+            if canonical(o) != canonical(n):
+                return False, f"field {label} changed type"
+            return True, ""
+        if o != n:
+            return False, f"field {label} changed type"
+        return True, ""
+
+    return walk(old, new, "")
 
 
 # ---------------------------------------------------------------------------

@@ -99,6 +99,8 @@ def maintain_kafka_records(
     fmt: str = "json",
     key_schema_id: int | None = None,
     value_schema_id: int | None = None,
+    registry=None,
+    topic: str | None = None,
     strict: bool = False,
 ) -> int:
     """Exactly-once Kafka-record emission: serialize every committed-but-
@@ -128,7 +130,19 @@ def maintain_kafka_records(
     DataFrame goes to `.write.format("kafka")` instead of parquet — the
     column contract is identical (KAFKA_SINK_COLUMNS), and per-shard
     ordering is preserved by clustering each batch on its shard id and
-    sorting within partitions like the sink's ordered emit."""
+    sorting within partitions like the sink's ordered emit.
+
+    `registry` (a functions.schema_registry.SchemaRegistryClient, fmt=
+    "avro" only): the envelope's key/value Avro schemas are registered
+    under TopicNameStrategy subjects and the RESOLVED ids frame every
+    record (Confluent wire format), exactly the reference's Avro
+    converter flow (SchemaRegistryUtils.java:55-57).  Registration runs
+    once per pass on the driver; an envelope schema evolution that is
+    not BACKWARD-compatible with the subject's latest version fails the
+    whole pass with the registry's 409 — records of an incompatible
+    schema are never emitted (the Connect behavior).  `topic` overrides
+    the subject topic; by default it is taken from the envelopes' own
+    `topic` column (single-topic streams)."""
     import os
 
     from scylla_cdc_source_connector_spark.streaming import sink as sink_mod
@@ -158,6 +172,20 @@ def maintain_kafka_records(
     env = spark.read.option("basePath", cfg.output_dir).parquet(
         *[sink_mod.batch_output_path(cfg, bid) for bid in with_data]
     )
+    if registry is not None:
+        if fmt != "avro":
+            raise ValueError("schema-registry ids apply to fmt='avro' only")
+        from scylla_cdc_source_connector_spark.functions.schema_registry import (
+            resolve_schema_ids,
+        )
+
+        t = topic
+        if t is None:
+            row = env.select("topic").first()
+            t = row["topic"] if row is not None else cfg.connector_name
+        ids = resolve_schema_ids(registry, t, env)
+        key_schema_id = ids["key_schema_id"]
+        value_schema_id = ids["value_schema_id"]
     rec = kafka_records(
         env,
         fmt=fmt,
@@ -181,16 +209,24 @@ def maintain_kafka_records(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_dyn)
 
-    import pyarrow.parquet as pq
-
+    # per-batch applied counts in ONE distributed job over the converted
+    # output (batch_id is the partition column, so this is a pruned
+    # metadata-cheap count) — never a per-batch driver footer walk, which
+    # with a 10^4-batch backlog would serialize the driver after the
+    # one-job conversion above
+    counts = {
+        r["batch_id"]: r["n"]
+        for r in (
+            spark.read.option("basePath", target)
+            .parquet(*[records_path(cfg, bid) for bid in with_data])
+            .groupBy("batch_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
     n_total = 0
     for bid in with_data:
-        d = records_path(cfg, bid)
-        n = sum(
-            pq.read_metadata(os.path.join(d, f)).num_rows
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        )
+        n = int(counts.get(bid, 0))
         _mark_applied(target, [bid], n)
         n_total += n
     return n_total

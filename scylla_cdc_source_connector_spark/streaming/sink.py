@@ -406,7 +406,22 @@ def make_correlating_sink(cfg: EngineConfig, table: TableModel = DEFAULT_TABLE):
             pending_path(cfg, prev_pending)
         ):
             pdir = pending_path(cfg, prev_pending)
-            all_rows = raw_df.unionByName(spark.read.parquet(pdir))
+            # pending rows may predate a schema adoption (restart after
+            # ALTER TABLE): reconcile them to the CURRENT model — adopted
+            # columns surface as NULL, dropped columns vanish — the same
+            # rule the source read applies (ScyllaSchema.
+            # updateChangeSchema analog, latest observed schema wins)
+            pend_df = spark.read.parquet(pdir)
+            have = set(pend_df.columns)
+            pend_df = pend_df.select(
+                *[
+                    F.col(f"`{f.name}`")
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in raw_df.schema.fields
+                ]
+            )
+            all_rows = raw_df.unionByName(pend_df)
             # footer-only count of the carried backlog (no Spark job);
             # feeds the provably-nothing-deferred skip below
             import pyarrow.parquet as _pq

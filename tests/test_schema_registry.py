@@ -153,3 +153,120 @@ def test_wire_roundtrip_with_registry_ids(spark, registry):
             assert ksid == ids["key_schema_id"]
             kschema = json.loads(registry.get_by_id(ksid))
             assert "clip_id" in avro.decode_record(kschema, kpayload)
+
+
+def test_registry_ids_through_maintain_kafka_records(spark, tmp_root, registry):
+    """VERDICT r4 #5: committed sink batches convert with REGISTRY-resolved
+    ids end-to-end (maintain_kafka_records(fmt='avro', registry=...)), a
+    compatible evolve_schema evolution registers a NEW version whose id
+    frames the later batches, and an incompatible evolution 409s."""
+    import os
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from scylla_cdc_source_connector_spark.config import EngineConfig, IncludeMode
+    from scylla_cdc_source_connector_spark.fixtures import (
+        FixtureSpec,
+        make_changelog,
+        write_changelog_chunk,
+    )
+    from scylla_cdc_source_connector_spark.functions.avro import avro_schema_of
+    from scylla_cdc_source_connector_spark.operators.kafka_records import (
+        maintain_kafka_records,
+        read_kafka_records,
+    )
+    from scylla_cdc_source_connector_spark.schemas import DEFAULT_TABLE
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta as im
+    from scylla_cdc_source_connector_spark.streaming import sink as sink_mod
+    from scylla_cdc_source_connector_spark.streaming.engine import (
+        run_iceberg_meta_stream,
+    )
+
+    pdf = make_changelog(FixtureSpec(n_events=300, n_clips=50))
+    loc = f"{tmp_root}/sr_ice_tbl"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(loc, DEFAULT_TABLE.changelog_schema())
+    p1 = f"{loc}/data/c0.parquet"
+    write_changelog_chunk(pdf.iloc[:150], p1)
+    im.append_files(loc, [p1], timestamp_ms=1000)
+
+    cfg = EngineConfig(
+        include_before=IncludeMode.FULL,
+        include_after=IncludeMode.FULL,
+        checkpoint_dir=f"{tmp_root}/sr_e2e/ck",
+        output_dir=f"{tmp_root}/sr_e2e/out",
+        lineage_dir=f"{tmp_root}/sr_e2e/lin",
+    )
+    topic = "sr-e2e.clips"  # explicit subject namespace (shared registry)
+    run_iceberg_meta_stream(spark, cfg, loc, adopt_schema=True)
+    n1 = maintain_kafka_records(
+        spark, cfg, fmt="avro", registry=registry, topic=topic
+    )
+    assert n1 == sink_mod.read_emitted(spark, cfg).count() > 0
+
+    rec = read_kafka_records(spark, cfg)
+    sid_v1, payload = avro.unwire(bytes(rec.first()["value"]))
+    assert sid_v1 == registry.latest(f"{topic}-value")["id"]
+    # the id resolves to a decodable schema (the registry round-trip)
+    sch = json.loads(registry.get_by_id(sid_v1))
+    assert avro.decode_record(sch, payload)["op"] in ("c", "u", "d")
+
+    # compatible evolution (nullable added column) -> NEW version, later
+    # batches framed with the NEW id
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_spark.fixtures import arrow_changelog_schema
+
+    im.evolve_schema(
+        loc,
+        T.StructType(
+            list(DEFAULT_TABLE.changelog_schema().fields)
+            + [T.StructField("lang", T.StringType(), True)]
+        ),
+    )
+    new_pdf = pdf.iloc[150:].copy()
+    new_pdf["lang"] = "en"
+    p2 = f"{loc}/data/c1.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(
+            new_pdf,
+            schema=arrow_changelog_schema().append(pa.field("lang", pa.string())),
+            preserve_index=False,
+        ),
+        p2,
+    )
+    im.append_files(loc, [p2], timestamp_ms=2000)
+    run_iceberg_meta_stream(spark, cfg, loc, adopt_schema=True)
+    n2 = maintain_kafka_records(
+        spark, cfg, fmt="avro", registry=registry, topic=topic
+    )
+    assert n2 > 0
+    versions = registry.versions(f"{topic}-value")
+    assert len(versions) == 2
+    sid_v2 = registry.latest(f"{topic}-value")["id"]
+    assert sid_v2 != sid_v1
+    # both generations of records resolve through the registry
+    ids_seen = {
+        avro.unwire(bytes(r["value"]))[0]
+        for r in read_kafka_records(spark, cfg).select("value").collect()
+    }
+    assert ids_seen == {sid_v1, sid_v2}
+
+    # incompatible evolution (added field with NO default readable from
+    # old data): the BACKWARD gate 409s and nothing is emitted
+    env = sink_mod.read_emitted(spark, cfg, merge_schema=True)
+    bad = env.withColumn(
+        "value", F.struct(F.col("value.*"), F.lit(1).alias("must_have"))
+    )
+    with pytest.raises(SchemaRegistryError) as ei:
+        resolve_schema_ids(registry, topic, bad)
+    assert ei.value.code == 409
+    # sanity: the constructed field really is avro-required (no default)
+    f = next(
+        f
+        for f in avro_schema_of(bad.schema["value"].dataType)["fields"]
+        if f["name"] == "must_have"
+    )
+    assert f["type"] == "int"
