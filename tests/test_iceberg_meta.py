@@ -1020,3 +1020,45 @@ def test_inexact_partition_stats_rejected(tmp_root, monkeypatch):
     }
     with pytest.raises(ValueError, match="inexact"):
         im._file_partition_values("/nope.parquet", spec_fields, schema, ["string"])
+
+
+def test_mirror_stream_interop_loop(spark, tmp_root, ice_pdf):
+    """Self-interop loop (closest stand-in for cross-writer interop with
+    no second Iceberg writer in the sandbox): changelog table → engine →
+    append-only envelope mirror, then the mirror consumed BACK through
+    the snapshot-incremental stream layer (added_files, the same
+    resolution run_iceberg_meta_stream drains with) — per-batch union ==
+    read_table == the exactly-once emitted view, and resume-from-snapshot
+    covers exactly the complement."""
+    loc, _sids = _ice_table(tmp_root, ice_pdf, "ice_loop_src", n_snaps=3)
+    cfg = _cfg(tmp_root, "ice_loop")
+    run_iceberg_meta_stream(spark, cfg, loc)
+    mir = f"{tmp_root}/ice_loop_mirror"
+    n_snaps = im.maintain_iceberg_table(spark, cfg, mir)
+    assert n_snaps == 3
+
+    batches = im.added_files(mir)
+    assert [len(b["files"]) > 0 for b in batches] == [True] * 3
+    # each mirror snapshot is stamped with the sink batch it mirrors
+    stamps = [
+        s["summary"]["sccs-batch-id"] for s in im.snapshots(mir)
+    ]
+    assert sorted(int(x) for x in stamps) == sink_mod.committed_batch_ids(cfg)
+
+    inc = spark.read.parquet(*[f for b in batches for f in b["files"]])
+    bat = im.read_table(spark, mir)
+    emitted = sink_mod.read_emitted(spark, cfg)
+    key = lambda df: {  # noqa: E731
+        (r["clip_id"], r["cdc$time_us"])
+        for r in df.select("clip_id", "`cdc$time_us`").collect()
+    }
+    assert inc.count() == bat.count() == emitted.count()
+    assert key(inc) == key(bat) == key(emitted)
+
+    # resume past the first mirror snapshot reads exactly the complement
+    first = batches[0]
+    rest = im.added_files(mir, after_snapshot_id=first["snapshot_id"])
+    got_rest = spark.read.parquet(*[f for b in rest for f in b["files"]])
+    got_first = spark.read.parquet(*first["files"])
+    assert key(got_first) | key(got_rest) == key(bat)
+    assert not (key(got_first) & key(got_rest))
