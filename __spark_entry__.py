@@ -281,6 +281,73 @@ def q_cdc_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_latest_state_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 surface (rows-only): the COMPACTED latest-state Iceberg
+    mirror end-to-end, jarless — changelog table (2 snapshots) →
+    snapshot-incremental exactly-once drain → maintain_latest_state_mirror
+    (UPDATE/DELETE as position-delete row-level ops, one overwrite
+    snapshot per pass) → read_table (merge-on-read).  The second
+    maintenance pass supersedes first-pass images, so the result carries
+    real position deletes.  Row-for-row parity with apply.materialize_
+    latest is pinned by tests/test_iceberg_meta.py::test_latest_state_
+    mirror; this row checks the loop holds at the sf-scaled fixture."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_spark.config import EngineConfig, IncludeMode
+    from scylla_cdc_source_connector_spark.fixtures import FixtureSpec
+    from scylla_cdc_source_connector_spark.schemas import DEFAULT_TABLE
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta
+    from scylla_cdc_source_connector_spark.streaming.engine import (
+        run_iceberg_meta_stream,
+    )
+
+    _utc(spark)
+    n_events = _events(spark, sf_dir).count()
+    spec = FixtureSpec(
+        n_events=min(n_events, 20_000), n_clips=max(50, n_events // 10)
+    )
+    path = _cached_changelog_path(spec)
+    root = path[: -len(".parquet")] + ".lsmirror"
+    loc, mir = os.path.join(root, "table"), os.path.join(root, "mirror")
+    cfg = EngineConfig(
+        include_before=IncludeMode.FULL,
+        include_after=IncludeMode.FULL,
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        output_dir=os.path.join(root, "out"),
+        lineage_dir=os.path.join(root, "lineage"),
+    )
+    if not os.path.exists(os.path.join(loc, "metadata", "version-hint.text")):
+        os.makedirs(os.path.join(loc, "data"), exist_ok=True)
+        tbl = pq.read_table(path)
+        half = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, half), os.path.join(loc, "data", "c0.parquet"))
+        pq.write_table(tbl.slice(half), os.path.join(loc, "data", "c1.parquet"))
+        iceberg_meta.create_table(loc, DEFAULT_TABLE.changelog_schema())
+    snaps = len(iceberg_meta.snapshots(loc))
+    if snaps == 0:
+        iceberg_meta.append_files(
+            loc, [os.path.join(loc, "data", "c0.parquet")], timestamp_ms=1
+        )
+    # pass 1: first snapshot only -> pure-append mirror pass
+    run_iceberg_meta_stream(spark, cfg, loc)
+    iceberg_meta.maintain_latest_state_mirror(spark, cfg, mir)
+    # pass 2: second snapshot arrives -> overwrite pass (position deletes)
+    if len(iceberg_meta.snapshots(loc)) == 1:
+        iceberg_meta.append_files(
+            loc, [os.path.join(loc, "data", "c1.parquet")], timestamp_ms=2
+        )
+    run_iceberg_meta_stream(spark, cfg, loc)
+    iceberg_meta.maintain_latest_state_mirror(spark, cfg, mir)
+    return iceberg_meta.read_table(spark, mir).select(
+        "clip_id",
+        F.col("__ts_us").alias("last_ts_us"),
+        "transcript",
+        "sr_hz",
+    )
+
+
 def q_cdc_audio_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-shaped quality telemetry (rows-only): per (shard,
     1-minute tumbling window) aggregates of the vectorized audio verdict
@@ -1442,8 +1509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_image_decode": q_multimodal_image_decode,
         "multimodal_video_frames": q_multimodal_video_frames,
-        # -- rows-only block (10) -------------------------------------
+        # -- rows-only block (11) -------------------------------------
         "training_pipeline": q_training_pipeline,
+        "iceberg_latest_state_mirror": q_iceberg_latest_state_mirror,
         "training_corpus_incremental": q_training_corpus_incremental,
         "cdc_audio_quality_windows": q_cdc_audio_quality_windows,
         "cdc_full_pipeline": q_cdc_full_pipeline,
