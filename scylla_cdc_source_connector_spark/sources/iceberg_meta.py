@@ -218,6 +218,32 @@ CONTENT_DATA, CONTENT_DELETES = 0, 1
 # 2=EQUALITY_DELETES — position deletes share the numeric value of the
 # manifest-level DELETES marker
 CONTENT_POSITION_DELETES = 1
+CONTENT_EQUALITY_DELETES = 2
+
+#: data_file.equality_ids (spec field id 135, element 136): the schema
+#: field ids an equality-delete file matches rows on
+EQUALITY_IDS_FIELD = _f(
+    "equality_ids",
+    {"type": "array", "items": "int", "element-id": 136},
+    135,
+    optional=True,
+)
+
+#: manifest-entry schema for DELETE manifests: the data_file record grows
+#: the spec's equality_ids field (position-delete entries carry null)
+_DELETE_DATA_FILE_SCHEMA = {
+    **DATA_FILE_SCHEMA,
+    "fields": DATA_FILE_SCHEMA["fields"] + [EQUALITY_IDS_FIELD],
+}
+_DELETE_ENTRY_SCHEMA = {
+    **MANIFEST_ENTRY_SCHEMA,
+    "fields": [
+        {**f, "type": _DELETE_DATA_FILE_SCHEMA}
+        if f["name"] == "data_file"
+        else f
+        for f in MANIFEST_ENTRY_SCHEMA["fields"]
+    ],
+}
 
 
 # ---------------------------------------------------------------------------
@@ -501,13 +527,15 @@ def _commit_snapshot(
     data_files: list[str],
     delete_files: list[str],
     *,
+    equality_deletes: list[tuple[str, list[int]]] | None = None,
     operation: str,
     timestamp_ms: int = 0,
     summary_extra: dict[str, str] | None = None,
 ) -> int:
-    """Commit one snapshot adding `data_files` (content=DATA manifest)
-    and/or `delete_files` (position-delete parquet files, content=DELETES
-    manifest — spec §Position Delete Files: columns file_path/pos).
+    """Commit one snapshot adding `data_files` (content=DATA manifest),
+    `delete_files` (position-delete parquet, columns file_path/pos) and/or
+    `equality_deletes` ([(path, equality field ids)] — spec §Equality
+    Delete Files) under one content=DELETES manifest.
     operation: "append" (data only), "delete" (deletes only), "overwrite"
     (both — the row-level CDC merge shape).  added_files delivers rows
     only from "append" snapshots; delete/overwrite snapshots surface as
@@ -523,7 +551,12 @@ def _commit_snapshot(
     spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
     result_types = [_partition_result_type(f, schema) for f in spec_fields]
 
-    def mk_entries(paths: list[str], content: int, with_part: bool):
+    def mk_entries(
+        paths: list[str],
+        content: int,
+        with_part: bool,
+        equality_ids: list[int] | None = None,
+    ):
         entries, n_rows = [], 0
         for p in paths:
             meta = pq.read_metadata(p)
@@ -533,20 +566,23 @@ def _commit_snapshot(
                 if (spec_fields and with_part)
                 else {}
             )
+            df = {
+                "content": content,
+                "file_path": os.path.abspath(p),
+                "file_format": "PARQUET",
+                "partition": part,
+                "record_count": meta.num_rows,
+                "file_size_in_bytes": os.path.getsize(p),
+            }
+            if content != CONTENT_DATA:
+                df["equality_ids"] = equality_ids
             entries.append(
                 {
                     "status": ST_ADDED,
                     "snapshot_id": snap_id,
                     "sequence_number": None,  # inherited from manifest (spec)
                     "file_sequence_number": None,
-                    "data_file": {
-                        "content": content,
-                        "file_path": os.path.abspath(p),
-                        "file_format": "PARQUET",
-                        "partition": part,
-                        "record_count": meta.num_rows,
-                        "file_size_in_bytes": os.path.getsize(p),
-                    },
+                    "data_file": df,
                 }
             )
         return entries, n_rows
@@ -602,17 +638,23 @@ def _commit_snapshot(
             }
         )
     n_del_rows = 0
-    if delete_files:
+    if delete_files or equality_deletes:
         # delete manifests carry NO partition tuple in this writer (the
-        # delete parquet rows name exact (file_path, pos) targets, so a
-        # non-matching delete file is a no-op in the applying anti-join)
+        # delete rows name exact (file_path, pos) / key-value targets, so
+        # a non-matching delete file is a no-op in the applying anti-join)
         entries, n_del_rows = mk_entries(
             delete_files, CONTENT_POSITION_DELETES, False
         )
+        for p, eq_ids in equality_deletes or []:
+            e, n = mk_entries(
+                [p], CONTENT_EQUALITY_DELETES, False, equality_ids=eq_ids
+            )
+            entries.extend(e)
+            n_del_rows += n
         manifest_path = os.path.join(mdir, f"manifest-{snap_id:020d}-d.avro")
         avro.write_container(
             manifest_path,
-            MANIFEST_ENTRY_SCHEMA,
+            _DELETE_ENTRY_SCHEMA,
             entries,
             metadata={
                 "schema": json.dumps(schema),
@@ -874,19 +916,25 @@ def scan_files(
     - surviving manifests' entries are filtered on their partition tuples.
 
     Returns {"files": [paths], "partitions": [per-file dicts],
+             "file_sequences": [per-file snapshot sequence numbers],
              "delete_files": [position-delete parquet paths],
+             "equality_deletes": [{path, sequence, equality_ids}],
              "manifests_total": n, "manifests_skipped": n,
              "files_total": n} so pruning effectiveness is observable.
-    Position-delete files (content=DELETES manifests) are collected
-    UNPRUNED — they carry no partition tuple in this writer, and a delete
-    file that matches none of the scanned data files is a no-op in the
-    anti-join that applies it (read_table)."""
+    Delete files (content=DELETES manifests) are collected UNPRUNED —
+    they carry no partition tuple in this writer, and a delete file that
+    matches none of the scanned data files is a no-op in the anti-join
+    that applies it (read_table).  Sequence numbers matter for equality
+    deletes: they hit only rows whose data-file sequence is strictly
+    OLDER (spec §Scan Planning)."""
     md = current_metadata(location)
     if md["current-snapshot-id"] == -1:
         return {
             "files": [],
             "partitions": [],
+            "file_sequences": [],
             "delete_files": [],
+            "equality_deletes": [],
             "manifests_total": 0,
             "manifests_skipped": 0,
             "files_total": 0,
@@ -899,14 +947,26 @@ def scan_files(
         s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
     )
     _, _, manifests = avro.read_container(cur["manifest-list"])
-    files, parts, delete_files = [], [], []
+    files, parts, seqs, delete_files, eq_deletes = [], [], [], [], []
     skipped = total = files_total = 0
     for mf in manifests:
         if mf["content"] == CONTENT_DELETES:
             _, _, entries = avro.read_container(mf["manifest_path"])
             for e in entries:
-                if e["status"] != ST_DELETED:
-                    delete_files.append(e["data_file"]["file_path"])
+                if e["status"] == ST_DELETED:
+                    continue
+                df_ = e["data_file"]
+                if df_.get("equality_ids"):
+                    eq_deletes.append(
+                        {
+                            "path": df_["file_path"],
+                            "sequence": e["sequence_number"]
+                            or mf["sequence_number"],
+                            "equality_ids": list(df_["equality_ids"]),
+                        }
+                    )
+                else:
+                    delete_files.append(df_["file_path"])
             continue
         total += 1
         if _manifest_pruned(mf, spec_fields, rtypes, ranges):
@@ -925,10 +985,13 @@ def scan_files(
                 continue
             files.append(df_["file_path"])
             parts.append(part)
+            seqs.append(e["sequence_number"] or mf["sequence_number"])
     return {
         "files": files,
         "partitions": parts,
+        "file_sequences": seqs,
         "delete_files": delete_files,
+        "equality_deletes": eq_deletes,
         "manifests_total": total,
         "manifests_skipped": skipped,
         "files_total": files_total,
@@ -973,6 +1036,47 @@ def _apply_position_deletes(spark, data_df, delete_files: list[str]):
     return data_df.join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
 
 
+def _apply_equality_deletes(spark, data_df, plan: dict, schema: dict):
+    """Filter rows hit by equality-delete files out of a (__fp, __pos)-
+    annotated scan.  Spec rule: an equality delete applies only to rows
+    whose data file's sequence number is strictly OLDER than the delete
+    file's — rows appended in the same overwrite snapshot survive.  Plan:
+    annotate each row with its file's sequence via a broadcast (file →
+    seq) join, then one broadcast LEFT ANTI join per equality-column
+    group with the `data_seq < delete_seq` condition folded in."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    seq_df = spark.createDataFrame(
+        list(zip(plan["files"], plan["file_sequences"])),
+        "__fp string, __data_seq long",
+    )
+    out = data_df.join(F.broadcast(seq_df), "__fp", "left")
+    groups: dict[tuple, list[dict]] = {}
+    for d in plan["equality_deletes"]:
+        groups.setdefault(tuple(d["equality_ids"]), []).append(d)
+    for ids, dels in groups.items():
+        cols = [id_to_name[i] for i in ids]
+        parts = [
+            spark.read.parquet(d["path"])
+            .select(*[F.col(f"`{c}`").alias(f"__eq_{ci}") for ci, c in enumerate(cols)])
+            .withColumn("__del_seq", F.lit(d["sequence"]).cast("long"))
+            for d in dels
+        ]
+        eq = functools.reduce(lambda a, b: a.unionByName(b), parts)
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [
+                out[f"`{c}`"].eqNullSafe(F.col(f"__eq_{ci}"))
+                for ci, c in enumerate(cols)
+            ],
+        ) & (F.col("__data_seq") < F.col("__del_seq"))
+        out = out.join(F.broadcast(eq), cond, "left_anti")
+    return out.drop("__data_seq")
+
+
 def read_table(
     spark,
     location: str,
@@ -983,9 +1087,10 @@ def read_table(
     """Current-snapshot read of a jarless table — the metadata-resolved
     stand-in for `spark.read.format("iceberg").load(location)`; pass
     partition_ranges for metadata-level partition pruning (scan_files).
-    Position-delete files are applied by default (MoR read): rows they
-    name are absent from the result, so UPDATE/DELETE committed via
-    overwrite/delete snapshots read back as row-level changes."""
+    Position- and equality-delete files are applied by default (MoR
+    read): rows they name are absent from the result, so UPDATE/DELETE
+    committed via overwrite/delete snapshots read back as row-level
+    changes."""
     md = current_metadata(location)
     if md["current-snapshot-id"] == -1:
         raise ValueError(
@@ -999,9 +1104,16 @@ def read_table(
         # result, not a broken table
         return spark.createDataFrame([], current_spark_schema(location))
     delete_files = plan["delete_files"] if apply_deletes else []
-    if not delete_files:
+    eq_deletes = plan["equality_deletes"] if apply_deletes else []
+    if not delete_files and not eq_deletes:
         return spark.read.parquet(*files)
-    out = _apply_position_deletes(spark, _with_file_pos(spark, files), delete_files)
+    out = _with_file_pos(spark, files)
+    if delete_files:
+        out = _apply_position_deletes(spark, out, delete_files)
+    if eq_deletes:
+        out = _apply_equality_deletes(
+            spark, out, plan, md["schemas"][md["current-schema-id"]]
+        )
     return out.drop("__fp", "__pos")
 
 
@@ -1045,6 +1157,60 @@ def write_position_deletes(
     )
 
 
+def write_equality_deletes(
+    spark,
+    location: str,
+    keys_df,
+    equality_columns: list[str],
+    *,
+    data_files: list[str] | None = None,
+    timestamp_ms: int = 0,
+    operation: str = "delete",
+    summary_extra: dict[str, str] | None = None,
+) -> int:
+    """Commit `keys_df`'s distinct key tuples as ONE equality-delete
+    snapshot (spec §Equality Delete Files): every row whose key matches
+    AND whose data file is strictly older than this snapshot disappears
+    from MoR reads.  The write-cheap side of the row-level trade —
+    nothing is scanned or located (vs position deletes' semi-join); the
+    read pays a key anti-join instead.  This is how streaming CDC
+    writers (e.g. Flink upsert mode) express UPDATE/DELETE.  Returns the
+    snapshot id."""
+    from pyspark.sql import functions as F
+
+    md = current_metadata(location)
+    schema = md["schemas"][md["current-schema-id"]]
+    name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+    missing = [c for c in equality_columns if c not in name_to_id]
+    if missing:
+        raise ValueError(f"equality columns not in table schema: {missing}")
+    eq_ids = [name_to_id[c] for c in equality_columns]
+    seq = md["last-sequence-number"] + 1
+    out_dir = os.path.join(location, "data", f"eqdeletes-{seq:020d}")
+    (
+        keys_df.select(*[F.col(f"`{c}`") for c in equality_columns])
+        .dropDuplicates()
+        .repartition(1)
+        .sortWithinPartitions(*equality_columns)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    return _commit_snapshot(
+        location,
+        data_files or [],
+        [],
+        equality_deletes=[(p, eq_ids) for p in files],
+        operation=operation,
+        timestamp_ms=timestamp_ms,
+        summary_extra=summary_extra,
+    )
+
+
 def delete_where(spark, location: str, condition, *, timestamp_ms: int = 0) -> int:
     """Row-level DELETE (the `DELETE FROM t WHERE ...` analog, MoR): scan
     live rows with their (file, pos) identity, keep those matching
@@ -1061,6 +1227,11 @@ def delete_where(spark, location: str, condition, *, timestamp_ms: int = 0) -> i
     if plan["delete_files"]:
         # already-deleted rows must not be re-targeted
         data = _apply_position_deletes(spark, data, plan["delete_files"])
+    if plan["equality_deletes"]:
+        md = current_metadata(location)
+        data = _apply_equality_deletes(
+            spark, data, plan, md["schemas"][md["current-schema-id"]]
+        )
     cond = F.expr(condition) if isinstance(condition, str) else condition
     hits = data.where(cond).select(
         F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
@@ -1183,6 +1354,7 @@ def maintain_latest_state_mirror(
     *,
     table=None,
     strict: bool = False,
+    delete_mode: str = "position",
 ) -> int:
     """COMPACTED latest-state Iceberg mirror: one live row per primary
     key, maintained with ROW-LEVEL ops — new/updated keys append, stale
@@ -1201,6 +1373,17 @@ def maintain_latest_state_mirror(
       pass's keys (churn ≪ table, the 100-TB-honest plan — Iceberg MERGE
       does the same under the jar);
     - appends: the pass's surviving post-images as new data files.
+
+    delete_mode picks the row-level mechanism (both MoR, both read back
+    identically through read_table):
+    - "position" (default): locate superseded rows' (file, pos) via a
+      broadcast semi-join over the current mirror — write-heavy (a scan
+      per pass), read-cheap (exact positional filter);
+    - "equality": commit the pass's keys as an equality-delete file —
+      write-cheap (NO scan of the mirror: the Flink-upsert-writer shape,
+      right when churn is high and reads are periodic), read pays a key
+      anti-join; the same-snapshot appends survive because equality
+      deletes hit only strictly-older data files (spec rule).
 
     Exactly-once: batches merge in batch-id order, each snapshot summary
     stamps `sccs-batch-ids`, `_applied` markers commit progress — a crash
@@ -1222,6 +1405,8 @@ def maintain_latest_state_mirror(
 
     if table is None:
         table = DEFAULT_TABLE
+    if delete_mode not in ("position", "equality"):
+        raise ValueError(f"unknown delete_mode: {delete_mode!r}")
     if cfg.include_after is not IncludeMode.FULL:
         raise ValueError(
             "maintain_latest_state_mirror needs full after-images "
@@ -1264,24 +1449,29 @@ def maintain_latest_state_mirror(
             live = upserts.where(~F.col("__deleted")).drop("__deleted")
             if first_time:
                 create_table(location, live.schema)
-            # stale images of keys touched this pass -> position deletes
+            # stale images of keys touched this pass -> row-level deletes
             hits = None
-            if not first_time:
+            has_prior = not first_time and bool(scan_files(location)["files"])
+            if has_prior and delete_mode == "position":
                 plan = scan_files(location)
-                if plan["files"]:
-                    cur = _with_file_pos(spark, plan["files"])
-                    if plan["delete_files"]:
-                        cur = _apply_position_deletes(
-                            spark, cur, plan["delete_files"]
-                        )
-                    hits = cur.join(
-                        F.broadcast(upserts.select(*pk)), pk, "left_semi"
-                    ).select(
-                        F.col("__fp").alias("file_path"),
-                        F.col("__pos").alias("pos"),
+                cur = _with_file_pos(spark, plan["files"])
+                if plan["delete_files"]:
+                    cur = _apply_position_deletes(
+                        spark, cur, plan["delete_files"]
                     )
-                    if hits.isEmpty():
-                        hits = None
+                if plan["equality_deletes"]:
+                    md_ = current_metadata(location)
+                    cur = _apply_equality_deletes(
+                        spark, cur, plan, md_["schemas"][md_["current-schema-id"]]
+                    )
+                hits = cur.join(
+                    F.broadcast(upserts.select(*pk)), pk, "left_semi"
+                ).select(
+                    F.col("__fp").alias("file_path"),
+                    F.col("__pos").alias("pos"),
+                )
+                if hits.isEmpty():
+                    hits = None
             data_files = []
             if not live.isEmpty():
                 out_dir = os.path.join(
@@ -1298,7 +1488,22 @@ def maintain_latest_state_mirror(
                 for b in merge_bids
             )
             stamp = {"sccs-batch-ids": json.dumps(merge_bids)}
-            if hits is not None:
+            if has_prior and delete_mode == "equality":
+                # no scan: the pass's keys ARE the delete set (older
+                # images vanish; this snapshot's own appends survive the
+                # strictly-older sequence rule)
+                write_equality_deletes(
+                    spark,
+                    location,
+                    upserts.select(*pk),
+                    pk,
+                    data_files=data_files,
+                    timestamp_ms=ts,
+                    operation="overwrite",
+                    summary_extra=stamp,
+                )
+                committed += 1
+            elif hits is not None:
                 write_position_deletes(
                     spark,
                     location,

@@ -1062,3 +1062,103 @@ def test_mirror_stream_interop_loop(spark, tmp_root, ice_pdf):
     got_first = spark.read.parquet(*first["files"])
     assert key(got_first) | key(got_rest) == key(bat)
     assert not (key(got_first) & key(got_rest))
+
+
+def test_equality_deletes(spark, tmp_root):
+    """Spec §Equality Delete Files: a key-valued delete hides rows from
+    STRICTLY OLDER data files only — re-appends of the same key after
+    the delete survive, same-snapshot appends survive (the upsert
+    shape), and position deletes stack on top."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = _kv_table(tmp_root, "ice_eqdel", n_files=1, rows_per=10)
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(5)], "k string")
+    sid = im.write_equality_deletes(spark, loc, keys, ["k"], timestamp_ms=2)
+    assert sid == 2
+    assert im.read_table(spark, loc).count() == 5
+
+    # manifest entry carries the spec's equality_ids (the key's field id)
+    plan = im.scan_files(loc)
+    assert [d["equality_ids"] for d in plan["equality_deletes"]] == [[1]]
+    assert plan["equality_deletes"][0]["sequence"] == 2
+
+    # strictly-older rule: same keys re-appended AFTER the delete survive
+    pq.write_table(
+        pa.table({"k": ["k0", "k1"], "v": [100, 101]}), f"{loc}/data/re.parquet"
+    )
+    im.append_files(loc, [f"{loc}/data/re.parquet"], timestamp_ms=3)
+    got = im.read_table(spark, loc)
+    assert got.count() == 7
+    assert sorted(
+        r["v"] for r in got.where("k in ('k0','k1')").collect()
+    ) == [100, 101]
+
+    # position delete stacks on top of the equality delete
+    assert im.delete_where(spark, loc, "v = 100") == 4
+    assert im.read_table(spark, loc).count() == 6
+
+    # one-snapshot upsert: data + equality delete together ("overwrite")
+    pq.write_table(pa.table({"k": ["k9"], "v": [900]}), f"{loc}/data/up.parquet")
+    im.write_equality_deletes(
+        spark,
+        loc,
+        spark.createDataFrame([("k9",)], "k string"),
+        ["k"],
+        data_files=[f"{loc}/data/up.parquet"],
+        operation="overwrite",
+        timestamp_ms=5,
+    )
+    got = im.read_table(spark, loc)
+    assert [r["v"] for r in got.where("k = 'k9'").collect()] == [900]
+
+    # unknown equality column refused; delete AND overwrite snapshots
+    # stream as empty batches (only plain appends deliver rows)
+    with pytest.raises(ValueError, match="not in table schema"):
+        im.write_equality_deletes(spark, loc, keys, ["nope"])
+    assert [len(b["files"]) for b in im.added_files(loc)] == [1, 0, 1, 0, 0]
+
+
+def test_latest_state_mirror_equality_mode(spark, tmp_root, ice_pdf):
+    """delete_mode='equality' (the Flink-upsert writer shape, no mirror
+    scan per pass) reads back EXACTLY like the position-delete mirror."""
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    loc, _sids = _ice_table(tmp_root, ice_pdf, "ice_lseq_src", n_snaps=2)
+    cfg = _cfg(tmp_root, "ice_lseq")
+    run_iceberg_meta_stream(spark, cfg, loc)
+    mir_eq = f"{tmp_root}/ice_lseq_mirror"
+    assert im.maintain_latest_state_mirror(
+        spark, cfg, mir_eq, delete_mode="equality"
+    ) == 1
+
+    import pandas as pd
+
+    extra = ice_pdf.iloc[:200].copy()
+    extra["cdc$time"] = extra["cdc$time"] + pd.Timedelta(hours=2)
+    extra["cdc$time_us"] = extra["cdc$time_us"] + 7_200_000_000
+    p = f"{loc}/data/extra2.parquet"
+    write_changelog_chunk(extra, p)
+    im.append_files(loc, [p], timestamp_ms=9000)
+    run_iceberg_meta_stream(spark, cfg, loc)
+    assert im.maintain_latest_state_mirror(
+        spark, cfg, mir_eq, delete_mode="equality"
+    ) == 1
+    # pass 2 committed equality deletes, not position deletes
+    plan = im.scan_files(mir_eq)
+    assert plan["equality_deletes"] and not plan["delete_files"]
+
+    mir_pos = f"{tmp_root}/ice_lseq_mirror_pos"
+    im.maintain_latest_state_mirror(spark, cfg, mir_pos, delete_mode="position")
+    key = lambda df: {  # noqa: E731
+        (r["clip_id"], r["__ts_us"], r["transcript"])
+        for r in df.select("clip_id", "__ts_us", "transcript").collect()
+    }
+    got_eq = im.read_table(spark, mir_eq)
+    got_pos = im.read_table(spark, mir_pos)
+    assert got_eq.count() == got_pos.count()
+    assert key(got_eq) == key(got_pos)
+    # idempotent rerun
+    assert im.maintain_latest_state_mirror(
+        spark, cfg, mir_eq, delete_mode="equality"
+    ) == 0
