@@ -1132,33 +1132,20 @@ def q_audio_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near.unionByName(cont).orderBy("kind", "id_a", "id_b")
 
 
-def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample-rate normalization (audio_resample.py): every clip of the
-    mixed-codec fixture corpus → mono pcm_s16le @ 16 kHz via the grouped
-    flat linear-interpolation kernel.  Rows-only (decode not
-    SQL-expressible); kernel equality + SNR floors pinned by
-    tests/test_audio_resample.py."""
-    from scylla_cdc_source_connector_spark.audio_resample import resample_clips
-
-    clips = _fixture_clips(spark, sf_dir, 300)
-    out = resample_clips(
-        clips.select("clip_id", "bytes", "codec", "sr_hz"), target_sr=16_000
-    )
-    # drop the payload from the checked result (hash-stable metadata only)
-    return out.select(
-        "clip_id", "decode_ok", "codec", "sr_hz", "n_samples"
-    ).orderBy("clip_id")
-
-
 def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-energy VAD + single-pass silence trim in one checked entry
-    (rows-only; decode is not SQL-expressible): per clip speech ratio,
-    speech-span trim offsets, AND the trimmed payload length — VAD and the
-    payload slice happen in ONE Arrow pass (audio_vad.trim_clips; frame
-    arithmetic and slice-vs-offset equality pinned by
-    tests/test_audio_vad.py).  A third of the clips are re-wrapped into
-    WAV (RIFF) containers INSIDE a mapInPandas stage (no driver-side
+    """Frame-energy VAD + single-pass silence trim + sample-rate
+    normalization in one checked entry (rows-only; decode is not
+    SQL-expressible): per clip speech ratio, speech-span trim offsets,
+    the trimmed payload length — VAD and the payload slice happen in
+    ONE Arrow pass (audio_vad.trim_clips; frame arithmetic and
+    slice-vs-offset equality pinned by tests/test_audio_vad.py) — plus
+    the resampler's (audio_resample.py) mono pcm_s16le @ 16 kHz output
+    length per clip, 1:1-joined on clip_id (grouped flat-lerp kernel;
+    kernel equality + SNR ≥ 30 dB floors pinned by
+    tests/test_audio_resample.py).  A third of the clips are re-wrapped
+    into WAV (RIFF) containers INSIDE a mapInPandas stage (no driver-side
     synthesis) to exercise the real container-parse path."""
+    from scylla_cdc_source_connector_spark.audio_resample import resample_clips
     from scylla_cdc_source_connector_spark.audio_vad import trim_clips
 
     def wav_wrap(batches):
@@ -1193,15 +1180,31 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = trim_clips(df)
-    return out.select(
+    # resample the ORIGINAL (pre-WAV-wrap) clips — same fixture, 1:1 on
+    # clip_id; payload dropped from the checked result (metadata only)
+    res = resample_clips(
+        _fixture_clips(spark, sf_dir, 300).select(
+            "clip_id", "bytes", "codec", "sr_hz"
+        ),
+        target_sr=16_000,
+    ).select(
         "clip_id",
-        "decode_ok",
-        F.round("speech_ratio", 4).alias("speech_ratio"),
-        "trim_start_ms",
-        "trim_end_ms",
-        F.octet_length("bytes").alias("trimmed_bytes"),
-        "codec",
-    ).orderBy("clip_id")
+        F.col("decode_ok").alias("resample_ok"),
+        F.col("n_samples").alias("resampled_n_samples"),
+    )
+    return (
+        out.select(
+            "clip_id",
+            "decode_ok",
+            F.round("speech_ratio", 4).alias("speech_ratio"),
+            "trim_start_ms",
+            "trim_end_ms",
+            F.octet_length("bytes").alias("trimmed_bytes"),
+            "codec",
+        )
+        .join(res, "clip_id")
+        .orderBy("clip_id")
+    )
 
 
 def q_audio_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1457,6 +1460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only entries were folded, not dropped (each constituent operator
     still executes inside its composite):
       audio_trim               → audio_vad (VAD + trim, one Arrow pass)
+      audio_resample           → audio_vad (round 5: resampled length
+        1:1-joined per clip, freeing the 50th slot for
+        iceberg_latest_state_mirror)
       audio_fingerprint,
       audio_near_dup,
       audio_containment        → audio_dup_detect (kind column)
@@ -1520,7 +1526,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_approx_topk": q_ann_approx_topk,
         "audio_dup_detect": q_audio_dup_detect,
         "audio_vad": q_audio_vad,
-        "audio_resample": q_audio_resample,
     }
 
 
