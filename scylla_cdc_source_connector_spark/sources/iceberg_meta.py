@@ -531,13 +531,15 @@ def _commit_snapshot(
     operation: str,
     timestamp_ms: int = 0,
     summary_extra: dict[str, str] | None = None,
+    carry_prior: bool = True,
 ) -> int:
     """Commit one snapshot adding `data_files` (content=DATA manifest),
     `delete_files` (position-delete parquet, columns file_path/pos) and/or
     `equality_deletes` ([(path, equality field ids)] — spec §Equality
     Delete Files) under one content=DELETES manifest.
     operation: "append" (data only), "delete" (deletes only), "overwrite"
-    (both — the row-level CDC merge shape).  added_files delivers rows
+    (both — the row-level CDC merge shape), "replace" (compaction:
+    rewritten content, pair with carry_prior=False).  added_files delivers rows
     only from "append" snapshots; delete/overwrite snapshots surface as
     empty heartbeat batches on the streaming path (the jar path's
     streaming-skip-delete/overwrite-snapshots).  Returns the snapshot id."""
@@ -683,9 +685,12 @@ def _commit_snapshot(
             }
         )
 
-    # manifest list = this snapshot's manifests + every live prior manifest
+    # manifest list = this snapshot's manifests + every live prior
+    # manifest; carry_prior=False is the REPLACE shape (compaction): the
+    # new manifests are the table's complete live content and every
+    # prior manifest — data and delete alike — drops out of the scan
     prior = []
-    if md["current-snapshot-id"] != -1:
+    if carry_prior and md["current-snapshot-id"] != -1:
         cur = next(
             s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
         )
@@ -894,9 +899,10 @@ def added_files(
 
 
 def live_files(location: str) -> list[str]:
-    """Every live data file of the current snapshot (append-only table:
-    the union of all snapshots' ADDED files)."""
-    return [p for b in added_files(location) for p in b["files"]]
+    """Every live data file of the current snapshot — routed through
+    scan planning so it stays correct after replace/compaction
+    snapshots (not just the union of appended files)."""
+    return scan_files(location)["files"]
 
 
 def scan_files(
@@ -1242,6 +1248,290 @@ def delete_where(spark, location: str, condition, *, timestamp_ms: int = 0) -> i
     return write_position_deletes(
         spark, location, hits, timestamp_ms=timestamp_ms
     )
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: compaction (rewrite data files) + snapshot expiration
+# ---------------------------------------------------------------------------
+
+
+def _transform_column(field: dict, schema: dict, df):
+    """Spark Column computing one partition field's transform value —
+    must agree exactly with _file_partition_values' footer derivation.
+    Branches on the DataFrame's RUNTIME column type (parquet written
+    from pandas reads back TIMESTAMP_NTZ even when the declared Iceberg
+    type is timestamptz), treating naive timestamps as UTC exactly like
+    _to_epoch_us does on the footer side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    src = next(f for f in schema["fields"] if f["id"] == field["source-id"])
+    name = src["name"]
+    col = F.col(f"`{name}`")
+    if field["transform"] == "identity":
+        return col
+    dtype = df.schema[name].dataType
+    if isinstance(dtype, TimestampNTZType):
+        # naive-as-UTC epoch micros, independent of the session timezone
+        us = F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"timestamp_ntz'1970-01-01 00:00:00', `{name}`)"
+        )
+    elif isinstance(dtype, TimestampType):
+        us = F.unix_micros(col)
+    else:
+        us = col  # long: already epoch micros
+    return F.floor(us / _EPOCH_US_PER_HOUR).cast("int")
+
+
+def compact_table(
+    spark,
+    location: str,
+    *,
+    target_file_mb: int = 128,
+    timestamp_ms: int = 0,
+    force: bool = False,
+) -> int:
+    """Rewrite the table's live content as fresh data files and commit
+    ONE replace snapshot — the jarless `rewriteDataFiles` +
+    delete-file compaction.  This is what keeps merge-on-read reads
+    cheap at scale: every `delete_where` / latest-state-mirror pass adds
+    delete files whose anti-joins EVERY subsequent read pays; compaction
+    folds them into the data files once, so reads go back to a plain
+    parquet scan (read_table short-circuits when the plan carries no
+    deletes).  At 100 TB this is the periodic maintenance job, not a
+    per-read cost — exactly Iceberg's own MoR contract under the jar.
+
+    The current merge-on-read state is scanned ONCE, distributed, and
+    written back bin-packed to ~`target_file_mb` files (partitioned
+    tables get one file per live partition via a derived transform
+    column — preserving the data-file purity invariant the footer-stats
+    partition derivation needs).  The replace snapshot's manifest list
+    carries ONLY the new manifest (carry_prior=False): prior data AND
+    delete manifests drop out of scan planning, and the files they
+    referenced become reclaimable by expire_snapshots once no retained
+    snapshot references them.  The streaming path sees the replace
+    snapshot as an empty heartbeat batch (added_files delivers rows only
+    from append snapshots) — compaction never re-delivers rows.
+
+    Returns the replace snapshot id, or -1 when there is nothing to do
+    (no deletes to fold and no small-file bin-packing win; `force=True`
+    rewrites regardless)."""
+    from pyspark.sql import functions as F
+
+    plan = scan_files(location)
+    if not plan["files"]:
+        return -1
+    n_files = len(plan["files"])
+    total_bytes = sum(os.path.getsize(p) for p in plan["files"])
+    target_bytes = target_file_mb * 1024 * 1024
+    packed = max(1, -(-total_bytes // target_bytes))  # ceil
+    has_deletes = bool(plan["delete_files"] or plan["equality_deletes"])
+    if not force and not has_deletes and n_files <= packed:
+        return -1
+
+    md = current_metadata(location)
+    schema = md["schemas"][md["current-schema-id"]]
+    spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
+
+    state = read_table(spark, location)
+    seq = md["last-sequence-number"] + 1
+    out_dir = os.path.join(location, "data", f"compact-{seq:020d}")
+    if spec_fields:
+        # one file per live partition: repartition on the derived
+        # transform columns, then partitionBy them (the derived columns
+        # leave the files; the SOURCE columns stay, so footer stats
+        # still yield the partition tuple, now provably pure)
+        pcols = [f"__part_{i}" for i in range(len(spec_fields))]
+        part_df = state
+        for name, f in zip(pcols, spec_fields):
+            part_df = part_df.withColumn(
+                name, _transform_column(f, schema, state)
+            )
+        (
+            part_df.repartition(*[F.col(c) for c in pcols])
+            .write.partitionBy(*pcols)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+    else:
+        state.repartition(packed).write.mode("overwrite").parquet(out_dir)
+    new_files = sorted(
+        os.path.join(dp, fn)
+        for dp, _dns, fns in os.walk(out_dir)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    if not new_files:
+        raise RuntimeError(f"compaction of {location} produced no files")
+    return _commit_snapshot(
+        location,
+        new_files,
+        [],
+        operation="replace",
+        timestamp_ms=timestamp_ms,
+        summary_extra={
+            "compacted-data-files": str(n_files),
+            "removed-position-delete-files": str(len(plan["delete_files"])),
+            "removed-equality-delete-files": str(
+                len(plan["equality_deletes"])
+            ),
+        },
+        carry_prior=False,
+    )
+
+
+def expire_snapshots(
+    location: str,
+    *,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+    protect_snapshot_ids: set[int] | frozenset[int] = frozenset(),
+    keep_metadata_versions: int = 2,
+    dry_run: bool = False,
+) -> dict:
+    """Expire old snapshots and physically delete every file no retained
+    snapshot references — the jarless `expireSnapshots` + orphan
+    reclamation.  Without this, a CDC table's metadata and storage grow
+    without bound (every mirror pass adds a snapshot; compaction leaves
+    the replaced files on disk for time travel): at one snapshot per
+    micro-batch that is ~17k snapshots/day, so expiration is the
+    standing maintenance job at scale, paired with compact_table.
+
+    Retention: a snapshot is KEPT if it is the current snapshot, in
+    `protect_snapshot_ids` (e.g. the last snapshot a lagging streaming
+    consumer has drained — the engine-side analog of the sink's
+    keep_min_applied guard), within the newest `keep_last`, or at least
+    as new as `older_than_ms` — i.e. with both criteria given, only
+    snapshots older than the cutoff AND beyond the newest K expire
+    (Iceberg's expire_snapshots(older_than, retain_last) contract).
+
+    A consumer whose resume point was expired anyway gets the explicit
+    `added_files` "resume snapshot ... not in table history (expired?)"
+    error on its next drain, never silent re-delivery or a gap.
+
+    Returns {snapshots_expired, manifests_deleted, data_files_deleted,
+    delete_files_deleted, bytes_reclaimed, metadata_versions_deleted};
+    `dry_run=True` computes the same stats deleting nothing."""
+    if keep_last is None and older_than_ms is None:
+        raise ValueError("expire_snapshots needs keep_last or older_than_ms")
+    if keep_last is not None and keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (current snapshot stays)")
+    md = current_metadata(location)
+    snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
+    n = len(snaps)
+    protected = set(protect_snapshot_ids)
+    retained, expired = [], []
+    for i, s in enumerate(snaps):
+        keep = (
+            s["snapshot-id"] == md["current-snapshot-id"]
+            or s["snapshot-id"] in protected
+            or (keep_last is not None and i >= n - keep_last)
+            or (
+                older_than_ms is not None
+                and s["timestamp-ms"] >= older_than_ms
+            )
+        )
+        (retained if keep else expired).append(s)
+    stats = {
+        "snapshots_expired": len(expired),
+        "manifests_deleted": 0,
+        "data_files_deleted": 0,
+        "delete_files_deleted": 0,
+        "bytes_reclaimed": 0,
+        "metadata_versions_deleted": 0,
+    }
+    if not expired:
+        return stats
+
+    # referenced-path sets; manifest reads cached (the same manifest
+    # path appears in every later snapshot's manifest list)
+    file_cache: dict[str, list[tuple[str, bool]]] = {}
+
+    def refs(snap):
+        _, _, manifests = avro.read_container(snap["manifest-list"])
+        mpaths, fpaths = set(), set()
+        for mf in manifests:
+            mp = mf["manifest_path"]
+            mpaths.add(mp)
+            if mp not in file_cache:
+                _, _, entries = avro.read_container(mp)
+                file_cache[mp] = [
+                    (
+                        e["data_file"]["file_path"],
+                        mf["content"] == CONTENT_DELETES,
+                    )
+                    for e in entries
+                ]
+            fpaths.update(file_cache[mp])
+        return mpaths, fpaths
+
+    keep_m: set[str] = set()
+    keep_f: set[tuple[str, bool]] = set()
+    for s in retained:
+        mp, fp = refs(s)
+        keep_m |= mp
+        keep_f |= fp
+    dead_m: set[str] = set()
+    dead_f: set[tuple[str, bool]] = set()
+    dead_lists: list[str] = []
+    for s in expired:
+        mp, fp = refs(s)
+        dead_m |= mp - keep_m
+        dead_f |= fp - keep_f
+        dead_lists.append(s["manifest-list"])
+
+    keep_fpaths = {p for p, _ in keep_f}
+    doomed_paths = (
+        [p for p, _ in dead_f if p not in keep_fpaths]
+        + sorted(dead_m)
+        + dead_lists
+    )
+    for p in doomed_paths:
+        try:
+            stats["bytes_reclaimed"] += os.path.getsize(p)
+        except OSError:
+            pass
+    stats["manifests_deleted"] = len(dead_m) + len(dead_lists)
+    for p, is_del in sorted(dead_f):
+        if p in keep_fpaths:
+            continue
+        key = "delete_files_deleted" if is_del else "data_files_deleted"
+        stats[key] += 1
+    if dry_run:
+        return stats
+
+    for p in doomed_paths:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    expired_ids = {s["snapshot-id"] for s in expired}
+    md["snapshots"] = [
+        s for s in md["snapshots"] if s["snapshot-id"] not in expired_ids
+    ]
+    md["snapshot-log"] = [
+        e
+        for e in md.get("snapshot-log", [])
+        if e["snapshot-id"] not in expired_ids
+    ]
+    with open(_version_hint(location)) as fh:
+        v = int(fh.read().strip())
+    _write_metadata(location, md, v + 1)
+    # prune old vN.metadata.json beyond the newest keep_metadata_versions
+    # (write.metadata.previous-versions-max analog)
+    floor_v = (v + 1) - keep_metadata_versions
+    mdir = _meta_dir(location)
+    for fn in os.listdir(mdir):
+        if fn.endswith(".metadata.json"):
+            try:
+                ver = int(fn.split(".", 1)[0].lstrip("v"))
+            except ValueError:
+                continue
+            if ver <= floor_v:
+                os.remove(os.path.join(mdir, fn))
+                stats["metadata_versions_deleted"] += 1
+    return stats
 
 
 # ---------------------------------------------------------------------------

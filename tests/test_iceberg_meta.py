@@ -1162,3 +1162,189 @@ def test_latest_state_mirror_equality_mode(spark, tmp_root, ice_pdf):
     assert im.maintain_latest_state_mirror(
         spark, cfg, mir_eq, delete_mode="equality"
     ) == 0
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: compaction (rewrite data files) + snapshot expiration
+# ---------------------------------------------------------------------------
+
+
+def test_compact_table_folds_deletes(spark, tmp_root):
+    """compact_table rewrites the merge-on-read state as fresh files in
+    ONE replace snapshot: position AND equality deletes fold into the
+    data, reads return to a plain parquet scan, and the streaming path
+    sees the replace snapshot as a 0-row heartbeat (no re-delivery)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = f"{tmp_root}/ice_compact"
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(f"{loc}/data")
+    sch = spark.createDataFrame([(0, "x")], "k int, v string").schema
+    im.create_table(loc, sch)
+    for i in range(3):
+        p = f"{loc}/data/c{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": list(range(i * 100, (i + 1) * 100)),
+                    "v": [f"v{j}" for j in range(i * 100, (i + 1) * 100)],
+                }
+            ),
+            p,
+        )
+        im.append_files(loc, [p], timestamp_ms=i + 1)
+    im.delete_where(spark, loc, "k % 10 = 3", timestamp_ms=4)
+    im.write_equality_deletes(
+        spark, loc, spark.createDataFrame([(7,)], "k int"), ["k"], timestamp_ms=5
+    )
+    before = {tuple(r) for r in im.read_table(spark, loc).collect()}
+    assert len(before) == 300 - 30 - 1
+
+    sid = im.compact_table(spark, loc, timestamp_ms=6)
+    assert sid > 0
+    plan = im.scan_files(loc)
+    assert not plan["delete_files"] and not plan["equality_deletes"]
+    assert len(plan["files"]) == 1  # bin-packed
+    assert {tuple(r) for r in im.read_table(spark, loc).collect()} == before
+    assert sorted(im.live_files(loc)) == sorted(plan["files"])
+
+    # idempotent: nothing left to fold or pack
+    assert im.compact_table(spark, loc) == -1
+    # stream semantics: only the append snapshots carry rows
+    counts = [b["record_count"] for b in im.added_files(loc)]
+    assert counts == [100, 100, 100, 0, 0, 0]
+
+
+def test_compact_partitioned_table(spark, tmp_root):
+    """Compaction of an hour-partitioned table writes one partition-pure
+    file per live hour (footer-derived partition tuples survive), and
+    manifest-list pruning still works on the compacted manifest."""
+    loc = _hour_table(tmp_root, "ice_compact_hour")
+    # two row-level delete passes -> 2 delete files the next read pays
+    im.delete_where(spark, loc, "`cdc$batch_seq_no` = 0", timestamp_ms=7000)
+    im.delete_where(spark, loc, "`cdc$batch_seq_no` = 1", timestamp_ms=7500)
+    want = {
+        (r["clip_id"], r["cdc$time_us"])
+        for r in im.read_table(spark, loc)
+        .select("clip_id", "`cdc$time_us`")
+        .collect()
+    }
+
+    sid = im.compact_table(spark, loc, timestamp_ms=8000)
+    assert sid > 0
+    plan = im.scan_files(loc)
+    assert not plan["delete_files"]
+    hours = sorted(p["cdc_time_hour"] for p in plan["partitions"])
+    assert len(plan["files"]) == 3 and hours[2] - hours[0] == 4
+    got = {
+        (r["clip_id"], r["cdc$time_us"])
+        for r in im.read_table(spark, loc)
+        .select("clip_id", "`cdc$time_us`")
+        .collect()
+    }
+    assert got == want
+    # pruning: 1 of 1 compacted manifest opened, 1 of 3 files scanned
+    mid = hours[1]
+    sub = im.scan_files(loc, partition_ranges={"cdc_time_hour": (mid, mid)})
+    assert len(sub["files"]) == 1
+
+
+def test_expire_snapshots_reclaims_files(spark, tmp_root):
+    """expire_snapshots removes expired snapshots' metadata and every
+    file only they referenced; retained state reads back identical, and
+    a consumer resuming from an expired snapshot gets the explicit
+    error (never silent re-delivery)."""
+    loc = _hour_table(tmp_root, "ice_expire")
+    im.delete_where(spark, loc, "`cdc$batch_seq_no` = 0", timestamp_ms=7000)
+    im.compact_table(spark, loc, timestamp_ms=8000)
+    want = im.read_table(spark, loc).count()
+    n_snaps = len(im.snapshots(loc))
+    assert n_snaps == 5  # 3 appends + 1 delete + 1 replace
+
+    with pytest.raises(ValueError, match="keep_last or older_than_ms"):
+        im.expire_snapshots(loc)
+    with pytest.raises(ValueError, match="keep_last must be"):
+        im.expire_snapshots(loc, keep_last=0)
+
+    dry = im.expire_snapshots(loc, keep_last=1, dry_run=True)
+    assert dry["snapshots_expired"] == 4
+    assert dry["data_files_deleted"] == 3  # the pre-compaction hour files
+    assert dry["delete_files_deleted"] == 1
+    assert len(im.snapshots(loc)) == n_snaps  # dry run touched nothing
+
+    stats = im.expire_snapshots(loc, keep_last=1)
+    assert {k: stats[k] for k in dry if k != "metadata_versions_deleted"} == {
+        k: dry[k] for k in dry if k != "metadata_versions_deleted"
+    }
+    assert stats["metadata_versions_deleted"] > 0
+    assert len(im.snapshots(loc)) == 1
+    assert im.read_table(spark, loc).count() == want
+    # only the compacted files remain on disk
+    on_disk = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(f"{loc}/data")
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert sorted(on_disk) == sorted(im.live_files(loc))
+    with pytest.raises(ValueError, match="expired"):
+        im.added_files(loc, after_snapshot_id=1)
+
+
+def test_expire_snapshots_protection_rules(spark, tmp_root):
+    """protect_snapshot_ids (the lagging-consumer guard) and the
+    older_than_ms AND keep_last combination both hold snapshots back."""
+    loc = _hour_table(tmp_root, "ice_expire_guard")  # ts 1000/2000/3000
+
+    # protected snapshot survives keep_last=1
+    dry = im.expire_snapshots(
+        loc, keep_last=1, protect_snapshot_ids={1}, dry_run=True
+    )
+    assert dry["snapshots_expired"] == 1  # only snapshot 2 expires
+
+    # both criteria: expire only (older than cutoff) AND (beyond last K)
+    dry2 = im.expire_snapshots(
+        loc, keep_last=2, older_than_ms=10_000, dry_run=True
+    )
+    assert dry2["snapshots_expired"] == 1
+    dry3 = im.expire_snapshots(
+        loc, keep_last=1, older_than_ms=1500, dry_run=True
+    )
+    assert dry3["snapshots_expired"] == 1  # 2000/3000 pass the cutoff
+
+
+def test_stream_survives_compaction_and_expiry(spark, tmp_root, ice_pdf):
+    """Maintenance never disturbs the exactly-once stream: a drain after
+    delete+compact+expire re-delivers nothing, and a fresh append after
+    maintenance is picked up incrementally."""
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    loc, sids = _ice_table(tmp_root, ice_pdf, "ice_tbl_maint", n_snaps=2)
+    cfg = _cfg(tmp_root, "ice_maint")
+    res = run_iceberg_meta_stream(spark, cfg, loc)
+    n1 = sink_mod.read_emitted(spark, cfg).count()
+
+    im.delete_where(spark, loc, "`cdc$batch_seq_no` = 0", timestamp_ms=100)
+    im.compact_table(spark, loc, force=True, timestamp_ms=200)
+    im.expire_snapshots(
+        loc, keep_last=1, protect_snapshot_ids=set(res["consumed"])
+    )
+    res2 = run_iceberg_meta_stream(spark, cfg, loc)
+    assert res2["consumed"] != [] or res2["skipped"] != []
+    assert sink_mod.read_emitted(spark, cfg).count() == n1
+
+    import pandas as pd
+
+    extra = ice_pdf.iloc[:150].copy()
+    extra["cdc$time"] = extra["cdc$time"] + pd.Timedelta(hours=3)
+    extra["cdc$time_us"] = extra["cdc$time_us"] + 10_800_000_000
+    p = f"{loc}/data/maint-extra.parquet"
+    write_changelog_chunk(extra, p)
+    im.append_files(loc, [p], timestamp_ms=300)
+    run_iceberg_meta_stream(spark, cfg, loc)
+    want_delta = cdc_envelopes(
+        spark.read.parquet(p), cfg, processing_ts_ms=F.lit(0)
+    ).count()
+    assert want_delta > 0
+    assert sink_mod.read_emitted(spark, cfg).count() == n1 + want_delta
