@@ -288,9 +288,12 @@ def q_iceberg_latest_state_mirror(spark: SparkSession, sf_dir: str) -> DataFrame
     (UPDATE/DELETE as position-delete row-level ops, one overwrite
     snapshot per pass) → read_table (merge-on-read).  The second
     maintenance pass supersedes first-pass images, so the result carries
-    real position deletes.  Row-for-row parity with apply.materialize_
-    latest is pinned by tests/test_iceberg_meta.py::test_latest_state_
-    mirror; this row checks the loop holds at the sf-scaled fixture."""
+    real position deletes — which the round-5 maintenance pair then
+    folds away (compact_table replace snapshot) and reclaims
+    (expire_snapshots keep_last=1) with the read-back unchanged.
+    Row-for-row parity with apply.materialize_latest is pinned by
+    tests/test_iceberg_meta.py::test_latest_state_mirror; this row
+    checks the full loop holds at the sf-scaled fixture."""
     import os
 
     import pyarrow.parquet as pq
@@ -340,6 +343,11 @@ def q_iceberg_latest_state_mirror(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     run_iceberg_meta_stream(spark, cfg, loc)
     iceberg_meta.maintain_latest_state_mirror(spark, cfg, mir)
+    # round-5 maintenance pair: fold the overwrite pass's delete files
+    # into the data (replace snapshot) and reclaim everything only the
+    # expired snapshots referenced — the result must be unchanged
+    iceberg_meta.compact_table(spark, mir)
+    iceberg_meta.expire_snapshots(mir, keep_last=1)
     return iceberg_meta.read_table(spark, mir).select(
         "clip_id",
         F.col("__ts_us").alias("last_ts_us"),
