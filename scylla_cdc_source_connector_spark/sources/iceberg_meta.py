@@ -268,7 +268,123 @@ def current_metadata(location: str) -> dict:
         return json.load(fh)
 
 
+#: tables whose metadata commits route through an Iceberg REST catalog:
+#: abspath(location) -> (RestCatalog client, namespace, table name).
+#: Process-local by design — the CATALOG is the cross-process authority.
+_CATALOG_BINDINGS: dict[str, tuple] = {}
+
+
+def bind_catalog(
+    location: str, client, namespace: str, name: str, *, register: bool = True
+) -> None:
+    """Route this table's commits through an Iceberg REST catalog
+    (sources/iceberg_rest_catalog.py): every metadata advance becomes a
+    spec-shaped commitTable call (assert-table-uuid +
+    assert-ref-snapshot-id requirements, add-snapshot/set-snapshot-ref/
+    remove-snapshots/add-schema/set-current-schema updates) so the
+    catalog serializes concurrent writers — a conflicting commit raises
+    CommitConflictError and the caller retries from fresh metadata.
+    With register=True the table's current metadata file is registered
+    under namespace.name (creating the namespace if absent)."""
+    from scylla_cdc_source_connector_spark.sources.iceberg_rest_catalog import (
+        RestCatalogError,
+    )
+
+    if register:
+        try:
+            client.create_namespace(namespace)
+        except RestCatalogError as ex:
+            if ex.code != 409:
+                raise
+        with open(_version_hint(location)) as fh:
+            v = int(fh.read().strip())
+        client.register_table(
+            namespace,
+            name,
+            os.path.join(_meta_dir(location), f"v{v}.metadata.json"),
+        )
+    _CATALOG_BINDINGS[os.path.abspath(location)] = (client, namespace, name)
+
+
+def unbind_catalog(location: str) -> None:
+    _CATALOG_BINDINGS.pop(os.path.abspath(location), None)
+
+
+def _commit_via_catalog(binding, location: str, new_md: dict, version: int):
+    """Derive the spec updates that turn this table's base metadata
+    (v{version-1}) into `new_md` and send ONE commitTable call.  The
+    requirements pin the base: if another writer advanced the table
+    meanwhile, the catalog answers 409 (CommitConflictError) and nothing
+    is applied — the caller re-reads current_metadata and retries, the
+    optimistic-concurrency loop every Iceberg catalog client runs."""
+    client, ns, name = binding
+    base_path = os.path.join(
+        _meta_dir(location), f"v{version - 1}.metadata.json"
+    )
+    with open(base_path) as fh:
+        old = json.load(fh)
+    updates: list[dict] = []
+    old_ids = {s["snapshot-id"] for s in old["snapshots"]}
+    new_ids = {s["snapshot-id"] for s in new_md["snapshots"]}
+    for s in sorted(
+        new_md["snapshots"], key=lambda s: s["sequence-number"]
+    ):
+        if s["snapshot-id"] not in old_ids:
+            updates.append({"action": "add-snapshot", "snapshot": s})
+    removed = sorted(old_ids - new_ids)
+    if removed:
+        updates.append(
+            {"action": "remove-snapshots", "snapshot-ids": removed}
+        )
+    old_sids = {s["schema-id"] for s in old["schemas"]}
+    for sch in new_md["schemas"]:
+        if sch["schema-id"] not in old_sids:
+            updates.append({"action": "add-schema", "schema": sch})
+    if new_md["current-schema-id"] != old["current-schema-id"]:
+        updates.append(
+            {
+                "action": "set-current-schema",
+                "schema-id": new_md["current-schema-id"],
+            }
+        )
+    if new_md["current-snapshot-id"] != old["current-snapshot-id"]:
+        updates.append(
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": new_md["current-snapshot-id"],
+            }
+        )
+    base_cur = old["current-snapshot-id"]
+    client.commit_table(
+        ns,
+        name,
+        requirements=[
+            {"type": "assert-table-uuid", "uuid": new_md["table-uuid"]},
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": None if base_cur == -1 else base_cur,
+            },
+        ],
+        updates=updates,
+    )
+
+
 def _write_metadata(location: str, md: dict, version: int) -> None:
+    """Advance the table to `md` as metadata version `version`.  For a
+    catalog-bound table the advance is a REST commit (the catalog owns
+    the pointer swap and persists the file); otherwise the file +
+    version-hint are written directly (HadoopCatalog shape)."""
+    binding = _CATALOG_BINDINGS.get(os.path.abspath(location))
+    if binding is not None and version > 1:
+        _commit_via_catalog(binding, location, md, version)
+        return
+    _write_metadata_file(location, md, version)
+
+
+def _write_metadata_file(location: str, md: dict, version: int) -> None:
     mdir = _meta_dir(location)
     os.makedirs(mdir, exist_ok=True)
     path = os.path.join(mdir, f"v{version}.metadata.json")
@@ -548,6 +664,11 @@ def _commit_snapshot(
     md = current_metadata(location)
     seq = md["last-sequence-number"] + 1
     snap_id = seq  # deterministic, monotone with sequence number
+    # manifest/list filenames carry a per-commit token so two writers
+    # racing on the same base (catalog-bound tables) can never clobber
+    # each other's files before the catalog CAS picks the winner —
+    # Iceberg's own avro files are uuid-named for the same reason
+    token = uuid.uuid4().hex[:8]
     mdir = _meta_dir(location)
     schema = md["schemas"][md["current-schema-id"]]
     spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
@@ -592,7 +713,7 @@ def _commit_snapshot(
     new_manifests, n_rows = [], 0
     if data_files:
         entries, n_rows = mk_entries(data_files, CONTENT_DATA, True)
-        manifest_path = os.path.join(mdir, f"manifest-{snap_id:020d}.avro")
+        manifest_path = os.path.join(mdir, f"manifest-{snap_id:020d}-{token}.avro")
         avro.write_container(
             manifest_path,
             _entry_schema_for(spec_fields, result_types),
@@ -653,7 +774,7 @@ def _commit_snapshot(
             )
             entries.extend(e)
             n_del_rows += n
-        manifest_path = os.path.join(mdir, f"manifest-{snap_id:020d}-d.avro")
+        manifest_path = os.path.join(mdir, f"manifest-{snap_id:020d}-{token}-d.avro")
         avro.write_container(
             manifest_path,
             _DELETE_ENTRY_SCHEMA,
@@ -695,7 +816,7 @@ def _commit_snapshot(
             s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
         )
         _, _, prior = avro.read_container(cur["manifest-list"])
-    list_path = os.path.join(mdir, f"snap-{snap_id:020d}.avro")
+    list_path = os.path.join(mdir, f"snap-{snap_id:020d}-{token}.avro")
     avro.write_container(
         list_path,
         MANIFEST_FILE_SCHEMA,
@@ -1140,7 +1261,9 @@ def write_position_deletes(
     the snapshot id."""
     md = current_metadata(location)
     seq = md["last-sequence-number"] + 1
-    out_dir = os.path.join(location, "data", f"deletes-{seq:020d}")
+    out_dir = os.path.join(
+        location, "data", f"deletes-{seq:020d}-{uuid.uuid4().hex[:8]}"
+    )
     (
         deletes_df.select("file_path", "pos")
         .repartition(1)
@@ -1192,7 +1315,9 @@ def write_equality_deletes(
         raise ValueError(f"equality columns not in table schema: {missing}")
     eq_ids = [name_to_id[c] for c in equality_columns]
     seq = md["last-sequence-number"] + 1
-    out_dir = os.path.join(location, "data", f"eqdeletes-{seq:020d}")
+    out_dir = os.path.join(
+        location, "data", f"eqdeletes-{seq:020d}-{uuid.uuid4().hex[:8]}"
+    )
     (
         keys_df.select(*[F.col(f"`{c}`") for c in equality_columns])
         .dropDuplicates()
@@ -1336,7 +1461,9 @@ def compact_table(
 
     state = read_table(spark, location)
     seq = md["last-sequence-number"] + 1
-    out_dir = os.path.join(location, "data", f"compact-{seq:020d}")
+    out_dir = os.path.join(
+        location, "data", f"compact-{seq:020d}-{uuid.uuid4().hex[:8]}"
+    )
     if spec_fields:
         # one file per live partition: repartition on the derived
         # transform columns, then partitionBy them (the derived columns
