@@ -1376,6 +1376,209 @@ def delete_where(spark, location: str, condition, *, timestamp_ms: int = 0) -> i
 
 
 # ---------------------------------------------------------------------------
+# metadata tables: the <table>$<kind> inspection surface
+# ---------------------------------------------------------------------------
+
+_METADATA_TABLE_KINDS = (
+    "snapshots",
+    "history",
+    "manifests",
+    "files",
+    "partitions",
+    "refs",
+)
+
+
+def metadata_table(spark, location: str, kind: str):
+    """Iceberg's metadata tables (`SELECT * FROM tbl$snapshots` under
+    the jar) as DataFrames — the inspection surface operators use to
+    answer "what changed, when, and what does it cost to read":
+
+      snapshots  — committed_at_ms, snapshot_id, parent_id, operation,
+                   summary (map) for every retained snapshot
+      history    — made_current_at_ms, snapshot_id, parent_id,
+                   is_current_ancestor (linear main-branch history)
+      manifests  — content, path, length, partition_spec_id,
+                   added_snapshot_id, added/existing/deleted file counts
+                   of the CURRENT snapshot's manifest list
+      files      — content, file_path, file_format, record_count,
+                   file_size_in_bytes, partition (map<string,string>),
+                   sequence_number of the current snapshot's entries
+                   (data AND delete files)
+      partitions — per live partition tuple: record_count, file_count
+      refs       — name/type/snapshot_id (main branch)
+
+    Metadata-scale rows built on the driver (same cost class as scan
+    planning itself) and returned as a DataFrame so they compose with
+    SQL — e.g. joining $files against $partitions to find compaction
+    candidates."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if kind not in _METADATA_TABLE_KINDS:
+        raise ValueError(
+            f"unknown metadata table {kind!r} "
+            f"(supported: {_METADATA_TABLE_KINDS})"
+        )
+    md = current_metadata(location)
+    S = StructType
+    F_ = StructField
+    if kind == "snapshots":
+        schema = S(
+            [
+                F_("committed_at_ms", LongType()),
+                F_("snapshot_id", LongType()),
+                F_("parent_id", LongType()),
+                F_("operation", StringType()),
+                F_("summary", MapType(StringType(), StringType())),
+            ]
+        )
+        rows = [
+            (
+                s["timestamp-ms"],
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s.get("summary", {}).get("operation"),
+                {k: str(v) for k, v in s.get("summary", {}).items()},
+            )
+            for s in sorted(md["snapshots"], key=lambda s: s["sequence-number"])
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "history":
+        schema = S(
+            [
+                F_("made_current_at_ms", LongType()),
+                F_("snapshot_id", LongType()),
+                F_("parent_id", LongType()),
+                F_("is_current_ancestor", BooleanType()),
+            ]
+        )
+        by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+        rows = [
+            (
+                e["timestamp-ms"],
+                e["snapshot-id"],
+                by_id.get(e["snapshot-id"], {}).get("parent-snapshot-id"),
+                e["snapshot-id"] in by_id,  # linear history: retained ⇒ ancestor
+            )
+            for e in md.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "refs":
+        schema = S(
+            [
+                F_("name", StringType()),
+                F_("type", StringType()),
+                F_("snapshot_id", LongType()),
+            ]
+        )
+        cur = md["current-snapshot-id"]
+        rows = [] if cur == -1 else [("main", "branch", cur)]
+        return spark.createDataFrame(rows, schema)
+
+    # manifest-list-backed kinds
+    manifests = []
+    if md["current-snapshot-id"] != -1:
+        cur = next(
+            s
+            for s in md["snapshots"]
+            if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        _, _, manifests = avro.read_container(cur["manifest-list"])
+    if kind == "manifests":
+        schema = S(
+            [
+                F_("content", IntegerType()),
+                F_("path", StringType()),
+                F_("length", LongType()),
+                F_("partition_spec_id", IntegerType()),
+                F_("added_snapshot_id", LongType()),
+                F_("added_files_count", IntegerType()),
+                F_("existing_files_count", IntegerType()),
+                F_("deleted_files_count", IntegerType()),
+            ]
+        )
+        rows = [
+            (
+                mf["content"],
+                mf["manifest_path"],
+                mf["manifest_length"],
+                mf["partition_spec_id"],
+                mf["added_snapshot_id"],
+                mf["added_files_count"],
+                mf["existing_files_count"],
+                mf["deleted_files_count"],
+            )
+            for mf in manifests
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    entries = []  # (manifest, entry) pairs of the current snapshot
+    for mf in manifests:
+        _, _, es = avro.read_container(mf["manifest_path"])
+        for e in es:
+            if e["status"] != ST_DELETED:
+                entries.append((mf, e))
+    if kind == "files":
+        schema = S(
+            [
+                F_("content", IntegerType()),
+                F_("file_path", StringType()),
+                F_("file_format", StringType()),
+                F_("record_count", LongType()),
+                F_("file_size_in_bytes", LongType()),
+                F_("partition", MapType(StringType(), StringType())),
+                F_("sequence_number", LongType()),
+            ]
+        )
+        rows = [
+            (
+                e["data_file"]["content"],
+                e["data_file"]["file_path"],
+                e["data_file"]["file_format"],
+                e["data_file"]["record_count"],
+                e["data_file"]["file_size_in_bytes"],
+                {
+                    k: str(v)
+                    for k, v in (e["data_file"].get("partition") or {}).items()
+                },
+                e["sequence_number"] or mf["sequence_number"],
+            )
+            for mf, e in entries
+        ]
+        return spark.createDataFrame(rows, schema)
+    # partitions
+    schema = S(
+        [
+            F_("partition", MapType(StringType(), StringType())),
+            F_("record_count", LongType()),
+            F_("file_count", LongType()),
+        ]
+    )
+    agg: dict[tuple, list[int]] = {}
+    for _mf, e in entries:
+        df_ = e["data_file"]
+        if df_["content"] != CONTENT_DATA:
+            continue
+        part = tuple(sorted((df_.get("partition") or {}).items()))
+        got = agg.setdefault(part, [0, 0])
+        got[0] += df_["record_count"]
+        got[1] += 1
+    rows = [
+        ({k: str(v) for k, v in part}, rc, fc)
+        for part, (rc, fc) in sorted(agg.items())
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
 # table maintenance: compaction (rewrite data files) + snapshot expiration
 # ---------------------------------------------------------------------------
 

@@ -1348,3 +1348,44 @@ def test_stream_survives_compaction_and_expiry(spark, tmp_root, ice_pdf):
     ).count()
     assert want_delta > 0
     assert sink_mod.read_emitted(spark, cfg).count() == n1 + want_delta
+
+
+def test_metadata_tables(spark, tmp_root):
+    """The <table>$<kind> inspection surface: snapshots/history/
+    manifests/files/partitions/refs as DataFrames, correct before and
+    after maintenance."""
+    loc = _hour_table(tmp_root, "ice_meta_tables")
+
+    snaps = im.metadata_table(spark, loc, "snapshots")
+    assert snaps.count() == 3
+    ops = [r["operation"] for r in snaps.orderBy("snapshot_id").collect()]
+    assert ops == ["append"] * 3
+    assert im.metadata_table(spark, loc, "history").count() == 3
+    refs = im.metadata_table(spark, loc, "refs").collect()
+    assert [(r["name"], r["type"], r["snapshot_id"]) for r in refs] == [
+        ("main", "branch", 3)
+    ]
+
+    parts = im.metadata_table(spark, loc, "partitions").collect()
+    assert len(parts) == 3 and all(
+        (r["record_count"], r["file_count"]) == (100, 1) for r in parts
+    )
+    files = im.metadata_table(spark, loc, "files")
+    assert files.where("content = 0").count() == 3
+
+    im.delete_where(spark, loc, "`cdc$batch_seq_no` = 0", timestamp_ms=7000)
+    files = im.metadata_table(spark, loc, "files")
+    assert files.where("content = 1").count() == 1  # the delete file
+
+    im.compact_table(spark, loc, timestamp_ms=8000)
+    snaps = im.metadata_table(spark, loc, "snapshots").orderBy("snapshot_id")
+    assert [r["operation"] for r in snaps.collect()][-1] == "replace"
+    files = im.metadata_table(spark, loc, "files")
+    assert files.where("content != 0").count() == 0
+    total = im.metadata_table(spark, loc, "partitions").groupBy().sum(
+        "record_count"
+    ).collect()[0][0]
+    assert total == im.read_table(spark, loc).count()
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        im.metadata_table(spark, loc, "nope")
