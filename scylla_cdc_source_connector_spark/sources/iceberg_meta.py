@@ -1975,6 +1975,8 @@ def maintain_latest_state_mirror(
     table=None,
     strict: bool = False,
     delete_mode: str = "position",
+    compact_every: int | None = None,
+    expire_keep_last: int | None = None,
 ) -> int:
     """COMPACTED latest-state Iceberg mirror: one live row per primary
     key, maintained with ROW-LEVEL ops — new/updated keys append, stale
@@ -2010,7 +2012,19 @@ def maintain_latest_state_mirror(
     between the snapshot commit and the markers cannot double-merge on
     rerun, and replayed older batches are never re-applied, so deleted
     keys stay deleted (no tombstone rows needed, unlike apply.py whose
-    consumers may replay).  Returns snapshots committed this pass."""
+    consumers may replay).  Returns snapshots committed this pass.
+
+    Auto-maintenance (the long-running-mirror shape): with
+    `compact_every=N`, once N snapshots have accumulated since the last
+    replace snapshot the pass ends with compact_table (delete files fold
+    away, reads return to a plain scan) and — if `expire_keep_last=K` —
+    expire_snapshots(keep_last=K), bounding BOTH the per-read MoR cost
+    and the table's metadata/storage growth without a separate
+    maintenance scheduler.  Maintenance never re-delivers rows (replace
+    snapshots are stream heartbeats) and never disturbs the `sccs-
+    batch-ids` idempotence stamps consumers rely on: expiry keeps at
+    least the newest snapshot, whose lineage the `_applied` markers
+    already carry."""
     from pyspark.sql import functions as F
 
     from scylla_cdc_source_connector_spark.config import IncludeMode
@@ -2153,6 +2167,19 @@ def maintain_latest_state_mirror(
             0,
             extra={"expired": True} if bid in expired else None,
         )
+    if compact_every is not None and os.path.exists(_version_hint(location)):
+        snaps = snapshots(location)
+        since_replace = 0
+        for s in snaps:
+            if s.get("summary", {}).get("operation") == "replace":
+                since_replace = 0
+            else:
+                since_replace += 1
+        if since_replace >= compact_every:
+            if compact_table(spark, location) != -1 and (
+                expire_keep_last is not None
+            ):
+                expire_snapshots(location, keep_last=expire_keep_last)
     return committed
 
 

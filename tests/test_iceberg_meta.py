@@ -1389,3 +1389,56 @@ def test_metadata_tables(spark, tmp_root):
 
     with pytest.raises(ValueError, match="unknown metadata table"):
         im.metadata_table(spark, loc, "nope")
+
+
+def test_mirror_auto_maintenance(spark, tmp_root, ice_pdf):
+    """maintain_latest_state_mirror(compact_every=2, expire_keep_last=1):
+    the long-running mirror compacts and expires itself on cadence, the
+    read-back stays identical to an unmaintained mirror, and applied
+    markers keep replay-safety across the expiry."""
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    loc, _sids = _ice_table(tmp_root, ice_pdf, "ice_automaint_src", n_snaps=1)
+    cfg = _cfg(tmp_root, "ice_automaint")
+    mir = f"{tmp_root}/ice_automaint_mirror"
+    plain = f"{tmp_root}/ice_automaint_plain"
+
+    import pandas as pd
+
+    for wave in range(3):
+        if wave:
+            extra = ice_pdf.iloc[: 150 * wave].copy()
+            extra["cdc$time"] = extra["cdc$time"] + pd.Timedelta(hours=wave)
+            extra["cdc$time_us"] = (
+                extra["cdc$time_us"] + wave * 3_600_000_000
+            )
+            p = f"{loc}/data/wave{wave}.parquet"
+            write_changelog_chunk(extra, p)
+            im.append_files(loc, [p], timestamp_ms=1000 * (wave + 1))
+        run_iceberg_meta_stream(spark, cfg, loc)
+        im.maintain_latest_state_mirror(
+            spark, cfg, mir, compact_every=2, expire_keep_last=1
+        )
+        im.maintain_latest_state_mirror(spark, cfg, plain)
+
+    ops = [s["summary"]["operation"] for s in im.snapshots(mir)]
+    assert "replace" in ops  # compaction fired on cadence
+    # expiry pruned everything older than the last replace snapshot
+    assert ops.index("replace") == 0
+    # MoR debt is BOUNDED by the cadence: at most compact_every-1
+    # overwrite snapshots' delete files outstanding at any time
+    plan = im.scan_files(mir)
+    assert len(plan["delete_files"]) + len(plan["equality_deletes"]) < 2
+
+    key = lambda df: {  # noqa: E731
+        (r["clip_id"], r["__ts_us"])
+        for r in df.select("clip_id", "__ts_us").collect()
+    }
+    got, want = im.read_table(spark, mir), im.read_table(spark, plain)
+    assert got.count() == want.count() and key(got) == key(want)
+
+    # replay-safety across expiry: another pass applies nothing
+    assert im.maintain_latest_state_mirror(
+        spark, cfg, mir, compact_every=2, expire_keep_last=1
+    ) == 0
+    assert key(im.read_table(spark, mir)) == key(want)
