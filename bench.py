@@ -333,6 +333,31 @@ def run_bench(spark, sf_dir: str) -> dict:
         n_changelog_rows / timings["cdc_streaming_iceberg_meta"], 1
     )
 
+    # round 5: latest-state mirror maintenance over the drained batches —
+    # ONE overwrite pass (upsert + row-level deletes) followed by the
+    # compact+expire maintenance pair; read back merge-on-read
+    def _mirror_maintain():
+        from scylla_cdc_source_connector_spark.sources import iceberg_meta
+
+        root = "/tmp/sccs_bench_stream_iceberg"
+        scfg = EngineConfig(
+            include_before=IncludeMode.FULL,
+            include_after=IncludeMode.FULL,
+            checkpoint_dir=f"{root}/ck",
+            output_dir=f"{root}/out",
+            lineage_dir=f"{root}/lin",
+        )
+        mir = f"{root}/mirror"
+        shutil.rmtree(mir, ignore_errors=True)
+        iceberg_meta.maintain_latest_state_mirror(
+            spark, scfg, mir, compact_every=1, expire_keep_last=1
+        )
+        return iceberg_meta.read_table(spark, mir).count()
+
+    extra["iceberg_mirror_rows"] = timed(
+        "iceberg_mirror_maintain", _mirror_maintain
+    )
+
     # reference-shaped per-group state machine, capped input (it is the
     # slow path by construction; measured for the comparison record)
     stateful_rows = min(n_changelog_rows, 5000)
