@@ -1026,12 +1026,51 @@ def live_files(location: str) -> list[str]:
     return scan_files(location)["files"]
 
 
+def _resolve_snapshot(
+    md: dict,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+):
+    """Snapshot to scan: by id, by as-of timestamp (latest committed at
+    or before it — spec time travel), or the current one (None when the
+    table has no snapshot yet)."""
+    if snapshot_id is not None and as_of_timestamp_ms is not None:
+        raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
+    snaps = md["snapshots"]
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table history (expired?)"
+        )
+    if as_of_timestamp_ms is not None:
+        eligible = [
+            s for s in snaps if s["timestamp-ms"] <= as_of_timestamp_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot committed at or before {as_of_timestamp_ms}"
+            )
+        return max(eligible, key=lambda s: s["sequence-number"])
+    if md["current-snapshot-id"] == -1:
+        return None
+    return next(
+        s for s in snaps if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+
+
 def scan_files(
     location: str,
     *,
     partition_ranges: dict[str, tuple] | None = None,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
 ) -> dict:
-    """Partition-aware scan planning over the CURRENT snapshot — the
+    """Partition-aware scan planning over the CURRENT snapshot — or a
+    historical one (`snapshot_id` / `as_of_timestamp_ms`, spec time
+    travel: the snapshot's own manifest list carries its delete files,
+    so a historical merge-on-read view is exact) — the
     metadata-resolved analog of the jar path's partition pruning (the
     reference's `cdc$stream_id IN (...) AND cdc$time >= .. < ..` CQL
     pushdown, README.md:1357-1370).
@@ -1055,7 +1094,8 @@ def scan_files(
     deletes: they hit only rows whose data-file sequence is strictly
     OLDER (spec §Scan Planning)."""
     md = current_metadata(location)
-    if md["current-snapshot-id"] == -1:
+    cur = _resolve_snapshot(md, snapshot_id, as_of_timestamp_ms)
+    if cur is None:
         return {
             "files": [],
             "partitions": [],
@@ -1070,9 +1110,6 @@ def scan_files(
     ranges = partition_ranges or {}
     _check_ranges(ranges, spec_fields)
 
-    cur = next(
-        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
-    )
     _, _, manifests = avro.read_container(cur["manifest-list"])
     files, parts, seqs, delete_files, eq_deletes = [], [], [], [], []
     skipped = total = files_total = 0
@@ -1210,6 +1247,8 @@ def read_table(
     *,
     partition_ranges: dict[str, tuple] | None = None,
     apply_deletes: bool = True,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
 ):
     """Current-snapshot read of a jarless table — the metadata-resolved
     stand-in for `spark.read.format("iceberg").load(location)`; pass
@@ -1217,19 +1256,32 @@ def read_table(
     Position- and equality-delete files are applied by default (MoR
     read): rows they name are absent from the result, so UPDATE/DELETE
     committed via overwrite/delete snapshots read back as row-level
-    changes."""
+    changes.
+
+    Time travel: `snapshot_id` / `as_of_timestamp_ms` reads the table
+    exactly as of a historical snapshot — data files, delete files and
+    schema all resolve from THAT snapshot's manifest list (the jar's
+    VERSION AS OF / TIMESTAMP AS OF), so e.g. rows deleted since then
+    reappear and rows appended since are absent."""
     md = current_metadata(location)
     if md["current-snapshot-id"] == -1:
         raise ValueError(
             f"iceberg table {location} has no current snapshot "
             "(never appended to)"
         )
-    plan = scan_files(location, partition_ranges=partition_ranges)
+    snap = _resolve_snapshot(md, snapshot_id, as_of_timestamp_ms)
+    plan = scan_files(
+        location,
+        partition_ranges=partition_ranges,
+        snapshot_id=snap["snapshot-id"],
+    )
     files = plan["files"]
     if not files:
         # a pruned scan legitimately matching zero files is an EMPTY
-        # result, not a broken table
-        return spark.createDataFrame([], current_spark_schema(location))
+        # result, not a broken table; the schema is the SNAPSHOT's
+        sch_id = snap.get("schema-id", md["current-schema-id"])
+        sch = next(s for s in md["schemas"] if s["schema-id"] == sch_id)
+        return spark.createDataFrame([], spark_schema_of(sch))
     delete_files = plan["delete_files"] if apply_deletes else []
     eq_deletes = plan["equality_deletes"] if apply_deletes else []
     if not delete_files and not eq_deletes:
@@ -1242,6 +1294,77 @@ def read_table(
             spark, out, plan, md["schemas"][md["current-schema-id"]]
         )
     return out.drop("__fp", "__pos")
+
+
+def read_changes(
+    spark,
+    location: str,
+    *,
+    after_snapshot_id: int | None = None,
+    from_timestamp_ms: int | None = None,
+    to_snapshot_id: int | None = None,
+):
+    """Incremental (changelog) read: every row APPENDED between the
+    bounds, stamped with its commit provenance — the jar path's
+    `option("start-snapshot-id", ...)` / `option("end-snapshot-id",
+    ...)` incremental scan.  Bounds follow added_files: start is
+    EXCLUSIVE (`after_snapshot_id`) or timestamp-based
+    (`from_timestamp_ms`); `to_snapshot_id` is INCLUSIVE.  Rows from
+    replace/delete/overwrite snapshots never appear (compaction and
+    row-level deletes are not new data — the same skip rule the
+    streaming path applies).
+
+    Scale shape: ONE parquet scan over all selected files plus a
+    broadcast join of the file→snapshot map (metadata-sized) — not a
+    union of per-snapshot plans.  Adds `_snapshot_id`,
+    `_sequence_number`, `_commit_timestamp_ms` columns."""
+    from pyspark.sql import functions as F
+
+    batches = added_files(
+        location,
+        after_snapshot_id=after_snapshot_id,
+        from_timestamp_ms=from_timestamp_ms,
+    )
+    if to_snapshot_id is not None:
+        if not any(b["snapshot_id"] == to_snapshot_id for b in batches):
+            # bound must exist in history (it may carry no files)
+            _resolve_snapshot(
+                current_metadata(location), snapshot_id=to_snapshot_id
+            )
+        until = next(
+            b["sequence_number"]
+            for b in added_files(location)
+            if b["snapshot_id"] == to_snapshot_id
+        )
+        batches = [b for b in batches if b["sequence_number"] <= until]
+    rows = [
+        (f, b["snapshot_id"], b["sequence_number"], b["timestamp_ms"])
+        for b in batches
+        for f in b["files"]
+    ]
+    if not rows:
+        sch = current_spark_schema(location)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        empty = StructType(
+            list(sch.fields)
+            + [
+                StructField("_snapshot_id", LongType()),
+                StructField("_sequence_number", LongType()),
+                StructField("_commit_timestamp_ms", LongType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    fmap = spark.createDataFrame(
+        rows,
+        "__fp string, _snapshot_id long, _sequence_number long, "
+        "_commit_timestamp_ms long",
+    )
+    data = spark.read.parquet(*[r[0] for r in rows]).withColumn(
+        "__fp",
+        F.regexp_replace(F.col("_metadata.file_path"), _FILE_URI_RE, "/"),
+    )
+    return data.join(F.broadcast(fmap), "__fp").drop("__fp")
 
 
 def write_position_deletes(

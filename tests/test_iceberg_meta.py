@@ -1442,3 +1442,91 @@ def test_mirror_auto_maintenance(spark, tmp_root, ice_pdf):
         spark, cfg, mir, compact_every=2, expire_keep_last=1
     ) == 0
     assert key(im.read_table(spark, mir)) == key(want)
+
+
+def test_time_travel_reads(spark, tmp_root):
+    """snapshot_id / as_of_timestamp_ms read the table exactly as of a
+    historical snapshot: deletes since then reappear, appends since are
+    absent, and the historical MoR view is exact (delete files resolve
+    from that snapshot's own manifest list)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = f"{tmp_root}/ice_tt"
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(f"{loc}/data")
+    sch = spark.createDataFrame([(0, "x")], "k int, v string").schema
+    im.create_table(loc, sch)
+    for i in range(3):
+        p = f"{loc}/data/c{i}.parquet"
+        pq.write_table(
+            pa.table({"k": list(range(i * 10, (i + 1) * 10)), "v": ["a"] * 10}),
+            p,
+        )
+        im.append_files(loc, [p], timestamp_ms=(i + 1) * 1000)
+    im.delete_where(spark, loc, "k < 5", timestamp_ms=4000)  # snap 4
+    im.compact_table(spark, loc, timestamp_ms=5000)  # snap 5 (replace)
+
+    assert im.read_table(spark, loc).count() == 25
+    assert im.read_table(spark, loc, snapshot_id=2).count() == 20
+    assert im.read_table(spark, loc, as_of_timestamp_ms=1500).count() == 10
+    # as-of BETWEEN delete and compaction: the MoR view already excludes
+    # the deleted rows
+    assert im.read_table(spark, loc, as_of_timestamp_ms=4500).count() == 25
+    with pytest.raises(ValueError, match="not in table history"):
+        im.read_table(spark, loc, snapshot_id=99)
+    with pytest.raises(ValueError, match="not both"):
+        im.read_table(spark, loc, snapshot_id=2, as_of_timestamp_ms=1)
+    with pytest.raises(ValueError, match="at or before"):
+        im.read_table(spark, loc, as_of_timestamp_ms=1)
+    # time travel composes with expiry: expired snapshot -> explicit error
+    im.expire_snapshots(loc, keep_last=1)
+    with pytest.raises(ValueError, match="not in table history"):
+        im.read_table(spark, loc, snapshot_id=2)
+
+
+def test_read_changes_incremental(spark, tmp_root):
+    """Incremental changelog read: appended rows between bounds with
+    commit provenance columns, one scan + broadcast file map; replace/
+    delete snapshots contribute nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = f"{tmp_root}/ice_changes"
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(f"{loc}/data")
+    sch = spark.createDataFrame([(0, "x")], "k int, v string").schema
+    im.create_table(loc, sch)
+    for i in range(3):
+        p = f"{loc}/data/c{i}.parquet"
+        pq.write_table(
+            pa.table({"k": list(range(i * 10, (i + 1) * 10)), "v": ["a"] * 10}),
+            p,
+        )
+        im.append_files(loc, [p], timestamp_ms=(i + 1) * 1000)
+    im.delete_where(spark, loc, "k = 1", timestamp_ms=4000)
+    im.compact_table(spark, loc, force=True, timestamp_ms=5000)
+
+    ch = im.read_changes(spark, loc, after_snapshot_id=1)
+    assert ch.count() == 20  # snaps 2+3 only; delete/replace add nothing
+    got = {
+        r["_snapshot_id"]: (r["count"], r["ts"])
+        for r in ch.groupBy("_snapshot_id")
+        .agg(
+            F.count("*").alias("count"),
+            F.max("_commit_timestamp_ms").alias("ts"),
+        )
+        .collect()
+    }
+    assert got == {2: (10, 2000), 3: (10, 3000)}
+    assert im.read_changes(
+        spark, loc, after_snapshot_id=1, to_snapshot_id=2
+    ).count() == 10
+    assert im.read_changes(
+        spark, loc, from_timestamp_ms=3000
+    ).count() == 10
+    empty = im.read_changes(spark, loc, after_snapshot_id=5)
+    assert empty.count() == 0
+    assert "_sequence_number" in empty.columns
+    with pytest.raises(ValueError, match="not in table history"):
+        im.read_changes(spark, loc, after_snapshot_id=1, to_snapshot_id=77)
