@@ -1834,6 +1834,30 @@ def compact_table(
     )
 
 
+def rollback_to(location: str, snapshot_id: int, *, timestamp_ms: int = 0):
+    """Roll the main branch back to a historical snapshot (Iceberg's
+    `rollback_to_snapshot`): the current pointer moves, nothing is
+    deleted — later snapshots stay in history (so a mistaken rollback
+    is itself rollback-able) until expire_snapshots reclaims them.
+    The next commit builds on the rolled-back state; on a catalog-bound
+    table this lands as a set-snapshot-ref update through the CAS.
+    Streaming caveat (documented, enforced by lineage): consumers that
+    already drained the rolled-back-past snapshots keep their offsets —
+    rollback is a TABLE-state operation, not a replay signal."""
+    md = current_metadata(location)
+    _resolve_snapshot(md, snapshot_id=snapshot_id)  # must exist
+    if md["current-snapshot-id"] == snapshot_id:
+        return
+    md["current-snapshot-id"] = snapshot_id
+    md["snapshot-log"].append(
+        {"snapshot-id": snapshot_id, "timestamp-ms": timestamp_ms}
+    )
+    md["last-updated-ms"] = max(md["last-updated-ms"], timestamp_ms)
+    with open(_version_hint(location)) as fh:
+        v = int(fh.read().strip())
+    _write_metadata(location, md, v + 1)
+
+
 def expire_snapshots(
     location: str,
     *,

@@ -104,6 +104,16 @@ def _apply_updates(md: dict, updates: list[dict]) -> dict:
         elif action == "set-snapshot-ref":
             if u.get("ref-name", _MAIN) != _MAIN:
                 raise ValueError("stub supports the main branch only")
+            # a ref move to an already-logged snapshot (rollback) gets
+            # its own history entry; add-snapshot already logged new ones
+            log = md["snapshot-log"]
+            if not log or log[-1]["snapshot-id"] != u["snapshot-id"]:
+                log.append(
+                    {
+                        "snapshot-id": u["snapshot-id"],
+                        "timestamp-ms": md["last-updated-ms"],
+                    }
+                )
             md["current-snapshot-id"] = u["snapshot-id"]
         elif action == "remove-snapshots":
             gone = set(u["snapshot-ids"])

@@ -272,3 +272,22 @@ def test_catalog_bound_table_streams(spark, tmp_root, catalog):
         ] == 2
     finally:
         im.unbind_catalog(loc)
+
+
+def test_rollback_through_catalog(spark, tmp_root, catalog):
+    """rollback_to on a bound table lands as a set-snapshot-ref commit:
+    the catalog's pointer, history log and the file reader all agree."""
+    c = catalog
+    loc = _table(tmp_root, "cat_rollback")
+    im.bind_catalog(loc, c, "cdc", "rollback")
+    try:
+        for i in range(2):
+            im.append_files(loc, [_chunk(loc, i)], timestamp_ms=i + 1)
+        im.rollback_to(loc, 1, timestamp_ms=9000)
+        md = c.load_table("cdc", "rollback")["metadata"]
+        assert md["current-snapshot-id"] == 1
+        assert md["snapshot-log"][-1]["snapshot-id"] == 1
+        assert md == im.current_metadata(loc)
+        assert im.read_table(spark, loc).count() == 10
+    finally:
+        im.unbind_catalog(loc)

@@ -1530,3 +1530,40 @@ def test_read_changes_incremental(spark, tmp_root):
     assert "_sequence_number" in empty.columns
     with pytest.raises(ValueError, match="not in table history"):
         im.read_changes(spark, loc, after_snapshot_id=1, to_snapshot_id=77)
+
+
+def test_rollback_to(spark, tmp_root):
+    """rollback_to moves the main pointer without deleting anything:
+    reads reflect the rolled-back state, later snapshots stay until
+    expiry, the next commit builds on the rolled-back base, and a
+    mistaken rollback is itself rollback-able."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = f"{tmp_root}/ice_rollback"
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(f"{loc}/data")
+    sch = spark.createDataFrame([(0, "x")], "k int, v string").schema
+    im.create_table(loc, sch)
+    for i in range(3):
+        p = f"{loc}/data/c{i}.parquet"
+        pq.write_table(pa.table({"k": [i], "v": ["a"]}), p)
+        im.append_files(loc, [p], timestamp_ms=(i + 1) * 1000)
+    assert im.read_table(spark, loc).count() == 3
+
+    im.rollback_to(loc, 1, timestamp_ms=4000)
+    assert im.current_metadata(loc)["current-snapshot-id"] == 1
+    assert im.read_table(spark, loc).count() == 1
+    assert len(im.snapshots(loc)) == 3  # nothing deleted
+
+    im.rollback_to(loc, 3, timestamp_ms=5000)  # roll forward again
+    assert im.read_table(spark, loc).count() == 3
+
+    im.rollback_to(loc, 1, timestamp_ms=6000)
+    # the next commit builds on the rolled-back base
+    p = f"{loc}/data/after-rb.parquet"
+    pq.write_table(pa.table({"k": [77], "v": ["b"]}), p)
+    im.append_files(loc, [p], timestamp_ms=7000)
+    assert {r["k"] for r in im.read_table(spark, loc).collect()} == {0, 77}
+    with pytest.raises(ValueError, match="not in table history"):
+        im.rollback_to(loc, 42)
