@@ -356,6 +356,23 @@ def _commit_via_catalog(binding, location: str, new_md: dict, version: int):
                 "snapshot-id": new_md["current-snapshot-id"],
             }
         )
+    old_refs = old.get("refs", {})
+    new_refs = new_md.get("refs", {})
+    for rname, r in new_refs.items():
+        if old_refs.get(rname) != r:
+            updates.append(
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": rname,
+                    "type": r["type"],
+                    "snapshot-id": r["snapshot-id"],
+                }
+            )
+    for rname in old_refs:
+        if rname not in new_refs:
+            updates.append(
+                {"action": "remove-snapshot-ref", "ref-name": rname}
+            )
     base_cur = old["current-snapshot-id"]
     client.commit_table(
         ns,
@@ -1249,6 +1266,7 @@ def read_table(
     apply_deletes: bool = True,
     snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None,
+    ref: str | None = None,
 ):
     """Current-snapshot read of a jarless table — the metadata-resolved
     stand-in for `spark.read.format("iceberg").load(location)`; pass
@@ -1258,17 +1276,25 @@ def read_table(
     committed via overwrite/delete snapshots read back as row-level
     changes.
 
-    Time travel: `snapshot_id` / `as_of_timestamp_ms` reads the table
-    exactly as of a historical snapshot — data files, delete files and
-    schema all resolve from THAT snapshot's manifest list (the jar's
-    VERSION AS OF / TIMESTAMP AS OF), so e.g. rows deleted since then
-    reappear and rows appended since are absent."""
+    Time travel: `snapshot_id` / `as_of_timestamp_ms` / `ref` (a tag or
+    branch name from create_tag/create_branch) reads the table exactly
+    as of a historical snapshot — data files, delete files and schema
+    all resolve from THAT snapshot's manifest list (the jar's VERSION
+    AS OF / TIMESTAMP AS OF), so e.g. rows deleted since then reappear
+    and rows appended since are absent."""
     md = current_metadata(location)
     if md["current-snapshot-id"] == -1:
         raise ValueError(
             f"iceberg table {location} has no current snapshot "
             "(never appended to)"
         )
+    if ref is not None:
+        if snapshot_id is not None or as_of_timestamp_ms is not None:
+            raise ValueError("ref excludes snapshot_id/as_of_timestamp_ms")
+        refs = list_refs(location)
+        if ref not in refs:
+            raise ValueError(f"no ref {ref!r} (have {sorted(refs)})")
+        snapshot_id = refs[ref]["snapshot-id"]
     snap = _resolve_snapshot(md, snapshot_id, as_of_timestamp_ms)
     plan = scan_files(
         location,
@@ -1602,8 +1628,10 @@ def metadata_table(spark, location: str, kind: str):
                 F_("snapshot_id", LongType()),
             ]
         )
-        cur = md["current-snapshot-id"]
-        rows = [] if cur == -1 else [("main", "branch", cur)]
+        rows = [
+            (name, r["type"], r["snapshot-id"])
+            for name, r in sorted(list_refs(location).items())
+        ]
         return spark.createDataFrame(rows, schema)
 
     # manifest-list-backed kinds
@@ -1834,6 +1862,81 @@ def compact_table(
     )
 
 
+def list_refs(location: str) -> dict:
+    """All named refs: the implicit main branch plus tags/branches
+    created with create_tag/create_branch.  {name: {"snapshot-id": N,
+    "type": "tag"|"branch"}}."""
+    md = current_metadata(location)
+    out = {}
+    if md["current-snapshot-id"] != -1:
+        out["main"] = {
+            "snapshot-id": md["current-snapshot-id"],
+            "type": "branch",
+        }
+    out.update(md.get("refs", {}))
+    return out
+
+
+def _create_ref(location, name, rtype, snapshot_id, timestamp_ms):
+    if name == "main":
+        raise ValueError("main is the implicit current-snapshot branch")
+    md = current_metadata(location)
+    snap = _resolve_snapshot(md, snapshot_id=snapshot_id)
+    if snap is None:
+        raise ValueError("table has no snapshot to reference")
+    refs = md.setdefault("refs", {})
+    if name in refs:
+        raise ValueError(f"ref {name!r} exists")
+    refs[name] = {"snapshot-id": snap["snapshot-id"], "type": rtype}
+    md["last-updated-ms"] = max(md["last-updated-ms"], timestamp_ms)
+    with open(_version_hint(location)) as fh:
+        v = int(fh.read().strip())
+    _write_metadata(location, md, v + 1)
+    return snap["snapshot-id"]
+
+
+def create_tag(
+    location: str,
+    name: str,
+    snapshot_id: int | None = None,
+    *,
+    timestamp_ms: int = 0,
+) -> int:
+    """Tag a snapshot (default: current).  A tagged snapshot is
+    PROTECTED from expire_snapshots until the tag is dropped — the
+    retention primitive Iceberg users pin releases/audits with."""
+    return _create_ref(location, name, "tag", snapshot_id, timestamp_ms)
+
+
+def create_branch(
+    location: str,
+    name: str,
+    snapshot_id: int | None = None,
+    *,
+    timestamp_ms: int = 0,
+) -> int:
+    """Named branch pointer (default: current snapshot).  This writer
+    commits to main only — a named branch here is a protected pointer
+    (read via read_table(ref=...)), not a divergent commit line; the
+    jar path owns multi-branch writes."""
+    return _create_ref(location, name, "branch", snapshot_id, timestamp_ms)
+
+
+def drop_ref(location: str, name: str, *, timestamp_ms: int = 0) -> None:
+    """Drop a tag/branch; its snapshot becomes expirable again."""
+    if name == "main":
+        raise ValueError("cannot drop the main branch")
+    md = current_metadata(location)
+    refs = md.get("refs", {})
+    if name not in refs:
+        raise ValueError(f"no ref {name!r}")
+    del refs[name]
+    md["last-updated-ms"] = max(md["last-updated-ms"], timestamp_ms)
+    with open(_version_hint(location)) as fh:
+        v = int(fh.read().strip())
+    _write_metadata(location, md, v + 1)
+
+
 def rollback_to(location: str, snapshot_id: int, *, timestamp_ms: int = 0):
     """Roll the main branch back to a historical snapshot (Iceberg's
     `rollback_to_snapshot`): the current pointer moves, nothing is
@@ -1897,7 +2000,10 @@ def expire_snapshots(
     md = current_metadata(location)
     snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
     n = len(snaps)
-    protected = set(protect_snapshot_ids)
+    # tags/branches protect their snapshots until dropped
+    protected = set(protect_snapshot_ids) | {
+        r["snapshot-id"] for r in md.get("refs", {}).values()
+    }
     retained, expired = [], []
     for i, s in enumerate(snaps):
         keep = (

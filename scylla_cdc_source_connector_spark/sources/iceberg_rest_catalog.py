@@ -102,23 +102,39 @@ def _apply_updates(md: dict, updates: list[dict]) -> dict:
                 md["last-updated-ms"], snap.get("timestamp-ms", 0)
             )
         elif action == "set-snapshot-ref":
-            if u.get("ref-name", _MAIN) != _MAIN:
-                raise ValueError("stub supports the main branch only")
-            # a ref move to an already-logged snapshot (rollback) gets
-            # its own history entry; add-snapshot already logged new ones
-            log = md["snapshot-log"]
-            if not log or log[-1]["snapshot-id"] != u["snapshot-id"]:
-                log.append(
-                    {
-                        "snapshot-id": u["snapshot-id"],
-                        "timestamp-ms": md["last-updated-ms"],
-                    }
-                )
-            md["current-snapshot-id"] = u["snapshot-id"]
+            name = u.get("ref-name", _MAIN)
+            if name == _MAIN:
+                # a ref move to an already-logged snapshot (rollback)
+                # gets its own history entry; add-snapshot already
+                # logged new ones
+                log = md["snapshot-log"]
+                if not log or log[-1]["snapshot-id"] != u["snapshot-id"]:
+                    log.append(
+                        {
+                            "snapshot-id": u["snapshot-id"],
+                            "timestamp-ms": md["last-updated-ms"],
+                        }
+                    )
+                md["current-snapshot-id"] = u["snapshot-id"]
+            else:
+                md.setdefault("refs", {})[name] = {
+                    "snapshot-id": u["snapshot-id"],
+                    "type": u.get("type", "branch"),
+                }
+        elif action == "remove-snapshot-ref":
+            name = u["ref-name"]
+            if name == _MAIN:
+                raise ValueError("cannot remove the main branch")
+            md.get("refs", {}).pop(name, None)
         elif action == "remove-snapshots":
             gone = set(u["snapshot-ids"])
             if md["current-snapshot-id"] in gone:
                 raise ValueError("cannot remove the current snapshot")
+            pinned = {
+                r["snapshot-id"] for r in md.get("refs", {}).values()
+            } & gone
+            if pinned:
+                raise ValueError(f"snapshots {sorted(pinned)} are ref-pinned")
             md["snapshots"] = [
                 s for s in md["snapshots"] if s["snapshot-id"] not in gone
             ]

@@ -291,3 +291,38 @@ def test_rollback_through_catalog(spark, tmp_root, catalog):
         assert im.read_table(spark, loc).count() == 10
     finally:
         im.unbind_catalog(loc)
+
+
+def test_refs_through_catalog(spark, tmp_root, catalog):
+    """Tag/branch creation and drop on a bound table land as
+    set-snapshot-ref / remove-snapshot-ref commits; the server refuses
+    remove-snapshots that would orphan a ref-pinned snapshot."""
+    c = catalog
+    loc = _table(tmp_root, "cat_refs")
+    im.bind_catalog(loc, c, "cdc", "refs")
+    try:
+        for i in range(2):
+            im.append_files(loc, [_chunk(loc, i)], timestamp_ms=i + 1)
+        im.create_tag(loc, "pin", snapshot_id=1)
+        md = c.load_table("cdc", "refs")["metadata"]
+        assert md["refs"]["pin"] == {"snapshot-id": 1, "type": "tag"}
+        assert md == im.current_metadata(loc)
+
+        # server-side guard: removing a pinned snapshot is a 400
+        with pytest.raises(RestCatalogError) as ei:
+            c.commit_table(
+                "cdc",
+                "refs",
+                requirements=[],
+                updates=[
+                    {"action": "remove-snapshots", "snapshot-ids": [1]}
+                ],
+            )
+        assert ei.value.code == 400 and "ref-pinned" in str(ei.value)
+
+        im.drop_ref(loc, "pin")
+        md = c.load_table("cdc", "refs")["metadata"]
+        assert "pin" not in md.get("refs", {})
+        assert md == im.current_metadata(loc)
+    finally:
+        im.unbind_catalog(loc)

@@ -1567,3 +1567,58 @@ def test_rollback_to(spark, tmp_root):
     assert {r["k"] for r in im.read_table(spark, loc).collect()} == {0, 77}
     with pytest.raises(ValueError, match="not in table history"):
         im.rollback_to(loc, 42)
+
+
+def test_refs_tags_protect_and_read(spark, tmp_root):
+    """Tags/branches: named pointers readable via read_table(ref=...),
+    listed in $refs, and PROTECTING their snapshot from expiry until
+    dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = f"{tmp_root}/ice_refs"
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(f"{loc}/data")
+    sch = spark.createDataFrame([(0, "x")], "k int, v string").schema
+    im.create_table(loc, sch)
+    for i in range(3):
+        p = f"{loc}/data/c{i}.parquet"
+        pq.write_table(pa.table({"k": [i], "v": ["a"]}), p)
+        im.append_files(loc, [p], timestamp_ms=(i + 1) * 1000)
+
+    assert im.create_tag(loc, "release-1", snapshot_id=1) == 1
+    im.create_branch(loc, "audit")  # current snapshot (3)
+    refs = im.list_refs(loc)
+    assert refs["release-1"] == {"snapshot-id": 1, "type": "tag"}
+    assert refs["audit"] == {"snapshot-id": 3, "type": "branch"}
+    assert refs["main"]["snapshot-id"] == 3
+    rows = {
+        r["name"]: (r["type"], r["snapshot_id"])
+        for r in im.metadata_table(spark, loc, "refs").collect()
+    }
+    assert rows == {
+        "main": ("branch", 3),
+        "release-1": ("tag", 1),
+        "audit": ("branch", 3),
+    }
+
+    assert im.read_table(spark, loc, ref="release-1").count() == 1
+    assert im.read_table(spark, loc, ref="audit").count() == 3
+    with pytest.raises(ValueError, match="no ref"):
+        im.read_table(spark, loc, ref="nope")
+    with pytest.raises(ValueError, match="exists"):
+        im.create_tag(loc, "release-1")
+    with pytest.raises(ValueError, match="main"):
+        im.create_tag(loc, "main")
+
+    # the tag pins snapshot 1 through expiry...
+    stats = im.expire_snapshots(loc, keep_last=1)
+    assert stats["snapshots_expired"] == 1  # only snapshot 2
+    assert im.read_table(spark, loc, ref="release-1").count() == 1
+    # ...and dropping it makes the snapshot expirable again
+    im.drop_ref(loc, "release-1")
+    with pytest.raises(ValueError, match="no ref"):
+        im.drop_ref(loc, "release-1")
+    stats = im.expire_snapshots(loc, keep_last=1)
+    assert stats["snapshots_expired"] == 1
+    assert [s["snapshot-id"] for s in im.snapshots(loc)] == [3]
