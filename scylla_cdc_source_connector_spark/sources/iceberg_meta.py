@@ -158,6 +158,42 @@ DATA_FILE_SCHEMA = {
         _f("partition", {"type": "record", "name": "r102", "fields": []}, 102),
         _f("record_count", "long", 103),
         _f("file_size_in_bytes", "long", 104),
+        # per-column value bounds (spec: lower_bounds 125 / upper_bounds
+        # 128, maps keyed by field id, single-value binary serialization)
+        # — what lets scan planning skip whole files on NON-partition
+        # column predicates (data skipping)
+        _f(
+            "lower_bounds",
+            {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "k126_v127",
+                    "fields": [
+                        _f("key", "int", 126),
+                        _f("value", "bytes", 127),
+                    ],
+                },
+            },
+            125,
+            optional=True,
+        ),
+        _f(
+            "upper_bounds",
+            {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "k129_v130",
+                    "fields": [
+                        _f("key", "int", 129),
+                        _f("value", "bytes", 130),
+                    ],
+                },
+            },
+            128,
+            optional=True,
+        ),
     ],
 }
 
@@ -570,6 +606,54 @@ def _file_partition_values(path: str, spec_fields, schema, result_types) -> dict
     return out
 
 
+_BOUNDABLE = ("int", "long", "string", "timestamp", "timestamptz")
+
+
+def _bound_ser_type(rtype: str) -> str:
+    return "long" if rtype in ("timestamp", "timestamptz") else rtype
+
+
+def _file_column_bounds(meta, schema: dict):
+    """Per-column min/max bounds from the parquet footer, keyed by
+    Iceberg field id (spec lower_bounds/upper_bounds) — exact stats
+    only: a column whose stats are missing or truncated in ANY row
+    group is omitted (absent bounds mean "cannot prune", never a wrong
+    prune).  Footer-only work, the same cost class as the partition
+    tuple derivation."""
+    arrow_names = meta.schema.to_arrow_schema().names
+    lowers, uppers = [], []
+    for f in schema["fields"]:
+        rtype = f["type"]
+        if not isinstance(rtype, str) or rtype not in _BOUNDABLE:
+            continue
+        if f["name"] not in arrow_names:
+            continue
+        ci = arrow_names.index(f["name"])
+        lo = hi = None
+        ok = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            if (
+                getattr(st, "is_min_value_exact", None) is False
+                or getattr(st, "is_max_value_exact", None) is False
+            ):
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if not ok or lo is None:
+            continue
+        if rtype in ("timestamp", "timestamptz"):
+            lo, hi = _to_epoch_us(lo), _to_epoch_us(hi)
+        ser = _bound_ser_type(rtype)
+        lowers.append({"key": f["id"], "value": _bound_bytes(ser, lo)})
+        uppers.append({"key": f["id"], "value": _bound_bytes(ser, hi)})
+    return (lowers or None), (uppers or None)
+
+
 def _bound_bytes(rtype: str, v) -> bytes:
     """Single-value binary serialization for field-summary bounds (spec
     Appendix D)."""
@@ -713,8 +797,14 @@ def _commit_snapshot(
                 "partition": part,
                 "record_count": meta.num_rows,
                 "file_size_in_bytes": os.path.getsize(p),
+                "lower_bounds": None,
+                "upper_bounds": None,
             }
-            if content != CONTENT_DATA:
+            if content == CONTENT_DATA:
+                df["lower_bounds"], df["upper_bounds"] = _file_column_bounds(
+                    meta, schema
+                )
+            else:
                 df["equality_ids"] = equality_ids
             entries.append(
                 {
@@ -1077,10 +1167,26 @@ def _resolve_snapshot(
     )
 
 
+def _entry_stat_pruned(df_: dict, cranges: dict) -> bool:
+    """True when the file's per-column bounds prove NO row can match
+    {field_id: (lo, hi, ser_type)} — absent bounds never prune."""
+    lbs = {e["key"]: e["value"] for e in (df_.get("lower_bounds") or [])}
+    ubs = {e["key"]: e["value"] for e in (df_.get("upper_bounds") or [])}
+    for fid, (lo, hi, ser) in cranges.items():
+        if fid not in lbs or fid not in ubs:
+            continue
+        flo = _bound_value(ser, lbs[fid])
+        fhi = _bound_value(ser, ubs[fid])
+        if fhi < lo or flo > hi:
+            return True
+    return False
+
+
 def scan_files(
     location: str,
     *,
     partition_ranges: dict[str, tuple] | None = None,
+    column_ranges: dict[str, tuple] | None = None,
     snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None,
 ) -> dict:
@@ -1122,14 +1228,32 @@ def scan_files(
             "manifests_total": 0,
             "manifests_skipped": 0,
             "files_total": 0,
+            "files_skipped_stats": 0,
         }
     spec_fields, rtypes = _prune_ctx(md)
     ranges = partition_ranges or {}
     _check_ranges(ranges, spec_fields)
+    # column_ranges: {column: (lo, hi)} inclusive predicate bounds on
+    # ANY boundable column -> file-level data skipping via the spec's
+    # lower_bounds/upper_bounds (timestamps: pass epoch micros)
+    cranges: dict[int, tuple] = {}
+    if column_ranges:
+        schema = md["schemas"][md["current-schema-id"]]
+        by_name = {f["name"]: f for f in schema["fields"]}
+        unknown = [c for c in column_ranges if c not in by_name]
+        if unknown:
+            raise ValueError(f"unknown columns in column_ranges: {unknown}")
+        for c, (lo, hi) in column_ranges.items():
+            f = by_name[c]
+            if f["type"] not in _BOUNDABLE:
+                raise ValueError(
+                    f"column {c!r} ({f['type']}) has no value bounds"
+                )
+            cranges[f["id"]] = (lo, hi, _bound_ser_type(f["type"]))
 
     _, _, manifests = avro.read_container(cur["manifest-list"])
     files, parts, seqs, delete_files, eq_deletes = [], [], [], [], []
-    skipped = total = files_total = 0
+    skipped = total = files_total = files_skipped_stats = 0
     for mf in manifests:
         if mf["content"] == CONTENT_DELETES:
             _, _, entries = avro.read_container(mf["manifest_path"])
@@ -1164,6 +1288,9 @@ def scan_files(
             part = df_.get("partition") or {}
             if ranges and _entry_pruned(part, ranges):
                 continue
+            if cranges and _entry_stat_pruned(df_, cranges):
+                files_skipped_stats += 1
+                continue
             files.append(df_["file_path"])
             parts.append(part)
             seqs.append(e["sequence_number"] or mf["sequence_number"])
@@ -1176,6 +1303,7 @@ def scan_files(
         "manifests_total": total,
         "manifests_skipped": skipped,
         "files_total": files_total,
+        "files_skipped_stats": files_skipped_stats,
     }
 
 
@@ -1263,6 +1391,7 @@ def read_table(
     location: str,
     *,
     partition_ranges: dict[str, tuple] | None = None,
+    column_ranges: dict[str, tuple] | None = None,
     apply_deletes: bool = True,
     snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None,
@@ -1274,7 +1403,12 @@ def read_table(
     Position- and equality-delete files are applied by default (MoR
     read): rows they name are absent from the result, so UPDATE/DELETE
     committed via overwrite/delete snapshots read back as row-level
-    changes.
+    changes.  `column_ranges` ({column: (lo, hi)} inclusive) is
+    FILE-level data skipping on any boundable column via the spec's
+    lower_bounds/upper_bounds — files that provably cannot match are
+    never opened; rows outside the range inside surviving files remain,
+    so compose with the matching `.where(...)` for exact results (the
+    same contract as parquet row-group skipping).
 
     Time travel: `snapshot_id` / `as_of_timestamp_ms` / `ref` (a tag or
     branch name from create_tag/create_branch) reads the table exactly
@@ -1299,6 +1433,7 @@ def read_table(
     plan = scan_files(
         location,
         partition_ranges=partition_ranges,
+        column_ranges=column_ranges,
         snapshot_id=snap["snapshot-id"],
     )
     files = plan["files"]

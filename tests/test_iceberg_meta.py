@@ -116,6 +116,8 @@ def test_manifest_schemas_match_spec_ids():
         "partition": 102,
         "record_count": 103,
         "file_size_in_bytes": 104,
+        "lower_bounds": 125,
+        "upper_bounds": 128,
     }
     mf = _ids(im.MANIFEST_FILE_SCHEMA)
     assert mf["manifest_path"] == 500
@@ -1622,3 +1624,71 @@ def test_refs_tags_protect_and_read(spark, tmp_root):
     stats = im.expire_snapshots(loc, keep_last=1)
     assert stats["snapshots_expired"] == 1
     assert [s["snapshot-id"] for s in im.snapshots(loc)] == [3]
+
+
+def test_column_bounds_data_skipping(spark, tmp_root):
+    """Per-column value bounds (spec lower_bounds/upper_bounds 125/128):
+    written from exact footer stats, and scan_files(column_ranges=...)
+    skips files that provably cannot match — on any boundable column,
+    not just partition columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = f"{tmp_root}/ice_bounds"
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(f"{loc}/data")
+    sch = spark.createDataFrame([(0, "x")], "k int, v string").schema
+    im.create_table(loc, sch)
+    for i in range(3):
+        p = f"{loc}/data/c{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": list(range(i * 100, (i + 1) * 100)),
+                    "v": [f"w{j:05d}" for j in range(i * 100, (i + 1) * 100)],
+                }
+            ),
+            p,
+        )
+        im.append_files(loc, [p], timestamp_ms=i + 1)
+
+    # bounds present with the spec's field-id keys
+    cur = im.current_metadata(loc)
+    snap = cur["snapshots"][-1]
+    from scylla_cdc_source_connector_spark.functions import avro as _avro
+
+    _, _, manifests = _avro.read_container(snap["manifest-list"])
+    _, _, entries = _avro.read_container(manifests[-1]["manifest_path"])
+    df_ = entries[0]["data_file"]
+    ids = {f["name"]: f["id"] for f in cur["schemas"][0]["fields"]}
+    lb = {e["key"]: e["value"] for e in df_["lower_bounds"]}
+    assert im._bound_value("int", lb[ids["k"]]) == 200
+    ub = {e["key"]: e["value"] for e in df_["upper_bounds"]}
+    assert im._bound_value("string", ub[ids["v"]]) == "w00299"
+
+    # int-column skipping: only the middle file can hold k in [150, 160]
+    plan = im.scan_files(loc, column_ranges={"k": (150, 160)})
+    assert len(plan["files"]) == 1 and plan["files_skipped_stats"] == 2
+    # string-column skipping
+    plan = im.scan_files(loc, column_ranges={"v": ("w00000", "w00050")})
+    assert len(plan["files"]) == 1
+    # no-match range: zero files, zero opened
+    plan = im.scan_files(loc, column_ranges={"k": (10_000, 20_000)})
+    assert plan["files"] == [] and plan["files_skipped_stats"] == 3
+
+    # read parity: pruned read + row filter == full read + row filter
+    got = (
+        im.read_table(spark, loc, column_ranges={"k": (150, 160)})
+        .where("k between 150 and 160")
+        .count()
+    )
+    want = im.read_table(spark, loc).where("k between 150 and 160").count()
+    assert got == want == 11
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        im.scan_files(loc, column_ranges={"nope": (0, 1)})
+    # bounds survive compaction (fresh files, fresh footers)
+    im.delete_where(spark, loc, "k = 0", timestamp_ms=9)
+    im.compact_table(spark, loc, timestamp_ms=10)
+    plan = im.scan_files(loc, column_ranges={"k": (10_000, 20_000)})
+    assert plan["files"] == []
