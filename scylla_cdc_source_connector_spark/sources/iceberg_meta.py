@@ -298,10 +298,25 @@ def _version_hint(location: str) -> str:
 def current_metadata(location: str) -> dict:
     """Load the current table metadata via version-hint.text (the
     HadoopCatalog/file-catalog resolution rule)."""
+    return _load_for_update(location)[0]
+
+
+def _load_for_update(location: str) -> tuple[dict, int]:
+    """Load (metadata, version) as ONE pinned base for a read-modify-write.
+
+    Every mutator must commit as `base_version + 1` — NOT `hint + 1`
+    re-read at commit time.  Re-reading the hint after another writer
+    advanced the table makes _commit_via_catalog diff the new metadata
+    against the OTHER writer's commit; with deterministic snapshot ids
+    (id == sequence number) two racing appends build the same id from
+    the same base, the diff degenerates to zero updates, the ref
+    requirement matches by coincidence, and the catalog accepts a
+    silent no-op — a lost update (caught by
+    tests/test_iceberg_catalog.py::test_concurrent_writers_no_lost_update)."""
     with open(_version_hint(location)) as fh:
         v = int(fh.read().strip())
     with open(os.path.join(_meta_dir(location), f"v{v}.metadata.json")) as fh:
-        return json.load(fh)
+        return json.load(fh), v
 
 
 #: tables whose metadata commits route through an Iceberg REST catalog:
@@ -359,8 +374,26 @@ def _commit_via_catalog(binding, location: str, new_md: dict, version: int):
     )
     with open(base_path) as fh:
         old = json.load(fh)
+    from scylla_cdc_source_connector_spark.sources.iceberg_rest_catalog import (
+        CommitConflictError,
+    )
+
     updates: list[dict] = []
-    old_ids = {s["snapshot-id"] for s in old["snapshots"]}
+    old_by_id = {s["snapshot-id"]: s for s in old["snapshots"]}
+    for s in new_md["snapshots"]:
+        o = old_by_id.get(s["snapshot-id"])
+        if o is not None and o != s:
+            # same id, different content: the caller's base is stale and
+            # its deterministic snapshot id collided with a commit that
+            # landed meanwhile.  Surfacing the conflict here (instead of
+            # letting the diff degenerate to zero updates and the catalog
+            # accept a no-op) keeps the failure retryable, never silent.
+            raise CommitConflictError(
+                409,
+                f"stale base: snapshot {s['snapshot-id']} diverges from "
+                "committed history — refresh metadata and retry",
+            )
+    old_ids = set(old_by_id)
     new_ids = {s["snapshot-id"] for s in new_md["snapshots"]}
     for s in sorted(
         new_md["snapshots"], key=lambda s: s["sequence-number"]
@@ -620,15 +653,22 @@ def _file_column_bounds(meta, schema: dict):
     group is omitted (absent bounds mean "cannot prune", never a wrong
     prune).  Footer-only work, the same cost class as the partition
     tuple derivation."""
-    arrow_names = meta.schema.to_arrow_schema().names
+    # row_group(..).column(i) indexes FLATTENED parquet leaves, not
+    # top-level fields — for a nested schema (the mirrored envelope) the
+    # two orders diverge, so resolve each top-level primitive by its
+    # leaf path (a top-level primitive's path is exactly its name)
+    leaf_idx = {
+        meta.schema.column(i).path: i
+        for i in range(meta.num_columns)
+    }
     lowers, uppers = [], []
     for f in schema["fields"]:
         rtype = f["type"]
         if not isinstance(rtype, str) or rtype not in _BOUNDABLE:
             continue
-        if f["name"] not in arrow_names:
+        ci = leaf_idx.get(f["name"])
+        if ci is None:
             continue
-        ci = arrow_names.index(f["name"])
         lo = hi = None
         ok = True
         for rg in range(meta.num_row_groups):
@@ -762,7 +802,7 @@ def _commit_snapshot(
     streaming-skip-delete/overwrite-snapshots).  Returns the snapshot id."""
     import pyarrow.parquet as pq
 
-    md = current_metadata(location)
+    md, base_v = _load_for_update(location)
     seq = md["last-sequence-number"] + 1
     snap_id = seq  # deterministic, monotone with sequence number
     # manifest/list filenames carry a per-commit token so two writers
@@ -963,9 +1003,7 @@ def _commit_snapshot(
     md["current-snapshot-id"] = snap_id
     md["last-sequence-number"] = seq
     md["last-updated-ms"] = timestamp_ms
-    with open(_version_hint(location)) as fh:
-        v = int(fh.read().strip())
-    _write_metadata(location, md, v + 1)
+    _write_metadata(location, md, base_v + 1)
     return snap_id
 
 
@@ -2015,7 +2053,7 @@ def list_refs(location: str) -> dict:
 def _create_ref(location, name, rtype, snapshot_id, timestamp_ms):
     if name == "main":
         raise ValueError("main is the implicit current-snapshot branch")
-    md = current_metadata(location)
+    md, base_v = _load_for_update(location)
     snap = _resolve_snapshot(md, snapshot_id=snapshot_id)
     if snap is None:
         raise ValueError("table has no snapshot to reference")
@@ -2024,9 +2062,7 @@ def _create_ref(location, name, rtype, snapshot_id, timestamp_ms):
         raise ValueError(f"ref {name!r} exists")
     refs[name] = {"snapshot-id": snap["snapshot-id"], "type": rtype}
     md["last-updated-ms"] = max(md["last-updated-ms"], timestamp_ms)
-    with open(_version_hint(location)) as fh:
-        v = int(fh.read().strip())
-    _write_metadata(location, md, v + 1)
+    _write_metadata(location, md, base_v + 1)
     return snap["snapshot-id"]
 
 
@@ -2061,15 +2097,13 @@ def drop_ref(location: str, name: str, *, timestamp_ms: int = 0) -> None:
     """Drop a tag/branch; its snapshot becomes expirable again."""
     if name == "main":
         raise ValueError("cannot drop the main branch")
-    md = current_metadata(location)
+    md, base_v = _load_for_update(location)
     refs = md.get("refs", {})
     if name not in refs:
         raise ValueError(f"no ref {name!r}")
     del refs[name]
     md["last-updated-ms"] = max(md["last-updated-ms"], timestamp_ms)
-    with open(_version_hint(location)) as fh:
-        v = int(fh.read().strip())
-    _write_metadata(location, md, v + 1)
+    _write_metadata(location, md, base_v + 1)
 
 
 def rollback_to(location: str, snapshot_id: int, *, timestamp_ms: int = 0):
@@ -2082,7 +2116,7 @@ def rollback_to(location: str, snapshot_id: int, *, timestamp_ms: int = 0):
     Streaming caveat (documented, enforced by lineage): consumers that
     already drained the rolled-back-past snapshots keep their offsets —
     rollback is a TABLE-state operation, not a replay signal."""
-    md = current_metadata(location)
+    md, base_v = _load_for_update(location)
     _resolve_snapshot(md, snapshot_id=snapshot_id)  # must exist
     if md["current-snapshot-id"] == snapshot_id:
         return
@@ -2091,9 +2125,7 @@ def rollback_to(location: str, snapshot_id: int, *, timestamp_ms: int = 0):
         {"snapshot-id": snapshot_id, "timestamp-ms": timestamp_ms}
     )
     md["last-updated-ms"] = max(md["last-updated-ms"], timestamp_ms)
-    with open(_version_hint(location)) as fh:
-        v = int(fh.read().strip())
-    _write_metadata(location, md, v + 1)
+    _write_metadata(location, md, base_v + 1)
 
 
 def expire_snapshots(
@@ -2132,7 +2164,7 @@ def expire_snapshots(
         raise ValueError("expire_snapshots needs keep_last or older_than_ms")
     if keep_last is not None and keep_last < 1:
         raise ValueError("keep_last must be >= 1 (current snapshot stays)")
-    md = current_metadata(location)
+    md, base_v = _load_for_update(location)
     snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
     n = len(snaps)
     # tags/branches protect their snapshots until dropped
@@ -2233,12 +2265,10 @@ def expire_snapshots(
         for e in md.get("snapshot-log", [])
         if e["snapshot-id"] not in expired_ids
     ]
-    with open(_version_hint(location)) as fh:
-        v = int(fh.read().strip())
-    _write_metadata(location, md, v + 1)
+    _write_metadata(location, md, base_v + 1)
     # prune old vN.metadata.json beyond the newest keep_metadata_versions
     # (write.metadata.previous-versions-max analog)
-    floor_v = (v + 1) - keep_metadata_versions
+    floor_v = (base_v + 1) - keep_metadata_versions
     mdir = _meta_dir(location)
     for fn in os.listdir(mdir):
         if fn.endswith(".metadata.json"):
@@ -2650,7 +2680,7 @@ def evolve_schema(location: str, new_spark_schema) -> int:
     (ids stripped — fresh depth-first numbering shifts when earlier
     columns change) and keep their old type node verbatim, so nested
     element/key/value ids stay stable too.  Returns the new schema-id."""
-    md = current_metadata(location)
+    md, base_v = _load_for_update(location)
     cur = md["schemas"][md["current-schema-id"]]
     cur_by_name = {f["name"]: f for f in cur["fields"]}
     next_id = md["last-column-id"] + 1
@@ -2679,9 +2709,7 @@ def evolve_schema(location: str, new_spark_schema) -> int:
     md["schemas"].append(new_schema)
     md["current-schema-id"] = new_schema["schema-id"]
     md["last-column-id"] = max(md["last-column-id"], next_id - 1)
-    with open(_version_hint(location)) as fh:
-        v = int(fh.read().strip())
-    _write_metadata(location, md, v + 1)
+    _write_metadata(location, md, base_v + 1)
     return new_schema["schema-id"]
 
 
