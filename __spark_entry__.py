@@ -79,6 +79,62 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic 4-snapshot jarless Iceberg table derived from the
+    sf_dir `events` table (cached per sf row count), giving the round-5
+    read surfaces ORACLE-CHECKABLE driver rows:
+
+      snap 1  append   rows with event_id % 3 == 0   (ts 1000)
+      snap 2  append   rows with event_id % 3 == 1   (ts 2000)
+      snap 3  delete   position-delete event_id % 10 == 3   (ts 3000)
+      snap 4  append   rows with event_id % 3 == 2   (ts 4000)
+
+    Snapshot ids are deterministic (= sequence number, iceberg_meta
+    _commit_snapshot), so plain SQL over `events` reproduces every read:
+    time travel to snap 2 = %3 IN (0,1) with deleted rows resurrected;
+    the current MoR read = all rows minus (%10==3 AND %3 IN (0,1)) —
+    snap 4's rows post-date the delete and its position deletes can
+    never name them; read_changes(after=1) = %3 IN (1,2) stamped with
+    commit provenance (2,2,2000)/(4,4,4000)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta
+
+    src = f"{sf_dir}/events.parquet"
+    tbl = pq.read_table(src)
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"sccs_events_iceberg_v1_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{tbl.num_rows}",
+    )
+    done = os.path.join(loc, "_BUILT")
+    if os.path.exists(done):
+        return loc
+    shutil.rmtree(loc, ignore_errors=True)  # partial build from a crash
+    iceberg_meta.create_table(loc, spark.read.parquet(src).schema)
+    ev = tbl.column("event_id").to_numpy()
+    chunks = {}
+    for k in (0, 1, 2):
+        p = os.path.join(loc, "data", f"bucket{k}.parquet")
+        # .take preserves the source parquet schema exactly (no pandas
+        # round-trip that could retype the timestamp column)
+        pq.write_table(tbl.take(np.nonzero(ev % 3 == k)[0]), p)
+        chunks[k] = p
+    iceberg_meta.append_files(loc, [chunks[0]], timestamp_ms=1000)
+    iceberg_meta.append_files(loc, [chunks[1]], timestamp_ms=2000)
+    iceberg_meta.delete_where(
+        spark, loc, "event_id % 10 = 3", timestamp_ms=3000
+    )
+    iceberg_meta.append_files(loc, [chunks[2]], timestamp_ms=4000)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return loc
+
+
 def _proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     # parquet naive timestamps read as TIMESTAMP_NTZ in Spark 4; with the
@@ -353,6 +409,64 @@ def q_iceberg_latest_state_mirror(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("__ts_us").alias("last_ts_us"),
         "transcript",
         "sr_hz",
+    )
+
+
+def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (VERSION AS OF): read the _events_iceberg table as of
+    snapshot 2 — the two appended buckets, with the rows snapshot 3 later
+    position-deleted RESURRECTED (data files, delete files and schema all
+    resolve from that snapshot's manifest list).  Jar analog:
+    spark.read.option("snapshot-id", 2).format("iceberg")."""
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta
+
+    _utc(spark)
+    loc = _events_iceberg(spark, sf_dir)
+    return iceberg_meta.read_table(spark, loc, snapshot_id=2).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "value",
+    )
+
+
+def q_iceberg_row_level_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read current read of the _events_iceberg table: the
+    position-delete snapshot (event_id%10==3) suppresses exactly the rows
+    that were live when it committed — bucket-2 rows appended AFTER the
+    delete are untouched even where they match the predicate, because
+    position deletes name (file, pos) targets, not predicates."""
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta
+
+    _utc(spark)
+    loc = _events_iceberg(spark, sf_dir)
+    return iceberg_meta.read_table(spark, loc).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "value",
+    )
+
+
+def q_iceberg_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changelog read (start-snapshot-id analog): every row
+    appended after snapshot 1, stamped with commit provenance.  The
+    delete snapshot (3) contributes nothing — row-level deletes are not
+    new data (the same skip rule the streaming path applies)."""
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta
+
+    _utc(spark)
+    loc = _events_iceberg(spark, sf_dir)
+    return iceberg_meta.read_changes(spark, loc, after_snapshot_id=1).select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "value",
+        "_snapshot_id",
+        "_sequence_number",
+        "_commit_timestamp_ms",
     )
 
 
@@ -758,44 +872,34 @@ def q_topk_per_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
-def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scylla_cdc_source_connector_spark.functions.text import token_count
-
-    return token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
-
-
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scylla_cdc_source_connector_spark.functions.text import quality_metrics
-
-    return quality_metrics(_docs(spark, sf_dir)).select(
-        "doc_id",
-        "n_chars",
-        "n_tokens",
-        "n_stopwords",
-        "n_distinct_tokens",
-        "mean_token_len_x100",
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folded text-analysis surface — token counting, quality metrics,
+    marker-lexicon language ID and the rolling-hash (winnowing-style)
+    document fingerprint in ONE narrow pass over documents.  All four
+    constituent operators (functions/text.py token_count/quality_metrics/
+    lang_id + the gram fingerprint) remain individually pytest-pinned;
+    folding them here freed driver-registry slots for the round-5
+    Iceberg read surfaces while keeping every text op oracle-checked.
+    Pure codegen: no UDF, no shuffle (per-row expressions only)."""
+    from scylla_cdc_source_connector_spark.functions.text import (
+        lang_id,
+        quality_metrics,
     )
 
-
-def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scylla_cdc_source_connector_spark.functions.text import lang_id
-
-    return lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
-
-
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint (winnowing-style): min/max over
-    the md5 hashes of all 8-char grams — a content-defined signature that
-    survives small edits elsewhere in the document.  Pure codegen
-    (sequence + transform + array_min), no UDF."""
     docs = _docs(spark, sf_dir)
     n = F.greatest(F.length("text") - F.lit(7), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.md5(F.substr(F.col("text"), i, F.lit(8))),
     )
-    return docs.select(
+    return lang_id(quality_metrics(docs)).select(
         "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_stopwords",
+        "n_distinct_tokens",
+        "mean_token_len_x100",
+        "lang_pred",
         F.array_min(grams).alias("fp_min"),
         F.array_max(grams).alias("fp_max"),
     )
@@ -1471,6 +1575,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       audio_resample           → audio_vad (round 5: resampled length
         1:1-joined per clip, freeing the 50th slot for
         iceberg_latest_state_mirror)
+      text_token_count,
+      text_quality,
+      text_lang_id,
+      text_fingerprint         → text_metrics (round 5: one narrow pass,
+        all columns; freed 3 oracle-checked slots for the Iceberg read
+        surfaces iceberg_time_travel / iceberg_row_level_deletes /
+        iceberg_read_changes over the deterministic _events_iceberg
+        4-snapshot table)
       audio_fingerprint,
       audio_near_dup,
       audio_containment        → audio_dup_detect (kind column)
@@ -1510,10 +1622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_snapshot_asof": q_cep_snapshot_asof,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_tombstones": q_cdc_tombstones,
-        "text_fingerprint": q_text_fingerprint,
-        "text_token_count": q_text_token_count,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
+        "text_metrics": q_text_metrics,
+        "iceberg_time_travel": q_iceberg_time_travel,
+        "iceberg_row_level_deletes": q_iceberg_row_level_deletes,
+        "iceberg_read_changes": q_iceberg_read_changes,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1557,8 +1669,9 @@ def oracle_sql() -> dict[str, str]:
         "es": "('el','los','que','y')",
         "de": "('der','die','und','das')",
     }
-    hits_sql = ", ".join(
-        f"len(list_filter(t, x -> x IN {ws})) AS h_{lang}"
+    hits_l_sql = ", ".join(
+        f"len(list_filter(list_transform(t, x -> lower(x)), "
+        f"x -> x IN {ws})) AS h_{lang}"
         for lang, ws in lang_hits.items()
     )
     return {
@@ -1845,47 +1958,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS BIGINT) AS seg_n_samples
             FROM documents, (VALUES (0), (1), (2)) s(i)
         """,
-        "text_fingerprint": """
-            SELECT doc_id,
-                   list_aggregate(g, 'min') AS fp_min,
-                   list_aggregate(g, 'max') AS fp_max
-            FROM (
-              SELECT doc_id,
-                     list_transform(
-                       range(1, greatest(length(text) - 7, 1) + 1),
-                       i -> md5(text[i : i + 7])
-                     ) AS g
-              FROM documents
-            )
-        """,
-        # cdc_full_pipeline: rows-only (stateful correlation over the real
-        # audio changelog; semantics pinned by tests/test_projection_golden)
-        "text_token_count": (
-            f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents"
-        ),
-        "text_quality": f"""
+        "text_metrics": f"""
             SELECT doc_id,
                    length(text) AS n_chars,
                    len(t) AS n_tokens,
                    len(list_filter(t, x -> lower(x) IN {_STOPWORDS_SQL})) AS n_stopwords,
                    len(list_distinct(t)) AS n_distinct_tokens,
                    CAST(list_sum(list_transform(t, x -> length(x))) * 100
-                        // greatest(len(t), 1) AS BIGINT) AS mean_token_len_x100
-            FROM (SELECT doc_id, {_TOKS} AS t, text FROM documents)
-        """,
-        "text_lang_id": f"""
-            SELECT doc_id,
+                        // greatest(len(t), 1) AS BIGINT) AS mean_token_len_x100,
                    CASE WHEN m = 0 THEN 'und'
                         WHEN h_fr = m THEN 'fr'
                         WHEN h_es = m THEN 'es'
                         WHEN h_en = m THEN 'en'
-                        ELSE 'de' END AS lang_pred
+                        ELSE 'de' END AS lang_pred,
+                   list_aggregate(g, 'min') AS fp_min,
+                   list_aggregate(g, 'max') AS fp_max
             FROM (
-              SELECT doc_id, h_en, h_fr, h_es, h_de,
-                     greatest(h_en, h_fr, h_es, h_de) AS m
-              FROM (SELECT doc_id, {hits_sql}
-                    FROM (SELECT doc_id, {_TOKS_L} AS t FROM documents))
+              SELECT doc_id, text, t, h_en, h_fr, h_es, h_de,
+                     greatest(h_en, h_fr, h_es, h_de) AS m,
+                     list_transform(
+                       range(1, greatest(length(text) - 7, 1) + 1),
+                       i -> md5(text[i : i + 7])
+                     ) AS g
+              FROM (SELECT doc_id, text, {_TOKS} AS t, {hits_l_sql}
+                    FROM documents)
             )
+        """,
+        # the three iceberg_* rows read the deterministic 4-snapshot
+        # _events_iceberg table (see its docstring for the snapshot plan);
+        # snapshot ids == sequence numbers, so plain SQL over `events`
+        # reproduces each surface exactly
+        "iceberg_time_travel": """
+            SELECT event_id, user_id, event_type,
+                   epoch_ms(ts) AS ts_ms, value
+            FROM events WHERE event_id % 3 IN (0, 1)
+        """,
+        "iceberg_row_level_deletes": """
+            SELECT event_id, user_id, event_type,
+                   epoch_ms(ts) AS ts_ms, value
+            FROM events
+            WHERE NOT (event_id % 10 = 3 AND event_id % 3 IN (0, 1))
+        """,
+        "iceberg_read_changes": """
+            SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+                   CAST(CASE WHEN event_id % 3 = 1 THEN 2 ELSE 4 END
+                        AS BIGINT) AS _snapshot_id,
+                   CAST(CASE WHEN event_id % 3 = 1 THEN 2 ELSE 4 END
+                        AS BIGINT) AS _sequence_number,
+                   CAST(CASE WHEN event_id % 3 = 1 THEN 2000 ELSE 4000 END
+                        AS BIGINT) AS _commit_timestamp_ms
+            FROM events WHERE event_id % 3 IN (1, 2)
         """,
         "dedup_exact": r"""
             SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
