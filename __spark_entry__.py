@@ -470,6 +470,84 @@ def q_iceberg_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_iceberg_bucketed(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic bucket[8](user_id) jarless Iceberg table derived
+    from the sf_dir `events` table (cached per sf row count): one
+    bucket-pure file per non-empty bucket, one append snapshot.  The
+    hot-key scatter layout the north rule needs at 10^12-clip scale —
+    a point lookup maps to ONE bucket and opens ~1/8 of the files."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta
+
+    src = f"{sf_dir}/events.parquet"
+    tbl = pq.read_table(src)
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"sccs_events_iceberg_bucketed_v1_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{tbl.num_rows}",
+    )
+    done = os.path.join(loc, "_BUILT")
+    if os.path.exists(done):
+        return loc
+    shutil.rmtree(loc, ignore_errors=True)
+    iceberg_meta.create_table(
+        loc,
+        spark.read.parquet(src).schema,
+        partition_by=[("user_id", "bucket[8]")],
+    )
+    buckets = iceberg_meta.bucket_values(
+        tbl.column("user_id").to_numpy(), "long", 8
+    )
+    import numpy as np
+
+    files = []
+    for b in sorted(set(buckets.tolist())):
+        p = os.path.join(loc, "data", f"b{b}.parquet")
+        pq.write_table(tbl.take(np.nonzero(buckets == b)[0]), p)
+        files.append(p)
+    iceberg_meta.append_files(loc, files, timestamp_ms=1000)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return loc
+
+
+def q_iceberg_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a bucket[8](user_id)-partitioned table: the
+    equality predicate is pushed to the partition layer
+    (partition_filter_for computes the spec Appendix B murmur3 bucket of
+    the literal) so the scan opens only the key's bucket — verified
+    here: the pruned plan must open strictly fewer files than the table
+    holds.  Jar analog: Spark's storage-partitioned filter pushdown on a
+    bucket-partitioned Iceberg table."""
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta
+
+    _utc(spark)
+    loc = _events_iceberg_bucketed(spark, sf_dir)
+    ranges = iceberg_meta.partition_filter_for(loc, {"user_id": 7})
+    plan = iceberg_meta.scan_files(loc, partition_ranges=ranges)
+    full = iceberg_meta.scan_files(loc)
+    if not plan["files"] or len(plan["files"]) >= len(full["files"]):
+        raise AssertionError(
+            f"bucket pruning ineffective: {len(plan['files'])} of "
+            f"{len(full['files'])} files opened"
+        )
+    return (
+        iceberg_meta.read_table(spark, loc, partition_ranges=ranges)
+        .where(F.col("user_id") == 7)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            "value",
+        )
+    )
+
+
 def q_cdc_audio_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-shaped quality telemetry (rows-only): per (shard,
     1-minute tumbling window) aggregates of the vectorized audio verdict
@@ -1626,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": q_iceberg_time_travel,
         "iceberg_row_level_deletes": q_iceberg_row_level_deletes,
         "iceberg_read_changes": q_iceberg_read_changes,
+        "iceberg_bucket_lookup": q_iceberg_bucket_lookup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1998,6 +2077,11 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(ts) AS ts_ms, value
             FROM events
             WHERE NOT (event_id % 10 = 3 AND event_id % 3 IN (0, 1))
+        """,
+        "iceberg_bucket_lookup": """
+            SELECT event_id, user_id, event_type,
+                   epoch_ms(ts) AS ts_ms, value
+            FROM events WHERE user_id = 7
         """,
         "iceberg_read_changes": """
             SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,

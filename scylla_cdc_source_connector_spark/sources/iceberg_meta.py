@@ -416,6 +416,19 @@ def _commit_via_catalog(binding, location: str, new_md: dict, version: int):
                 "schema-id": new_md["current-schema-id"],
             }
         )
+    old_oids = {o["order-id"] for o in old.get("sort-orders", [])}
+    for order in new_md.get("sort-orders", []):
+        if order["order-id"] not in old_oids:
+            updates.append({"action": "add-sort-order", "sort-order": order})
+    if new_md.get("default-sort-order-id", 0) != old.get(
+        "default-sort-order-id", 0
+    ):
+        updates.append(
+            {
+                "action": "set-default-sort-order",
+                "sort-order-id": new_md["default-sort-order-id"],
+            }
+        )
     if new_md["current-snapshot-id"] != old["current-snapshot-id"]:
         updates.append(
             {
@@ -485,26 +498,158 @@ def _write_metadata_file(location: str, md: dict, version: int) -> None:
 
 
 # partition transforms supported by the jarless writer/planner (spec
-# §Partition Transforms).  hour() is the CDC-window transform the north
-# rule names — hours(cdc$time); bucket() needs a per-row murmur3 pass the
-# metadata-only writer deliberately does not do (the jar path owns it).
-_TRANSFORMS = ("identity", "hour")
+# §Partition Transforms): identity, hour (the CDC-window transform the
+# north rule names — hours(cdc$time)), bucket[N] (the hot-key scatter
+# transform for 10^12-key scale: murmur3_x86_32 per spec Appendix B,
+# vectorized below) and truncate[W].
+_TRANSFORMS = ("identity", "hour", "bucket", "truncate")
 _EPOCH_US_PER_HOUR = 3_600_000_000
+
+
+def _parse_transform(transform: str) -> tuple[str, int | None]:
+    """"bucket[16]" -> ("bucket", 16); "hour" -> ("hour", None)."""
+    import re
+
+    m = re.fullmatch(r"(identity|hour)|(bucket|truncate)\[(\d+)\]", transform)
+    if not m:
+        raise ValueError(
+            f"unsupported partition transform {transform!r} (jarless "
+            "writer supports identity, hour, bucket[N], truncate[W])"
+        )
+    if m.group(1):
+        return m.group(1), None
+    return m.group(2), int(m.group(3))
+
+
+# --- spec Appendix B bucket hash: murmur3_x86_32, seed 0, vectorized ------
+# (public domain algorithm, Austin Appleby; constants are the algorithm's)
+_MM_C1, _MM_C2 = 0xCC9E2D51, 0x1B873593
+
+
+def _mm3_mix_k(k1):
+    import numpy as np
+
+    k1 = k1 * np.uint32(_MM_C1)
+    k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+    return k1 * np.uint32(_MM_C2)
+
+
+def _mm3_mix_h(h1, k1):
+    import numpy as np
+
+    h1 = h1 ^ k1
+    h1 = (h1 << np.uint32(13)) | (h1 >> np.uint32(19))
+    return h1 * np.uint32(5) + np.uint32(0xE6546B64)
+
+
+def _mm3_fin(h1, nbytes):
+    import numpy as np
+
+    h1 = h1 ^ nbytes
+    h1 = h1 ^ (h1 >> np.uint32(16))
+    h1 = h1 * np.uint32(0x85EBCA6B)
+    h1 = h1 ^ (h1 >> np.uint32(13))
+    h1 = h1 * np.uint32(0xC2B2AE35)
+    return h1 ^ (h1 >> np.uint32(16))
+
+
+def murmur3_long(values) -> "np.ndarray":  # noqa: F821
+    """Vectorized murmur3_x86_32 of int/long values serialized as 8-byte
+    little-endian (spec Appendix B: ints are hashed as longs so
+    bucket[N] agrees across int->long type promotion).  Returns int32
+    hashes; spec vector: hash(34) == 2017239379."""
+    import numpy as np
+
+    u = np.asarray(values, dtype=np.int64).view(np.uint64)
+    h1 = np.zeros(len(u), np.uint32)
+    h1 = _mm3_mix_h(h1, _mm3_mix_k((u & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+    h1 = _mm3_mix_h(h1, _mm3_mix_k((u >> np.uint64(32)).astype(np.uint32)))
+    return _mm3_fin(h1, np.uint32(8)).view(np.int32)
+
+
+def murmur3_bytes(values: list) -> "np.ndarray":  # noqa: F821
+    """Vectorized murmur3_x86_32 over variable-length byte strings (the
+    spec's string/binary serialization: UTF-8 bytes / raw bytes).  One
+    columnwise pass per 4-byte block position — O(max_len/4) numpy ops
+    for the whole batch, no per-row Python in the hash itself.  Spec
+    vectors: hash(b"iceberg") == 1210000089,
+    hash(b"\\x00\\x01\\x02\\x03") == -188683207."""
+    import numpy as np
+
+    n = len(values)
+    if n == 0:
+        return np.empty(0, np.int32)
+    lens = np.fromiter((len(b) for b in values), np.int64, n)
+    maxlen = int(lens.max())
+    padw = (maxlen // 4 + 2) * 4  # slack so tail gathers never index OOB
+    buf = np.zeros((n, padw), np.uint8)
+    joined = np.frombuffer(b"".join(values), np.uint8)
+    if len(joined):
+        row_idx = np.repeat(np.arange(n), lens)
+        col_idx = np.arange(len(joined)) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        buf[row_idx, col_idx] = joined
+    # little-endian 4-byte blocks, endianness-explicit
+    b0, b1, b2, b3 = (
+        buf[:, i::4].astype(np.uint32) for i in range(4)
+    )
+    blocks = b0 | (b1 << np.uint32(8)) | (b2 << np.uint32(16)) | (
+        b3 << np.uint32(24)
+    )
+    nblocks = (lens // 4).astype(np.int64)
+    h1 = np.zeros(n, np.uint32)
+    for j in range(maxlen // 4):
+        h1 = np.where(j < nblocks, _mm3_mix_h(h1, _mm3_mix_k(blocks[:, j])), h1)
+    rows = np.arange(n)
+    tail_start = nblocks * 4
+    tail_len = lens & 3
+    k1 = np.zeros(n, np.uint32)
+    for t in (2, 1, 0):
+        byte = buf[rows, tail_start + t].astype(np.uint32)
+        k1 = np.where(tail_len > t, k1 ^ (byte << np.uint32(8 * t)), k1)
+    h1 = h1 ^ _mm3_mix_k(k1)  # mix(0) == 0: no-op where tail_len == 0
+    return _mm3_fin(h1, lens.astype(np.uint32)).view(np.int32)
+
+
+def bucket_values(values, source_type: str, n: int) -> "np.ndarray":  # noqa: F821
+    """spec bucket[N]: (murmur3 hash & Integer.MAX_VALUE) % N, over a
+    numpy array / sequence of source values.  Nulls are the caller's
+    problem (Iceberg buckets null to null; partition sources here are
+    required non-null)."""
+    import numpy as np
+
+    if source_type in ("int", "long"):
+        h = murmur3_long(values)
+    elif source_type == "string":
+        h = murmur3_bytes([v.encode("utf-8") for v in values])
+    else:
+        raise ValueError(f"bucket over {source_type!r} not supported")
+    return (h.astype(np.int64) & 0x7FFFFFFF) % n
+
+
+def truncate_value(v, source_type: str, w: int):
+    """spec truncate[W]: ints floor to a multiple of W (works for
+    negatives), strings truncate to W unicode codepoints."""
+    if source_type in ("int", "long"):
+        return int(v) - (int(v) % w)
+    if source_type == "string":
+        return v[:w]
+    raise ValueError(f"truncate over {source_type!r} not supported")
+
+
+_TRANSFORM_SUFFIX = {"hour": "hour", "bucket": "bucket", "truncate": "trunc"}
 
 
 def _parse_partition_by(partition_by, schema) -> list[dict]:
     name_to_field = {f["name"]: f for f in schema["fields"]}
     fields = []
     for i, (col, transform) in enumerate(partition_by or []):
-        if transform not in _TRANSFORMS:
-            raise ValueError(
-                f"unsupported partition transform {transform!r} "
-                f"(jarless writer supports {_TRANSFORMS})"
-            )
+        base, _param = _parse_transform(transform)
         if col not in name_to_field:
             raise ValueError(f"partition source column {col!r} not in schema")
         pname = col.replace("$", "_") + (
-            f"_{transform}" if transform != "identity" else ""
+            f"_{_TRANSFORM_SUFFIX[base]}" if base != "identity" else ""
         )
         fields.append(
             {
@@ -519,15 +664,16 @@ def _parse_partition_by(partition_by, schema) -> list[dict]:
 
 def _partition_result_type(field: dict, schema: dict) -> str:
     """Iceberg result type of a partition field (primitive name)."""
-    if field["transform"] == "hour":
+    base, _param = _parse_transform(field["transform"])
+    if base == "hour":
         return "int"
     src = next(f for f in schema["fields"] if f["id"] == field["source-id"])
     if src["type"] not in ("int", "long", "string"):
         raise ValueError(
-            "identity partition source must be int/long/string "
+            f"{base} partition source must be int/long/string "
             f"(got {src['type']!r}); use the hour transform for timestamps"
         )
-    return src["type"]
+    return "int" if base == "bucket" else src["type"]
 
 
 _AVRO_OF_ICEBERG = {
@@ -589,18 +735,54 @@ def _to_epoch_us(v) -> int:
     return int(v)
 
 
+def _bucket_partition_value(path: str, col: str, src_type: str, n: int):
+    """bucket[N] partition value of one data file.  Footer min/max stats
+    cannot prove bucket purity (two values between min and max hash to
+    different buckets), so this reads the ONE source column of the file
+    (columnar, commit-time-only cost) and buckets every value — exact by
+    construction, and the purity check is real, not inferred."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    colv = pq.read_table(path, columns=[col]).column(col)
+    if colv.null_count:
+        raise ValueError(f"{path}: NULL in bucket partition source {col!r}")
+    if src_type == "string":
+        vals = colv.to_pylist()
+    else:
+        vals = colv.to_numpy(zero_copy_only=False)
+    b = bucket_values(vals, src_type, n)
+    lo, hi = int(b.min()), int(b.max())
+    if lo != hi:
+        raise ValueError(
+            f"{path}: not partition-pure on bucket[{n}]({col}) "
+            f"(buckets {lo}..{hi}) — write one file per bucket "
+            "(Iceberg's data-file invariant)"
+        )
+    return lo
+
+
 def _file_partition_values(path: str, spec_fields, schema, result_types) -> dict:
     """Partition tuple of one data file, derived from its parquet footer
     stats — the file must be partition-pure (every row in ONE partition),
-    which is Iceberg's own write invariant for data files."""
+    which is Iceberg's own write invariant for data files.  bucket[N]
+    fields are the exception: purity is checked against the actual
+    column values (see _bucket_partition_value)."""
     import pyarrow.parquet as pq
 
     meta = pq.read_metadata(path)
     arrow_names = meta.schema.to_arrow_schema().names
     id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    id_to_type = {f["id"]: f["type"] for f in schema["fields"]}
     out = {}
     for f, rtype in zip(spec_fields, result_types):
         col = id_to_name[f["source-id"]]
+        base, param = _parse_transform(f["transform"])
+        if base == "bucket":
+            out[f["name"]] = _bucket_partition_value(
+                path, col, id_to_type[f["source-id"]], param
+            )
+            continue
         ci = arrow_names.index(col)
         lo = hi = None
         for rg in range(meta.num_row_groups):
@@ -624,9 +806,13 @@ def _file_partition_values(path: str, spec_fields, schema, result_types) -> dict
                 )
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if f["transform"] == "hour":
+        if base == "hour":
             vlo = _to_epoch_us(lo) // _EPOCH_US_PER_HOUR
             vhi = _to_epoch_us(hi) // _EPOCH_US_PER_HOUR
+        elif base == "truncate":
+            src_type = id_to_type[f["source-id"]]
+            vlo = truncate_value(lo, src_type, param)
+            vhi = truncate_value(hi, src_type, param)
         else:
             vlo, vhi = lo, hi
         if vlo != vhi:
@@ -729,10 +915,11 @@ def create_table(
 ) -> dict:
     """Create an empty v2 Iceberg table at `location`.
 
-    partition_by: [(source_column, transform)] with transform "identity"
-    or "hour" — e.g. [("cdc$time", "hour")] is the north-rule CDC-window
-    layout.  Unpartitioned (default): each appended snapshot is the
-    window unit."""
+    partition_by: [(source_column, transform)] with transform "identity",
+    "hour", "bucket[N]" or "truncate[W]" — [("cdc$time", "hour")] is the
+    north-rule CDC-window layout, [("clip_id", "bucket[256]")] the
+    hot-key scatter layout for 10^12-clip point lookups.  Unpartitioned
+    (default): each appended snapshot is the window unit."""
     schema = iceberg_schema_of(spark_schema)
     spec_fields = _parse_partition_by(partition_by, schema)
     md = {
@@ -789,6 +976,7 @@ def _commit_snapshot(
     timestamp_ms: int = 0,
     summary_extra: dict[str, str] | None = None,
     carry_prior: bool = True,
+    set_sort_order: list[str] | None = None,
 ) -> int:
     """Commit one snapshot adding `data_files` (content=DATA manifest),
     `delete_files` (position-delete parquet, columns file_path/pos) and/or
@@ -1003,6 +1191,31 @@ def _commit_snapshot(
     md["current-snapshot-id"] = snap_id
     md["last-sequence-number"] = seq
     md["last-updated-ms"] = timestamp_ms
+    if set_sort_order:
+        # spec §Sort Orders: record how the rewritten files are clustered
+        # so planners know the column-bound skipping is effective
+        by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        fields = [
+            {
+                "transform": "identity",
+                "source-id": by_name[c],
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+            for c in set_sort_order
+        ]
+        existing = next(
+            (
+                o["order-id"]
+                for o in md["sort-orders"]
+                if o["fields"] == fields
+            ),
+            None,
+        )
+        if existing is None:
+            existing = max(o["order-id"] for o in md["sort-orders"]) + 1
+            md["sort-orders"].append({"order-id": existing, "fields": fields})
+        md["default-sort-order-id"] = existing
     _write_metadata(location, md, base_v + 1)
     return snap_id
 
@@ -1049,6 +1262,42 @@ def _manifest_pruned(mf, spec_fields, rtypes, ranges) -> bool:
         if mhi < lo or mlo > hi:
             return True
     return False
+
+
+def partition_filter_for(location: str, equals: dict) -> dict:
+    """Map source-column EQUALITY predicates to partition_ranges — the
+    predicate-pushdown step a query layer does before scan_files /
+    read_table / run_iceberg_meta_stream.  For each default-spec
+    partition field whose source column appears in `equals`, the
+    transform is applied to the literal (identity: v; hour: epoch-micros
+    or datetime -> hour ordinal; bucket[N]: spec murmur3 bucket of v;
+    truncate[W]: truncated v) and emitted as a degenerate (v, v) range.
+    Point lookups on a bucket[N]-partitioned key — the 10^12-clip
+    hot-key layout — prune to ~1/N of the table's files this way.
+    Columns matching no partition field contribute nothing (they can
+    still prune via column_ranges file stats)."""
+    md = current_metadata(location)
+    schema = md["schemas"][md["current-schema-id"]]
+    spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
+    id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    id_to_type = {f["id"]: f["type"] for f in schema["fields"]}
+    ranges = {}
+    for f in spec_fields:
+        col = id_to_name[f["source-id"]]
+        if col not in equals:
+            continue
+        v = equals[col]
+        base, param = _parse_transform(f["transform"])
+        if base == "identity":
+            pv = v
+        elif base == "hour":
+            pv = _to_epoch_us(v) // _EPOCH_US_PER_HOUR
+        elif base == "bucket":
+            pv = int(bucket_values([v], id_to_type[f["source-id"]], param)[0])
+        else:
+            pv = truncate_value(v, id_to_type[f["source-id"]], param)
+        ranges[f["name"]] = (pv, pv)
+    return ranges
 
 
 def _entry_pruned(part: dict, ranges: dict) -> bool:
@@ -1920,8 +2169,31 @@ def _transform_column(field: dict, schema: dict, df):
     src = next(f for f in schema["fields"] if f["id"] == field["source-id"])
     name = src["name"]
     col = F.col(f"`{name}`")
-    if field["transform"] == "identity":
+    base, param = _parse_transform(field["transform"])
+    if base == "identity":
         return col
+    if base == "truncate":
+        if src["type"] == "string":
+            return F.substring(col, 1, param)
+        return (col - F.pmod(col, F.lit(param))).cast(
+            "int" if src["type"] == "int" else "long"
+        )
+    if base == "bucket":
+        # spec Appendix B murmur3 — vectorized pandas UDF (Arrow batches,
+        # no per-row Python), bit-identical to the commit-time derivation
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        src_type = src["type"]
+
+        def _bucket(s: pd.Series) -> pd.Series:
+            if src_type == "string":
+                vals = bucket_values(s.tolist(), "string", param)
+            else:
+                vals = bucket_values(s.to_numpy(), src_type, param)
+            return pd.Series(vals.astype("int32"))
+
+        return pandas_udf(_bucket, "int")(col)
     dtype = df.schema[name].dataType
     if isinstance(dtype, TimestampNTZType):
         # naive-as-UTC epoch micros, independent of the session timezone
@@ -1940,9 +2212,10 @@ def compact_table(
     spark,
     location: str,
     *,
-    target_file_mb: int = 128,
+    target_file_mb: float = 128,
     timestamp_ms: int = 0,
     force: bool = False,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Rewrite the table's live content as fresh data files and commit
     ONE replace snapshot — the jarless `rewriteDataFiles` +
@@ -1966,6 +2239,15 @@ def compact_table(
     snapshot as an empty heartbeat batch (added_files delivers rows only
     from append snapshots) — compaction never re-delivers rows.
 
+    `sort_by` clusters the rewrite (spec §Sort Orders, recorded in table
+    metadata): unpartitioned tables are RANGE-repartitioned on the sort
+    key so files carry disjoint spec lower/upper column bounds — this is
+    what turns the per-file column-bound skipping from "works when the
+    data happens to be clustered" into a guarantee (a point/range read
+    on the sort key then opens O(1) of the table's files); partitioned
+    tables sort within each partition file.  Sorted compaction always
+    rewrites (clustering IS the point), so sort_by implies force.
+
     Returns the replace snapshot id, or -1 when there is nothing to do
     (no deletes to fold and no small-file bin-packing win; `force=True`
     rewrites regardless)."""
@@ -1976,10 +2258,10 @@ def compact_table(
         return -1
     n_files = len(plan["files"])
     total_bytes = sum(os.path.getsize(p) for p in plan["files"])
-    target_bytes = target_file_mb * 1024 * 1024
+    target_bytes = max(1, int(target_file_mb * 1024 * 1024))
     packed = max(1, -(-total_bytes // target_bytes))  # ceil
     has_deletes = bool(plan["delete_files"] or plan["equality_deletes"])
-    if not force and not has_deletes and n_files <= packed:
+    if not force and not sort_by and not has_deletes and n_files <= packed:
         return -1
 
     md = current_metadata(location)
@@ -2002,10 +2284,19 @@ def compact_table(
             part_df = part_df.withColumn(
                 name, _transform_column(f, schema, state)
             )
+        part_df = part_df.repartition(*[F.col(c) for c in pcols])
+        if sort_by:
+            part_df = part_df.sortWithinPartitions(*pcols, *sort_by)
         (
-            part_df.repartition(*[F.col(c) for c in pcols])
-            .write.partitionBy(*pcols)
+            part_df.write.partitionBy(*pcols)
             .mode("overwrite")
+            .parquet(out_dir)
+        )
+    elif sort_by:
+        (
+            state.repartitionByRange(packed, *sort_by)
+            .sortWithinPartitions(*sort_by)
+            .write.mode("overwrite")
             .parquet(out_dir)
         )
     else:
@@ -2030,8 +2321,10 @@ def compact_table(
             "removed-equality-delete-files": str(
                 len(plan["equality_deletes"])
             ),
+            **({"sorted-by": ",".join(sort_by)} if sort_by else {}),
         },
         carry_prior=False,
+        set_sort_order=sort_by,
     )
 
 

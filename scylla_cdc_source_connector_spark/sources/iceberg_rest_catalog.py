@@ -33,7 +33,8 @@ Iceberg REST Catalog API (https://iceberg.apache.org/rest-catalog-spec/
         `assert-ref-snapshot-id` (ref "main") enforced under the server
         lock — the optimistic-concurrency CAS — and the update actions
         `add-snapshot`, `set-snapshot-ref`, `remove-snapshots`,
-        `add-schema`, `set-current-schema`, `set-properties`.
+        `add-schema`, `set-current-schema`, `add-sort-order`,
+        `set-default-sort-order`, `set-properties`.
 
 Documented deviation from a production REST catalog: the stub applies
 updates to its authoritative copy of the table metadata and PERSISTS
@@ -155,6 +156,19 @@ def _apply_updates(md: dict, updates: list[dict]) -> dict:
             if not any(s["schema-id"] == sid for s in md["schemas"]):
                 raise ValueError(f"no schema {sid}")
             md["current-schema-id"] = sid
+        elif action == "add-sort-order":
+            order = u["sort-order"]
+            orders = md.setdefault("sort-orders", [])
+            if any(o["order-id"] == order["order-id"] for o in orders):
+                raise ValueError(f"sort order {order['order-id']} exists")
+            orders.append(order)
+        elif action == "set-default-sort-order":
+            oid = u["sort-order-id"]
+            if not any(
+                o["order-id"] == oid for o in md.get("sort-orders", [])
+            ):
+                raise ValueError(f"no sort order {oid}")
+            md["default-sort-order-id"] = oid
         elif action == "set-properties":
             md.setdefault("properties", {}).update(u["updates"])
         else:

@@ -109,11 +109,14 @@ def test_bound_commits_advance_catalog_and_files(spark, tmp_root, catalog):
         # row-level delete + compaction, both as catalog commits
         im.delete_where(spark, loc, "k % 2 = 0", timestamp_ms=3)
         assert im.read_table(spark, loc).count() == 10
-        im.compact_table(spark, loc, timestamp_ms=4)
+        im.compact_table(spark, loc, timestamp_ms=4, sort_by=["k"])
         lt = c.load_table("cdc", "bound")
         assert lt["metadata"]["snapshots"][-1]["summary"]["operation"] == (
             "replace"
         )
+        # sorted compaction's add-sort-order/set-default-sort-order
+        # round-tripped through the catalog commit
+        assert lt["metadata"]["default-sort-order-id"] == 1
         assert lt["metadata"] == im.current_metadata(loc)
 
         # expiration -> remove-snapshots update

@@ -506,7 +506,11 @@ def test_identity_partition_and_unknown_transform(tmp_root):
 
     with pytest.raises(ValueError, match="unsupported partition transform"):
         im.create_table(
-            f"{tmp_root}/ice_part_bad", sch, partition_by=[("k", "bucket[16]")]
+            f"{tmp_root}/ice_part_bad", sch, partition_by=[("k", "year")]
+        )
+    with pytest.raises(ValueError, match="unsupported partition transform"):
+        im.create_table(
+            f"{tmp_root}/ice_part_bad2", sch, partition_by=[("k", "bucket[]")]
         )
 
 
@@ -1692,3 +1696,340 @@ def test_column_bounds_data_skipping(spark, tmp_root):
     im.compact_table(spark, loc, timestamp_ms=10)
     plan = im.scan_files(loc, column_ranges={"k": (10_000, 20_000)})
     assert plan["files"] == []
+
+
+# ---------------------------------------------------------------------------
+# bucket[N] / truncate[W] transforms (spec §Partition Transforms +
+# Appendix B) and sorted compaction (spec §Sort Orders)
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_hash_spec_vectors():
+    """The vectorized murmur3_x86_32 kernel is pinned to the Iceberg
+    spec's published Appendix B test vectors and to an independent
+    scalar reference implementation over random inputs."""
+    import random
+
+    import numpy as np
+
+    assert im.murmur3_long([34])[0] == 2017239379  # int AND long 34
+    assert im.murmur3_bytes([b"iceberg"])[0] == 1210000089
+    assert im.murmur3_bytes([b"\x00\x01\x02\x03"])[0] == -188683207
+
+    def scalar(data: bytes) -> int:  # textbook murmur3_x86_32, seed 0
+        c1, c2 = 0xCC9E2D51, 0x1B873593
+        h1, n = 0, len(data)
+        for i in range(0, n & ~3, 4):
+            k1 = int.from_bytes(data[i : i + 4], "little")
+            k1 = (k1 * c1) & 0xFFFFFFFF
+            k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+            k1 = (k1 * c2) & 0xFFFFFFFF
+            h1 ^= k1
+            h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+            h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+        k1, tail = 0, data[n & ~3 :]
+        if len(tail) >= 3:
+            k1 ^= tail[2] << 16
+        if len(tail) >= 2:
+            k1 ^= tail[1] << 8
+        if len(tail) >= 1:
+            k1 = ((k1 ^ tail[0]) * c1) & 0xFFFFFFFF
+            k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+            h1 ^= (k1 * c2) & 0xFFFFFFFF
+        h1 ^= n
+        h1 ^= h1 >> 16
+        h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+        h1 ^= h1 >> 13
+        h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+        h1 ^= h1 >> 16
+        return h1 - (1 << 32) if h1 >= 1 << 31 else h1
+
+    rng = random.Random(7)
+    blobs = [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 33)))
+        for _ in range(300)
+    ]
+    assert (
+        im.murmur3_bytes(blobs)
+        == np.array([scalar(b) for b in blobs], np.int32)
+    ).all()
+    longs = [rng.randrange(-(2**63), 2**63) for _ in range(300)] + [0, -1]
+    assert (
+        im.murmur3_long(longs)
+        == np.array(
+            [scalar(int(v).to_bytes(8, "little", signed=True)) for v in longs],
+            np.int32,
+        )
+    ).all()
+    # truncate semantics: ints floor toward -inf, strings cut codepoints
+    assert im.truncate_value(-7, "long", 10) == -10
+    assert im.truncate_value(17, "int", 10) == 10
+    assert im.truncate_value("hello world", "string", 4) == "hell"
+
+
+def _bucket_table(tmp_root, name, n_buckets=8, rows=400):
+    """(clip_id string, v long) table partitioned bucket[n](clip_id),
+    one bucket-pure file per non-empty bucket."""
+    import pyarrow as pa
+    import pyspark.sql.types as T
+
+    import pyarrow.parquet as pq
+
+    sch = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("v", T.LongType(), False),
+        ]
+    )
+    loc = f"{tmp_root}/{name}"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(
+        loc, sch, partition_by=[("clip_id", f"bucket[{n_buckets}]")]
+    )
+    clips = [f"clip-{i:012d}" for i in range(rows)]
+    buckets = im.bucket_values(clips, "string", n_buckets)
+    files = []
+    for b in sorted(set(buckets.tolist())):
+        ks = [c for c, bb in zip(clips, buckets) if bb == b]
+        p = f"{loc}/data/b{b}.parquet"
+        pq.write_table(
+            pa.table({"clip_id": ks, "v": [len(k) for k in ks]}), p
+        )
+        files.append(p)
+    im.append_files(loc, files, timestamp_ms=1)
+    return loc, clips, buckets
+
+
+def test_bucket_partition_point_lookup(spark, tmp_root):
+    """bucket[8](clip_id) layout: partition_filter_for maps a clip_id
+    equality to its bucket and the scan opens ~1/8 of the files — the
+    hot-key point-lookup plan at 10^12-clip scale."""
+    loc, clips, buckets = _bucket_table(tmp_root, "ice_bucket", 8)
+    md = im.current_metadata(loc)
+    f = md["partition-specs"][0]["fields"][0]
+    assert (f["name"], f["transform"]) == ("clip_id_bucket", "bucket[8]")
+
+    full = im.scan_files(loc)
+    n_parts = len({p["clip_id_bucket"] for p in full["partitions"]})
+    assert len(full["files"]) == n_parts > 4
+
+    key = clips[37]
+    want_b = int(buckets[37])
+    ranges = im.partition_filter_for(loc, {"clip_id": key})
+    assert ranges == {"clip_id_bucket": (want_b, want_b)}
+    plan = im.scan_files(loc, partition_ranges=ranges)
+    assert len(plan["files"]) == 1
+    assert plan["partitions"] == [{"clip_id_bucket": want_b}]
+
+    got = (
+        im.read_table(spark, loc, partition_ranges=ranges)
+        .where(F.col("clip_id") == key)
+        .collect()
+    )
+    assert len(got) == 1 and got[0]["v"] == len(key)
+
+    # non-partition columns in the equality map contribute nothing
+    assert im.partition_filter_for(loc, {"v": 3}) == {}
+
+
+def test_bucket_purity_enforced(tmp_root):
+    """A file mixing two buckets is rejected at append time — purity is
+    checked against the actual column values (footer stats cannot prove
+    bucket purity)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("v", T.LongType(), False),
+        ]
+    )
+    loc = f"{tmp_root}/ice_bucket_bad"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(loc, sch, partition_by=[("clip_id", "bucket[4]")])
+    clips = [f"clip-{i:012d}" for i in range(50)]
+    assert len(set(im.bucket_values(clips, "string", 4).tolist())) > 1
+    p = f"{loc}/data/mixed.parquet"
+    pq.write_table(pa.table({"clip_id": clips, "v": list(range(50))}), p)
+    with pytest.raises(ValueError, match="not partition-pure"):
+        im.append_files(loc, [p])
+
+
+def test_truncate_partition_pruning(tmp_root):
+    """truncate[W] over long and string sources: width-W ranges become
+    partition values, derived from footer min/max (monotone transform:
+    equal truncated bounds prove purity)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("s", T.StringType(), False),
+        ]
+    )
+    loc = f"{tmp_root}/ice_trunc"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(
+        loc, sch, partition_by=[("k", "truncate[100]"), ("s", "truncate[2]")]
+    )
+    files = []
+    for i, pre in enumerate(("aa", "bb", "cc")):
+        ks = list(range(i * 100, i * 100 + 50))
+        p = f"{loc}/data/t{i}.parquet"
+        pq.write_table(
+            pa.table({"k": ks, "s": [f"{pre}-{j}" for j in ks]}), p
+        )
+        files.append(p)
+    im.append_files(loc, files, timestamp_ms=1)
+    md = im.current_metadata(loc)
+    names = [f["name"] for f in md["partition-specs"][0]["fields"]]
+    assert names == ["k_trunc", "s_trunc"]
+
+    plan = im.scan_files(
+        loc, partition_ranges=im.partition_filter_for(loc, {"k": 137})
+    )
+    assert len(plan["files"]) == 1
+    assert plan["partitions"][0]["k_trunc"] == 100
+    plan = im.scan_files(
+        loc, partition_ranges=im.partition_filter_for(loc, {"s": "bb-777"})
+    )
+    assert len(plan["files"]) == 1
+    assert plan["partitions"][0]["s_trunc"] == "bb"
+
+    # impure on the truncate width -> rejected
+    p = f"{loc}/data/bad.parquet"
+    pq.write_table(
+        pa.table({"k": [99, 100], "s": ["aa-1", "aa-2"]}), p
+    )
+    with pytest.raises(ValueError, match="not partition-pure"):
+        im.append_files(loc, [p])
+
+
+def test_streaming_bucket_scoped_drain(spark, tmp_root):
+    """The streaming path accepts bucket-mapped scopes: draining ONLY a
+    hot clip's bucket emits exactly the full drain's rows for clips of
+    that bucket, with other buckets' manifests never opened."""
+    pdf = make_changelog(FixtureSpec(n_events=400, n_clips=60, n_shards=2))
+    loc = f"{tmp_root}/ice_bucket_stream"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(
+        loc,
+        DEFAULT_TABLE.changelog_schema(),
+        partition_by=[("clip_id", "bucket[4]")],
+    )
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    buckets = im.bucket_values(pdf["clip_id"].tolist(), "string", 4)
+    for snap, sl in ((1, pdf.iloc[:200]), (2, pdf.iloc[200:])):
+        bs = buckets[: 200] if snap == 1 else buckets[200:]
+        files = []
+        for b in sorted(set(bs.tolist())):
+            p = f"{loc}/data/s{snap}b{b}.parquet"
+            write_changelog_chunk(sl[bs == b], p)
+            files.append(p)
+        im.append_files(loc, files, timestamp_ms=snap)
+
+    hot = pdf["clip_id"].iloc[0]
+    ranges = im.partition_filter_for(loc, {"clip_id": hot})
+    (hot_b,) = {int(b) for c, b in zip(pdf["clip_id"], buckets) if c == hot}
+    assert ranges == {"clip_id_bucket": (hot_b, hot_b)}
+
+    cfg = _cfg(tmp_root, "ice_bucket_scope")
+    res = run_iceberg_meta_stream(spark, cfg, loc, partition_ranges=ranges)
+    assert res["files_skipped"] > 0
+
+    cfg_full = _cfg(tmp_root, "ice_bucket_full")
+    run_iceberg_meta_stream(spark, cfg_full, loc)
+
+    def keys(cfg_):
+        return {
+            (r["clip_id"], r["cdc$time_us"], r["op"])
+            for r in sink_mod.read_emitted(spark, cfg_)
+            .select("clip_id", "`cdc$time_us`", F.col("value.op").alias("op"))
+            .collect()
+        }
+
+    in_bucket = {
+        c for c, b in zip(pdf["clip_id"], buckets) if int(b) == hot_b
+    }
+    got, full = keys(cfg), keys(cfg_full)
+    assert {c for c, _, _ in got} == in_bucket
+    assert got == {k for k in full if k[0] in in_bucket}
+
+
+def test_sorted_compaction_data_skipping(spark, tmp_root):
+    """compact_table(sort_by=...) range-clusters the rewrite so per-file
+    column bounds become DISJOINT: the same point/range predicate that
+    skipped nothing before compaction opens O(1) files after — and the
+    sort order lands in table metadata (spec §Sort Orders)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    rng_n = 4000
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("pay", T.StringType(), False),
+        ]
+    )
+    loc = f"{tmp_root}/ice_sorted"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(loc, sch)
+    # four appends, each SHUFFLED across the whole key range -> every
+    # file's [min,max] spans everything, bounds skipping is useless
+    import random
+
+    rng = random.Random(3)
+    ks = list(range(rng_n))
+    rng.shuffle(ks)
+    for i in range(4):
+        sl = ks[i * 1000 : (i + 1) * 1000]
+        p = f"{loc}/data/u{i}.parquet"
+        pq.write_table(
+            pa.table({"k": sl, "pay": [f"p{j:06d}" * 4 for j in sl]}), p
+        )
+        im.append_files(loc, [p], timestamp_ms=i + 1)
+
+    narrow = {"k": (100, 120)}
+    before = im.scan_files(loc, column_ranges=narrow)
+    assert len(before["files"]) == 4 and before["files_skipped_stats"] == 0
+
+    sid = im.compact_table(
+        spark, loc, sort_by=["k"], target_file_mb=0.02, timestamp_ms=9
+    )
+    assert sid > 0
+    md = im.current_metadata(loc)
+    assert md["default-sort-order-id"] == 1
+    order = next(o for o in md["sort-orders"] if o["order-id"] == 1)
+    assert order["fields"][0]["transform"] == "identity"
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    assert snap["summary"]["sorted-by"] == "k"
+
+    after = im.scan_files(loc, column_ranges=narrow)
+    # disjoint ranges: the narrow predicate opens at most 2 of the files
+    assert after["files_total"] >= 4
+    assert len(after["files"]) <= 2
+    assert after["files_skipped_stats"] == after["files_total"] - len(
+        after["files"]
+    )
+
+    got = sorted(
+        r["k"]
+        for r in im.read_table(spark, loc, column_ranges=narrow)
+        .where("k between 100 and 120")
+        .collect()
+    )
+    assert got == list(range(100, 121))
+    # idempotent default path: a second sorted compaction still rewrites
+    # (clustering IS the point) and keeps order-id 1 (same field list)
+    sid2 = im.compact_table(
+        spark, loc, sort_by=["k"], target_file_mb=0.02, timestamp_ms=10
+    )
+    assert sid2 > sid
+    md2 = im.current_metadata(loc)
+    assert [o["order-id"] for o in md2["sort-orders"]] == [0, 1]
