@@ -1751,6 +1751,7 @@ def read_changes(
     after_snapshot_id: int | None = None,
     from_timestamp_ms: int | None = None,
     to_snapshot_id: int | None = None,
+    partition_ranges: dict[str, tuple] | None = None,
 ):
     """Incremental (changelog) read: every row APPENDED between the
     bounds, stamped with its commit provenance — the jar path's
@@ -1760,7 +1761,10 @@ def read_changes(
     (`from_timestamp_ms`); `to_snapshot_id` is INCLUSIVE.  Rows from
     replace/delete/overwrite snapshots never appear (compaction and
     row-level deletes are not new data — the same skip rule the
-    streaming path applies).
+    streaming path applies).  `partition_ranges` scopes the replay the
+    same two metadata levels the batch/streaming scans prune — e.g.
+    partition_filter_for(loc, {"clip_id": k}) replays one hot key's
+    bucket only.
 
     Scale shape: ONE parquet scan over all selected files plus a
     broadcast join of the file→snapshot map (metadata-sized) — not a
@@ -1772,6 +1776,7 @@ def read_changes(
         location,
         after_snapshot_id=after_snapshot_id,
         from_timestamp_ms=from_timestamp_ms,
+        partition_ranges=partition_ranges,
     )
     if to_snapshot_id is not None:
         if not any(b["snapshot_id"] == to_snapshot_id for b in batches):

@@ -2033,3 +2033,33 @@ def test_sorted_compaction_data_skipping(spark, tmp_root):
     assert sid2 > sid
     md2 = im.current_metadata(loc)
     assert [o["order-id"] for o in md2["sort-orders"]] == [0, 1]
+
+
+def test_read_changes_scoped_replay(spark, tmp_root):
+    """Incremental reads compose with partition pruning: replaying one
+    hot key's bucket after a snapshot bound returns exactly that
+    bucket's appended rows, no others."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc, clips, buckets = _bucket_table(tmp_root, "ice_bucket_changes", 8)
+    # snapshot 2: fresh rows across all buckets
+    clips2 = [f"clip2-{i:012d}" for i in range(120)]
+    b2 = im.bucket_values(clips2, "string", 8)
+    files = []
+    for b in sorted(set(b2.tolist())):
+        ks = [c for c, bb in zip(clips2, b2) if bb == b]
+        p = f"{loc}/data/s2b{b}.parquet"
+        pq.write_table(pa.table({"clip_id": ks, "v": [1] * len(ks)}), p)
+        files.append(p)
+    im.append_files(loc, files, timestamp_ms=2)
+
+    key = clips2[11]
+    ranges = im.partition_filter_for(loc, {"clip_id": key})
+    got = im.read_changes(
+        spark, loc, after_snapshot_id=1, partition_ranges=ranges
+    )
+    hot_b = int(im.bucket_values([key], "string", 8)[0])
+    want = {c for c, bb in zip(clips2, b2) if int(bb) == hot_b}
+    assert {r["clip_id"] for r in got.select("clip_id").collect()} == want
+    assert got.select("_snapshot_id").distinct().collect()[0][0] == 2
