@@ -2693,6 +2693,7 @@ def maintain_latest_state_mirror(
     delete_mode: str = "position",
     compact_every: int | None = None,
     expire_keep_last: int | None = None,
+    compact_sort_by: list[str] | None = None,
 ) -> int:
     """COMPACTED latest-state Iceberg mirror: one live row per primary
     key, maintained with ROW-LEVEL ops — new/updated keys append, stale
@@ -2736,7 +2737,11 @@ def maintain_latest_state_mirror(
     away, reads return to a plain scan) and — if `expire_keep_last=K` —
     expire_snapshots(keep_last=K), bounding BOTH the per-read MoR cost
     and the table's metadata/storage growth without a separate
-    maintenance scheduler.  Maintenance never re-delivers rows (replace
+    maintenance scheduler.  `compact_sort_by=["clip_id"]` clusters each
+    compaction pass on the key so the mirror's files carry disjoint key
+    bounds — a point lookup of one clip's current state then opens O(1)
+    of the mirror's files via column_ranges (the 10^12-clip current-state
+    serving shape).  Maintenance never re-delivers rows (replace
     snapshots are stream heartbeats) and never disturbs the `sccs-
     batch-ids` idempotence stamps consumers rely on: expiry keeps at
     least the newest snapshot, whose lineage the `_applied` markers
@@ -2892,9 +2897,9 @@ def maintain_latest_state_mirror(
             else:
                 since_replace += 1
         if since_replace >= compact_every:
-            if compact_table(spark, location) != -1 and (
-                expire_keep_last is not None
-            ):
+            if compact_table(
+                spark, location, sort_by=compact_sort_by
+            ) != -1 and (expire_keep_last is not None):
                 expire_snapshots(location, keep_last=expire_keep_last)
     return committed
 

@@ -1423,12 +1423,25 @@ def test_mirror_auto_maintenance(spark, tmp_root, ice_pdf):
             im.append_files(loc, [p], timestamp_ms=1000 * (wave + 1))
         run_iceberg_meta_stream(spark, cfg, loc)
         im.maintain_latest_state_mirror(
-            spark, cfg, mir, compact_every=2, expire_keep_last=1
+            spark,
+            cfg,
+            mir,
+            compact_every=2,
+            expire_keep_last=1,
+            compact_sort_by=["clip_id"],
         )
         im.maintain_latest_state_mirror(spark, cfg, plain)
 
     ops = [s["summary"]["operation"] for s in im.snapshots(mir)]
     assert "replace" in ops  # compaction fired on cadence
+    # the cadence compaction is key-clustered: the sort order landed in
+    # table metadata (file-count skipping effectiveness is pinned by
+    # test_sorted_compaction_data_skipping)
+    md_mir = im.current_metadata(mir)
+    assert md_mir["default-sort-order-id"] == 1
+    assert im.snapshots(mir)[ops.index("replace")]["summary"][
+        "sorted-by"
+    ] == "clip_id"
     # expiry pruned everything older than the last replace snapshot
     assert ops.index("replace") == 0
     # MoR debt is BOUNDED by the cadence: at most compact_every-1
