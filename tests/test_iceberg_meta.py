@@ -452,6 +452,13 @@ def test_partition_spec_hour_pruning(spark, tmp_root):
     )
     assert got == want == 100
 
+    # equality pushdown through the hour transform: any timestamp inside
+    # the mid hour maps to the same degenerate range
+    ranges = im.partition_filter_for(
+        loc, {"cdc$time": mid * 3_600_000_000 + 42}
+    )
+    assert ranges == {"cdc_time_hour": (mid, mid)}
+
     with pytest.raises(ValueError, match="unknown partition fields"):
         im.scan_files(loc, partition_ranges={"nope": (0, 1)})
 
@@ -1843,6 +1850,16 @@ def test_bucket_partition_point_lookup(spark, tmp_root):
 
     # non-partition columns in the equality map contribute nothing
     assert im.partition_filter_for(loc, {"v": 3}) == {}
+
+    # the $partitions inspection surface groups by bucket value
+    parts = im.metadata_table(spark, loc, "partitions")
+    assert parts.count() == n_parts
+    assert (
+        parts.where(F.col("partition")["clip_id_bucket"] == str(want_b))
+        .select("record_count")
+        .collect()[0][0]
+        == sum(1 for b in buckets if int(b) == want_b)
+    )
 
 
 def test_bucket_purity_enforced(tmp_root):
