@@ -433,6 +433,21 @@ def run_bench(spark, sf_dir: str) -> dict:
     # kernel regression must be attributable per entry)
     extra["audio_validated"] = timed_best("audio_validate", _audio, repeats=2)
 
+    def timed_audio(name, fn):
+        """Arrow-kernel entry with an ADJACENT gauge sample: the host's
+        phase flips on minute timescales, so normalizing against a gauge
+        measured minutes earlier can mis-attribute a phase flip as a 5x
+        kernel regression (observed in the round-5 closing run: gauge
+        best-of-2 landed in a fast phase, the entries in a slow one —
+        interleaved re-measurement showed the true same-phase ratio was
+        ~1.4, not 5.2).  One gauge run immediately before the entry makes
+        entry/gauge a genuinely same-phase ratio."""
+        t0 = time.time()
+        _audio()
+        g = round(time.time() - t0, 3)
+        extra.setdefault("audio_gauge_adjacent", {})[name] = g
+        return timed_best(name, fn, repeats=2)
+
     # 3b. spectral fingerprint path (batched rfft over the same postimages)
     def _fp():
         from scylla_cdc_source_connector_spark.audio_fingerprint import (
@@ -449,7 +464,7 @@ def run_bench(spark, sf_dir: str) -> dict:
             .count()
         )
 
-    extra["audio_fingerprinted"] = timed_best("audio_fingerprint", _fp, repeats=2)
+    extra["audio_fingerprinted"] = timed_audio("audio_fingerprint", _fp)
 
     # 3c. VAD/silence segmentation over the same postimages (frame-energy
     # cumsum + segmented reductions; see audio_vad.py)
@@ -461,7 +476,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         )
         return vad_stats(post).where("decode_ok").count()
 
-    extra["audio_vad_clips"] = timed("audio_vad", _vad)
+    extra["audio_vad_clips"] = timed_audio("audio_vad", _vad)
 
     # 3d. sample-rate normalization of the same postimages (grouped flat
     # linear-interp kernel; see audio_resample.py)
@@ -475,7 +490,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         )
         return resample_clips(post, target_sr=16_000).where("decode_ok").count()
 
-    extra["audio_resampled"] = timed("audio_resample", _resample)
+    extra["audio_resampled"] = timed_audio("audio_resample", _resample)
 
     # 3e. fixed-window segmentation of the same postimages (pure-JVM 1->N
     # chunking fan-out, zero Python; see audio_segment.py)
@@ -491,7 +506,7 @@ def run_bench(spark, sf_dir: str) -> dict:
             post, window_ms=100, hop_ms=50, keep_tail=True
         ).count()
 
-    extra["audio_segments"] = timed("audio_segment", _segment)
+    extra["audio_segments"] = timed_audio("audio_segment", _segment)
 
     # 3f. containment/partial-dup sweep (segment -> per-segment
     # fingerprint -> banding join -> coverage) over a deterministic 10k
@@ -513,7 +528,7 @@ def run_bench(spark, sf_dir: str) -> dict:
             post, window_ms=250, hop_ms=250, min_matched_segments=1
         ).count()
 
-    extra["audio_containment_pairs"] = timed("audio_containment", _containment)
+    extra["audio_containment_pairs"] = timed_audio("audio_containment", _containment)
 
     # 3g. single-pass silence trim (VAD + payload slice in one Arrow pass)
     def _trim():
@@ -529,7 +544,7 @@ def run_bench(spark, sf_dir: str) -> dict:
             .collect()[0][0]
         )
 
-    extra["audio_trimmed_bytes"] = timed("audio_trim", _trim)
+    extra["audio_trimmed_bytes"] = timed_audio("audio_trim", _trim)
 
     # phase-normalized Arrow-kernel costs: entry ÷ the audio_validate
     # gauge measured in the SAME host phase.  A host slowdown moves every
@@ -540,7 +555,16 @@ def run_bench(spark, sf_dir: str) -> dict:
     # audio_validate does not share, so its ratio is expected ~0.15-0.25
     # above the r3 level — anything beyond that is a fresh regression.
     extra["audio_phase_normalized"] = {
-        name: round(timings[name] / timings["audio_validate"], 3)
+        # denominator: the gauge run ADJACENT to the entry (same phase),
+        # never the suite-start gauge (can be minutes and a phase flip
+        # away)
+        name: round(
+            timings[name]
+            / extra.get("audio_gauge_adjacent", {}).get(
+                name, timings["audio_validate"]
+            ),
+            3,
+        )
         for name in (
             "audio_fingerprint",
             "audio_vad",
@@ -550,6 +574,25 @@ def run_bench(spark, sf_dir: str) -> dict:
             "audio_trim",
         )
         if name in timings
+    }
+    # delta form: entry − adjacent gauge.  The gauge (pure decode) is
+    # BANDWIDTH-bound and swings ~20x with the host phase; the heavier
+    # kernels are decode + a COMPUTE stage (fingerprint: rfft) that
+    # barely rides the phase — so their ratio to the gauge legitimately
+    # varies even same-phase, while (entry − gauge) isolates the stable
+    # compute stage for every kernel that shares the gauge's decode
+    # (fingerprint/vad/resample/trim/containment; segment does not
+    # decode).  This pair, measured ADJACENT, is the attribution the
+    # round-4 fingerprint-drift question actually needs.
+    extra["audio_phase_delta"] = {
+        name: round(
+            timings[name]
+            - extra.get("audio_gauge_adjacent", {}).get(
+                name, timings["audio_validate"]
+            ),
+            3,
+        )
+        for name in extra["audio_phase_normalized"]
     }
 
     # 3h. the COMPOSED training-data recipe end-to-end: changelog ->

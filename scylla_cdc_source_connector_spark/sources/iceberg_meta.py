@@ -2213,6 +2213,51 @@ def _transform_column(field: dict, schema: dict, df):
     return F.floor(us / _EPOCH_US_PER_HOUR).cast("int")
 
 
+def _zorder_column(spark, df, cols: list[str], bits: int = 10):
+    """Spark Column computing a Morton (Z-order) key over `cols`:
+    each column is rank-normalized to `bits` bits via approx-quantile
+    boundaries (one driver-side metadata-sized action per column), then
+    the bit planes are interleaved — a vectorized numpy pandas UDF, no
+    per-row Python.  Rows close in EVERY dimension get close z-values,
+    so a range-partitioned rewrite gives files tight min/max bounds on
+    ALL the z-ordered columns at once (the public Delta/Iceberg
+    multi-dimensional clustering technique)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    n_buckets = 1 << bits
+    # quantile boundaries: numeric and timestamp sources (strings would
+    # need a rank pass; callers sort_by those instead)
+    casted = df.select(
+        *[F.col(f"`{c}`").cast("double").alias(f"c{i}") for i, c in enumerate(cols)]
+    )
+    bounds = casted.approxQuantile(
+        [f"c{i}" for i in range(len(cols))],
+        [j / n_buckets for j in range(1, n_buckets)],
+        0.001,
+    )
+
+    # no type hints: pandas_udf rejects the (*series) hinted signature
+    def _z(*series):
+        import numpy as np
+
+        z = np.zeros(len(series[0]), np.uint64)
+        for d, s in enumerate(series):
+            v = np.searchsorted(
+                np.asarray(bounds[d]), s.to_numpy(dtype=np.float64), "right"
+            ).astype(np.uint64)
+            for b in range(bits):  # scatter bit b to position b*dims + d
+                z |= ((v >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                    b * len(series) + d
+                )
+        return pd.Series(z.view(np.int64))
+
+    return pandas_udf(_z, "long")(
+        *[F.col(f"`{c}`").cast("double") for c in cols]
+    )
+
+
 def compact_table(
     spark,
     location: str,
@@ -2221,6 +2266,7 @@ def compact_table(
     timestamp_ms: int = 0,
     force: bool = False,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite the table's live content as fresh data files and commit
     ONE replace snapshot — the jarless `rewriteDataFiles` +
@@ -2250,14 +2296,20 @@ def compact_table(
     what turns the per-file column-bound skipping from "works when the
     data happens to be clustered" into a guarantee (a point/range read
     on the sort key then opens O(1) of the table's files); partitioned
-    tables sort within each partition file.  Sorted compaction always
-    rewrites (clustering IS the point), so sort_by implies force.
+    tables sort within each partition file.  `zorder_by` is the
+    multi-dimensional variant: rows are ordered by an interleaved-bit
+    Morton key over the named numeric/timestamp columns, so predicates
+    on ANY of them skip files (a linear sort serves only its leading
+    column).  Clustering compaction always rewrites (clustering IS the
+    point), so sort_by/zorder_by imply force.
 
     Returns the replace snapshot id, or -1 when there is nothing to do
     (no deletes to fold and no small-file bin-packing win; `force=True`
     rewrites regardless)."""
     from pyspark.sql import functions as F
 
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by OR zorder_by, not both")
     plan = scan_files(location)
     if not plan["files"]:
         return -1
@@ -2266,7 +2318,8 @@ def compact_table(
     target_bytes = max(1, int(target_file_mb * 1024 * 1024))
     packed = max(1, -(-total_bytes // target_bytes))  # ceil
     has_deletes = bool(plan["delete_files"] or plan["equality_deletes"])
-    if not force and not sort_by and not has_deletes and n_files <= packed:
+    clustering = bool(sort_by or zorder_by)
+    if not force and not clustering and not has_deletes and n_files <= packed:
         return -1
 
     md = current_metadata(location)
@@ -2290,11 +2343,25 @@ def compact_table(
                 name, _transform_column(f, schema, state)
             )
         part_df = part_df.repartition(*[F.col(c) for c in pcols])
-        if sort_by:
+        if zorder_by:
+            part_df = part_df.withColumn(
+                "__z", _zorder_column(spark, state, zorder_by)
+            ).sortWithinPartitions(*pcols, "__z")
+        elif sort_by:
             part_df = part_df.sortWithinPartitions(*pcols, *sort_by)
         (
-            part_df.write.partitionBy(*pcols)
+            part_df.drop("__z")
+            .write.partitionBy(*pcols)
             .mode("overwrite")
+            .parquet(out_dir)
+        )
+    elif zorder_by:
+        (
+            state.withColumn("__z", _zorder_column(spark, state, zorder_by))
+            .repartitionByRange(packed, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
             .parquet(out_dir)
         )
     elif sort_by:
@@ -2327,6 +2394,7 @@ def compact_table(
                 len(plan["equality_deletes"])
             ),
             **({"sorted-by": ",".join(sort_by)} if sort_by else {}),
+            **({"zordered-by": ",".join(zorder_by)} if zorder_by else {}),
         },
         carry_prior=False,
         set_sort_order=sort_by,

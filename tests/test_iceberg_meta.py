@@ -2093,3 +2093,80 @@ def test_read_changes_scoped_replay(spark, tmp_root):
     want = {c for c, bb in zip(clips2, b2) if int(bb) == hot_b}
     assert {r["clip_id"] for r in got.select("clip_id").collect()} == want
     assert got.select("_snapshot_id").distinct().collect()[0][0] == 2
+
+
+def test_zorder_compaction_multi_dim_skipping(spark, tmp_root):
+    """compact_table(zorder_by=["x","y"]): after the Morton-ordered
+    rewrite, a narrow predicate on EITHER dimension skips most files —
+    a linear sort can only serve its leading column.  Parity pinned with
+    a 2-D box query."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("x", T.LongType(), False),
+            T.StructField("y", T.LongType(), False),
+            T.StructField("pay", T.StringType(), False),
+        ]
+    )
+    loc = f"{tmp_root}/ice_zorder"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(loc, sch)
+    rng = random.Random(11)
+    pts = [(rng.randrange(4096), rng.randrange(4096)) for _ in range(8000)]
+    for i in range(4):
+        sl = pts[i * 2000 : (i + 1) * 2000]
+        p = f"{loc}/data/u{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "x": [a for a, _ in sl],
+                    "y": [b for _, b in sl],
+                    "pay": [f"p{a:05d}{b:05d}" * 3 for a, b in sl],
+                }
+            ),
+            p,
+        )
+        im.append_files(loc, [p], timestamp_ms=i + 1)
+
+    xr, yr = {"x": (1000, 1040)}, {"y": (2000, 2040)}
+    assert im.scan_files(loc, column_ranges=xr)["files_skipped_stats"] == 0
+    assert im.scan_files(loc, column_ranges=yr)["files_skipped_stats"] == 0
+
+    with pytest.raises(ValueError, match="not both"):
+        im.compact_table(spark, loc, sort_by=["x"], zorder_by=["y"])
+
+    sid = im.compact_table(
+        spark, loc, zorder_by=["x", "y"], target_file_mb=0.02, timestamp_ms=9
+    )
+    assert sid > 0
+    md = im.current_metadata(loc)
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    assert snap["summary"]["zordered-by"] == "x,y"
+
+    px = im.scan_files(loc, column_ranges=xr)
+    py = im.scan_files(loc, column_ranges=yr)
+    assert px["files_total"] >= 8
+    # BOTH dimensions skip a real fraction of the files (a z-interval of
+    # F files covers ~sqrt(F) regions per dim, so a narrow per-dim
+    # predicate prunes ~1 - 1/sqrt(F) ≳ 1/3 — a linear sort on x prunes
+    # ~all on x and NOTHING on y)
+    assert px["files_skipped_stats"] >= px["files_total"] // 3
+    assert py["files_skipped_stats"] >= py["files_total"] // 3
+
+    # 2-D box query parity against the generator
+    box = {"x": (500, 900), "y": (500, 900)}
+    got = sorted(
+        (r["x"], r["y"])
+        for r in im.read_table(spark, loc, column_ranges=box)
+        .where("x between 500 and 900 and y between 500 and 900")
+        .collect()
+    )
+    want = sorted(
+        (a, b) for a, b in pts if 500 <= a <= 900 and 500 <= b <= 900
+    )
+    assert got == want
