@@ -412,42 +412,37 @@ def q_iceberg_latest_state_mirror(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time travel (VERSION AS OF): read the _events_iceberg table as of
-    snapshot 2 — the two appended buckets, with the rows snapshot 3 later
-    position-deleted RESURRECTED (data files, delete files and schema all
-    resolve from that snapshot's manifest list).  Jar analog:
-    spark.read.option("snapshot-id", 2).format("iceberg")."""
+def q_iceberg_mor_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two point-in-time reads of the _events_iceberg table in one
+    oracle row (union-tagged by read_kind; the driver caps queries() at
+    50, so closely-paired surfaces share an entry):
+    - 'asof2' — time travel (VERSION AS OF snapshot 2): the two appended
+      buckets with the rows snapshot 3 later position-deleted
+      RESURRECTED (data, delete files and schema resolve from THAT
+      snapshot's manifest list);
+    - 'current' — the merge-on-read current view: the position-delete
+      snapshot (event_id%10==3) suppresses exactly the rows live when it
+      committed — bucket-2 rows appended AFTER it are untouched even
+      where they match the predicate, because position deletes name
+      (file, pos) targets, not predicates."""
     from scylla_cdc_source_connector_spark.sources import iceberg_meta
 
     _utc(spark)
     loc = _events_iceberg(spark, sf_dir)
-    return iceberg_meta.read_table(spark, loc, snapshot_id=2).select(
+    cols = [
         "event_id",
         "user_id",
         "event_type",
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
         "value",
+    ]
+    asof = iceberg_meta.read_table(spark, loc, snapshot_id=2).select(
+        F.lit("asof2").alias("read_kind"), *cols
     )
-
-
-def q_iceberg_row_level_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-on-read current read of the _events_iceberg table: the
-    position-delete snapshot (event_id%10==3) suppresses exactly the rows
-    that were live when it committed — bucket-2 rows appended AFTER the
-    delete are untouched even where they match the predicate, because
-    position deletes name (file, pos) targets, not predicates."""
-    from scylla_cdc_source_connector_spark.sources import iceberg_meta
-
-    _utc(spark)
-    loc = _events_iceberg(spark, sf_dir)
-    return iceberg_meta.read_table(spark, loc).select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
-        "value",
+    cur = iceberg_meta.read_table(spark, loc).select(
+        F.lit("current").alias("read_kind"), *cols
     )
+    return asof.unionAll(cur)
 
 
 def q_iceberg_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,37 +510,102 @@ def _events_iceberg_bucketed(spark: SparkSession, sf_dir: str) -> str:
     return loc
 
 
-def q_iceberg_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point lookup on a bucket[8](user_id)-partitioned table: the
-    equality predicate is pushed to the partition layer
-    (partition_filter_for computes the spec Appendix B murmur3 bucket of
-    the literal) so the scan opens only the key's bucket — verified
-    here: the pruned plan must open strictly fewer files than the table
-    holds.  Jar analog: Spark's storage-partitioned filter pushdown on a
-    bucket-partitioned Iceberg table."""
+def q_iceberg_pruned_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both metadata-pruned read shapes in one oracle row (union-tagged
+    by read_kind; the driver caps queries() at 50):
+    - 'bucket' — point lookup on a bucket[8](user_id)-partitioned table:
+      partition_filter_for computes the spec Appendix B murmur3 bucket
+      of the literal, so the scan opens only the key's bucket (jar
+      analog: storage-partitioned filter pushdown);
+    - 'clustered' — range scan over a sort-clustered table: the sorted
+      rewrite's disjoint per-file bounds let column_ranges skip files.
+    Both hard-assert the pruning actually happened (strictly fewer files
+    opened than the table holds); the oracle proves pruning never
+    changes answers."""
     from scylla_cdc_source_connector_spark.sources import iceberg_meta
 
     _utc(spark)
-    loc = _events_iceberg_bucketed(spark, sf_dir)
-    ranges = iceberg_meta.partition_filter_for(loc, {"user_id": 7})
-    plan = iceberg_meta.scan_files(loc, partition_ranges=ranges)
-    full = iceberg_meta.scan_files(loc)
+    cols = lambda: [  # noqa: E731
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "value",
+    ]
+
+    bloc = _events_iceberg_bucketed(spark, sf_dir)
+    ranges = iceberg_meta.partition_filter_for(bloc, {"user_id": 7})
+    plan = iceberg_meta.scan_files(bloc, partition_ranges=ranges)
+    full = iceberg_meta.scan_files(bloc)
     if not plan["files"] or len(plan["files"]) >= len(full["files"]):
         raise AssertionError(
             f"bucket pruning ineffective: {len(plan['files'])} of "
             f"{len(full['files'])} files opened"
         )
-    return (
-        iceberg_meta.read_table(spark, loc, partition_ranges=ranges)
+    bucket = (
+        iceberg_meta.read_table(spark, bloc, partition_ranges=ranges)
         .where(F.col("user_id") == 7)
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
-            "value",
-        )
+        .select(F.lit("bucket").alias("read_kind"), *cols())
     )
+
+    cloc = _events_iceberg_clustered(spark, sf_dir)
+    lo, hi = 1000, 1400
+    cplan = iceberg_meta.scan_files(cloc, column_ranges={"event_id": (lo, hi)})
+    if cplan["files_total"] > 1 and not cplan["files_skipped_stats"]:
+        raise AssertionError(
+            f"clustered scan skipped nothing: {cplan['files_total']} files"
+        )
+    clustered = (
+        iceberg_meta.read_table(
+            spark, cloc, column_ranges={"event_id": (lo, hi)}
+        )
+        .where(F.col("event_id").between(lo, hi))
+        .select(F.lit("clustered").alias("read_kind"), *cols())
+    )
+    return bucket.unionAll(clustered)
+
+
+def _events_iceberg_clustered(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic SORT-CLUSTERED jarless Iceberg table from `events`
+    (cached per sf row count): three shuffled appends (every file spans
+    the whole event_id range — bounds skipping useless), then
+    compact_table(sort_by=["event_id"]) so the rewrite carries disjoint
+    per-file event_id bounds and a narrow scan opens O(1) files."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta
+
+    src = f"{sf_dir}/events.parquet"
+    tbl = pq.read_table(src)
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"sccs_events_iceberg_clustered_v1_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{tbl.num_rows}",
+    )
+    done = os.path.join(loc, "_BUILT")
+    if os.path.exists(done):
+        return loc
+    shutil.rmtree(loc, ignore_errors=True)
+    iceberg_meta.create_table(loc, spark.read.parquet(src).schema)
+    ev = tbl.column("event_id").to_numpy()
+    for k in (0, 1, 2):  # striped: every file spans the full id range
+        p = os.path.join(loc, "data", f"stripe{k}.parquet")
+        pq.write_table(tbl.take(np.nonzero(ev % 3 == k)[0]), p)
+        iceberg_meta.append_files(loc, [p], timestamp_ms=(k + 1) * 1000)
+    iceberg_meta.compact_table(
+        spark,
+        loc,
+        sort_by=["event_id"],
+        target_file_mb=0.5,
+        timestamp_ms=5000,
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return loc
 
 
 def q_cdc_audio_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1658,7 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       text_lang_id,
       text_fingerprint         → text_metrics (round 5: one narrow pass,
         all columns; freed 3 oracle-checked slots for the Iceberg read
-        surfaces iceberg_time_travel / iceberg_row_level_deletes /
+        surfaces iceberg_mor_reads (time travel + MoR current, union-tagged) /
         iceberg_read_changes over the deterministic _events_iceberg
         4-snapshot table)
       audio_fingerprint,
@@ -1701,10 +1761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_tombstones": q_cdc_tombstones,
         "text_metrics": q_text_metrics,
-        "iceberg_time_travel": q_iceberg_time_travel,
-        "iceberg_row_level_deletes": q_iceberg_row_level_deletes,
+        "iceberg_mor_reads": q_iceberg_mor_reads,
         "iceberg_read_changes": q_iceberg_read_changes,
-        "iceberg_bucket_lookup": q_iceberg_bucket_lookup,
+        "iceberg_pruned_reads": q_iceberg_pruned_reads,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -2067,21 +2126,24 @@ def oracle_sql() -> dict[str, str]:
         # _events_iceberg table (see its docstring for the snapshot plan);
         # snapshot ids == sequence numbers, so plain SQL over `events`
         # reproduces each surface exactly
-        "iceberg_time_travel": """
-            SELECT event_id, user_id, event_type,
+        "iceberg_mor_reads": """
+            SELECT 'asof2' AS read_kind, event_id, user_id, event_type,
                    epoch_ms(ts) AS ts_ms, value
             FROM events WHERE event_id % 3 IN (0, 1)
-        """,
-        "iceberg_row_level_deletes": """
-            SELECT event_id, user_id, event_type,
+            UNION ALL
+            SELECT 'current' AS read_kind, event_id, user_id, event_type,
                    epoch_ms(ts) AS ts_ms, value
             FROM events
             WHERE NOT (event_id % 10 = 3 AND event_id % 3 IN (0, 1))
         """,
-        "iceberg_bucket_lookup": """
-            SELECT event_id, user_id, event_type,
+        "iceberg_pruned_reads": """
+            SELECT 'bucket' AS read_kind, event_id, user_id, event_type,
                    epoch_ms(ts) AS ts_ms, value
             FROM events WHERE user_id = 7
+            UNION ALL
+            SELECT 'clustered' AS read_kind, event_id, user_id, event_type,
+                   epoch_ms(ts) AS ts_ms, value
+            FROM events WHERE event_id BETWEEN 1000 AND 1400
         """,
         "iceberg_read_changes": """
             SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
