@@ -1300,6 +1300,43 @@ def partition_filter_for(location: str, equals: dict) -> dict:
     return ranges
 
 
+def partition_range_filter_for(location: str, between: dict) -> dict:
+    """Map source-column RANGE predicates ({col: (lo, hi)} inclusive) to
+    partition_ranges — the windowed-replay pushdown: a cdc$time window
+    over an hours(cdc$time) table prunes to its hour span.  Only the
+    MONOTONE transforms participate (identity, hour, truncate —
+    transform(lo)..transform(hi) covers exactly the matching
+    partitions); bucket is not monotone, so a range over a
+    bucket-partitioned source contributes nothing (every bucket may
+    hold in-range values).  Composes with partition_filter_for's
+    equality map: equalities win where both name the same field."""
+    md = current_metadata(location)
+    schema = md["schemas"][md["current-schema-id"]]
+    spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
+    id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    id_to_type = {f["id"]: f["type"] for f in schema["fields"]}
+    ranges = {}
+    for f in spec_fields:
+        col = id_to_name[f["source-id"]]
+        if col not in between:
+            continue
+        lo, hi = between[col]
+        base, param = _parse_transform(f["transform"])
+        if base == "bucket":
+            continue  # not monotone: no sound range mapping
+        if base == "identity":
+            plo, phi = lo, hi
+        elif base == "hour":
+            plo = _to_epoch_us(lo) // _EPOCH_US_PER_HOUR
+            phi = _to_epoch_us(hi) // _EPOCH_US_PER_HOUR
+        else:
+            src_type = id_to_type[f["source-id"]]
+            plo = truncate_value(lo, src_type, param)
+            phi = truncate_value(hi, src_type, param)
+        ranges[f["name"]] = (plo, phi)
+    return ranges
+
+
 def _entry_pruned(part: dict, ranges: dict) -> bool:
     """True when a data file's partition tuple falls outside `ranges`."""
     for name, (lo, hi) in ranges.items():

@@ -2170,3 +2170,51 @@ def test_zorder_compaction_multi_dim_skipping(spark, tmp_root):
         (a, b) for a, b in pts if 500 <= a <= 900 and 500 <= b <= 900
     )
     assert got == want
+
+
+def test_partition_range_filter_windowed_replay(spark, tmp_root):
+    """Range pushdown through monotone transforms: a cdc$time window
+    over the hour-partitioned table prunes to its hour span (the
+    windowed-replay shape); bucket fields contribute nothing (not
+    monotone); equality and range maps compose."""
+    loc = _hour_table(tmp_root, "ice_range_push")
+    hours = sorted(
+        p["cdc_time_hour"] for p in im.scan_files(loc)["partitions"]
+    )
+    lo_us = hours[0] * 3_600_000_000
+    hi_us = hours[1] * 3_600_000_000 + 1  # window spanning hours 0..1
+    ranges = im.partition_range_filter_for(loc, {"cdc$time": (lo_us, hi_us)})
+    assert ranges == {"cdc_time_hour": (hours[0], hours[1])}
+    plan = im.scan_files(loc, partition_ranges=ranges)
+    assert len(plan["files"]) == 2 and plan["manifests_skipped"] == 1
+
+    got = im.read_table(spark, loc, partition_ranges=ranges).where(
+        (F.col("`cdc$time_us`") >= lo_us) & (F.col("`cdc$time_us`") <= hi_us)
+    )
+    want = im.read_table(spark, loc).where(
+        (F.col("`cdc$time_us`") >= lo_us) & (F.col("`cdc$time_us`") <= hi_us)
+    )
+    assert got.count() == want.count() > 0
+
+    # bucket spec: ranges map to nothing (a range hits every bucket)
+    bloc, _clips, _buckets = _bucket_table(tmp_root, "ice_range_bucket", 4)
+    assert (
+        im.partition_range_filter_for(bloc, {"clip_id": ("clip-0", "clip-9")})
+        == {}
+    )
+    # truncate spec: monotone, so ranges map to truncated spans
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    sch = T.StructType([T.StructField("k", T.LongType(), False)])
+    tloc = f"{tmp_root}/ice_range_trunc"
+    shutil.rmtree(tloc, ignore_errors=True)
+    im.create_table(tloc, sch, partition_by=[("k", "truncate[100]")])
+    for i in range(3):
+        p = f"{tloc}/data/t{i}.parquet"
+        pq.write_table(pa.table({"k": list(range(i * 100, i * 100 + 100))}), p)
+        im.append_files(tloc, [p], timestamp_ms=i + 1)
+    r = im.partition_range_filter_for(tloc, {"k": (150, 210)})
+    assert r == {"k_trunc": (100, 200)}
+    assert len(im.scan_files(tloc, partition_ranges=r)["files"]) == 2
