@@ -2685,6 +2685,229 @@ def expire_snapshots(
     return stats
 
 
+def rewrite_manifests(
+    location: str,
+    *,
+    target_entries: int = 512,
+    min_count_to_merge: int = 2,
+    timestamp_ms: int = 0,
+) -> dict:
+    """Consolidate small manifests into few partition-clustered ones —
+    the jarless `rewriteManifests`, the METADATA-only maintenance op.
+
+    Why it exists at scale: every append commit adds one manifest and the
+    manifest list carries all of them forward, so after N commits scan
+    planning walks N manifests — at one micro-batch per few seconds that
+    is ~17k manifests/day of pure metadata overhead on EVERY plan.
+    `compact_table` fixes this as a side effect but rewrites data bytes;
+    this op touches no data file (crucial for the zero-copy emit mirror,
+    whose data files are the sink's own batch dirs and must not move).
+
+    Mechanics (spec §Manifests): manifests with fewer than
+    `target_entries` live entries are merged, per content kind.  Merged
+    entries become status=EXISTING with their ORIGINAL snapshot_id and an
+    EXPLICIT sequence_number (inheritance only applies to ADDED entries
+    of the manifest that introduced them, so the data-vs-delete
+    strictly-older rule survives the rewrite).  Data entries are sorted
+    by partition tuple before chunking so the new manifests stay tight
+    under the manifest-list field summaries and manifest-level pruning
+    keeps skipping.  The commit is one `operation="replace"` snapshot:
+    `added_files` delivers rows only from "append" snapshots and only
+    status=ADDED entries of manifests the snapshot itself added, so a
+    streaming consumer sees an empty heartbeat — never re-delivery (the
+    exact scenario ADVICE r4 #1 warned about with real-writer merges,
+    now exercised first-party).  Replaced manifests stay on disk for
+    time travel until `expire_snapshots` reclaims them.
+
+    Returns {snapshot_id, manifests_replaced, manifests_kept,
+    manifests_created, entries_rewritten}; a no-op (nothing mergeable)
+    commits nothing and returns snapshot_id=None."""
+    md, base_v = _load_for_update(location)
+    stats = {
+        "snapshot_id": None,
+        "manifests_replaced": 0,
+        "manifests_kept": 0,
+        "manifests_created": 0,
+        "entries_rewritten": 0,
+    }
+    if md["current-snapshot-id"] == -1:
+        return stats
+    cur = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, _, manifests = avro.read_container(cur["manifest-list"])
+    schema = md["schemas"][md["current-schema-id"]]
+    spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
+    result_types = [_partition_result_type(f, schema) for f in spec_fields]
+    seq = md["last-sequence-number"] + 1
+    snap_id = seq
+    token = uuid.uuid4().hex[:8]
+    mdir = _meta_dir(location)
+
+    kept: list[dict] = []
+    created: list[dict] = []
+    for content, tag in ((CONTENT_DATA, "data"), (CONTENT_DELETES, "deletes")):
+        group = [mf for mf in manifests if mf["content"] == content]
+        mergeable = [
+            mf
+            for mf in group
+            if mf["added_files_count"] + mf["existing_files_count"]
+            < target_entries
+        ]
+        if len(mergeable) < min_count_to_merge:
+            kept.extend(group)
+            continue
+        kept.extend(mf for mf in group if mf not in mergeable)
+        entries: list[dict] = []
+        min_seq = None
+        for mf in mergeable:
+            _, _, es = avro.read_container(mf["manifest_path"])
+            for e in es:
+                if e["status"] == ST_DELETED:
+                    continue
+                e_seq = e["sequence_number"] or mf["sequence_number"]
+                min_seq = e_seq if min_seq is None else min(min_seq, e_seq)
+                entries.append(
+                    {
+                        **e,
+                        "status": ST_EXISTING,
+                        "sequence_number": e_seq,
+                        "file_sequence_number": (
+                            e["file_sequence_number"] or mf["sequence_number"]
+                        ),
+                    }
+                )
+        if content == CONTENT_DATA and spec_fields:
+            entries.sort(
+                key=lambda e: tuple(
+                    (v is None, v)
+                    for v in (
+                        (e["data_file"].get("partition") or {}).get(f["name"])
+                        for f in spec_fields
+                    )
+                )
+            )
+        entry_schema = (
+            _entry_schema_for(spec_fields, result_types)
+            if content == CONTENT_DATA
+            else _DELETE_ENTRY_SCHEMA
+        )
+        if not entries:
+            # every merged manifest held only dead entries: they simply
+            # drop out of the new list, no replacement manifest needed
+            stats["manifests_replaced"] += len(mergeable)
+            continue
+        for ci in range(0, len(entries), target_entries):
+            chunk = entries[ci : ci + target_entries]
+            suffix = "" if content == CONTENT_DATA else "-d"
+            manifest_path = os.path.join(
+                mdir,
+                f"manifest-{snap_id:020d}-{token}-m{ci // target_entries}"
+                f"{suffix}.avro",
+            )
+            avro.write_container(
+                manifest_path,
+                entry_schema,
+                chunk,
+                metadata={
+                    "schema": json.dumps(schema),
+                    "partition-spec": json.dumps(
+                        spec_fields if content == CONTENT_DATA else []
+                    ),
+                    "partition-spec-id": str(md["default-spec-id"]),
+                    "format-version": "2",
+                    "content": tag,
+                },
+            )
+            summaries = None
+            if content == CONTENT_DATA and spec_fields and chunk:
+                summaries = []
+                for f, rtype in zip(spec_fields, result_types):
+                    vals = [
+                        (e["data_file"].get("partition") or {}).get(f["name"])
+                        for e in chunk
+                    ]
+                    nn = [v for v in vals if v is not None]
+                    summaries.append(
+                        {
+                            "contains_null": len(nn) < len(vals),
+                            "contains_nan": None,
+                            "lower_bound": (
+                                _bound_bytes(rtype, min(nn)) if nn else None
+                            ),
+                            "upper_bound": (
+                                _bound_bytes(rtype, max(nn)) if nn else None
+                            ),
+                        }
+                    )
+            created.append(
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": md["default-spec-id"],
+                    "content": content,
+                    "sequence_number": seq,
+                    "min_sequence_number": (
+                        min_seq if min_seq is not None else seq
+                    ),
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": 0,
+                    "existing_files_count": len(chunk),
+                    "deleted_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(
+                        e["data_file"]["record_count"] for e in chunk
+                    ),
+                    "deleted_rows_count": 0,
+                    "partitions": summaries,
+                }
+            )
+        stats["manifests_replaced"] += len(mergeable)
+        stats["entries_rewritten"] += len(entries)
+    if not stats["manifests_replaced"]:
+        return stats
+    stats["manifests_kept"] = len(kept)
+    stats["manifests_created"] = len(created)
+
+    list_path = os.path.join(mdir, f"snap-{snap_id:020d}-{token}.avro")
+    avro.write_container(
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        kept + created,
+        metadata={
+            "snapshot-id": str(snap_id),
+            "sequence-number": str(seq),
+            "format-version": "2",
+        },
+    )
+    md["snapshots"].append(
+        {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": md["current-snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": timestamp_ms,
+            "manifest-list": list_path,
+            "summary": {
+                "operation": "replace",
+                "manifests-replaced": str(stats["manifests_replaced"]),
+                "manifests-kept": str(stats["manifests_kept"]),
+                "manifests-created": str(stats["manifests_created"]),
+                "entries-processed": str(stats["entries_rewritten"]),
+            },
+            "schema-id": md["current-schema-id"],
+        }
+    )
+    md["snapshot-log"].append(
+        {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
+    )
+    md["current-snapshot-id"] = snap_id
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = timestamp_ms
+    _write_metadata(location, md, base_v + 1)
+    stats["snapshot_id"] = snap_id
+    return stats
+
+
 # ---------------------------------------------------------------------------
 # sink side: the emitted record stream as a real Iceberg table
 # ---------------------------------------------------------------------------
@@ -2714,6 +2937,7 @@ def maintain_iceberg_table(
     location: str,
     *,
     strict: bool = False,
+    rewrite_manifests_every: int | None = None,
 ) -> int:
     """Exactly-once Iceberg mirror of the emitted envelope stream: every
     committed-but-unmirrored sink batch becomes ONE snapshot whose data
@@ -2737,6 +2961,13 @@ def maintain_iceberg_table(
     the retained copy (skip expiry), or compact/rewrite it first.  A real
     deployment with the runtime jar writes through `iceberg_emit` and
     lets Iceberg snapshot-expiry own retention instead.
+
+    `rewrite_manifests_every=N`: after a pass that committed snapshots,
+    merge small manifests whenever the current manifest list carries ≥ N
+    of them (`rewrite_manifests`) — the zero-copy mirror adds one
+    manifest per batch and can never data-compact (its files belong to
+    the sink), so metadata-only merging is its ONLY lever against
+    O(batches) planning cost.
     """
     from scylla_cdc_source_connector_spark.streaming import sink as sink_mod
     from scylla_cdc_source_connector_spark.streaming.apply import (
@@ -2785,6 +3016,22 @@ def maintain_iceberg_table(
             0,
             extra={"expired": True} if bid in expired else None,
         )
+    if rewrite_manifests_every and committed:
+        md = current_metadata(location)
+        cur = next(
+            (
+                s
+                for s in md["snapshots"]
+                if s["snapshot-id"] == md["current-snapshot-id"]
+            ),
+            None,
+        )
+        if cur is not None:
+            _, _, mfs = avro.read_container(cur["manifest-list"])
+            if len(mfs) >= rewrite_manifests_every:
+                rewrite_manifests(
+                    location, timestamp_ms=md.get("last-updated-ms", 0)
+                )
     return committed
 
 

@@ -2218,3 +2218,150 @@ def test_partition_range_filter_windowed_replay(spark, tmp_root):
     r = im.partition_range_filter_for(tloc, {"k": (150, 210)})
     assert r == {"k_trunc": (100, 200)}
     assert len(im.scan_files(tloc, partition_ranges=r)["files"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# rewrite_manifests: metadata-only manifest consolidation
+# ---------------------------------------------------------------------------
+
+
+def test_rewrite_manifests_scan_parity_and_pruning(spark, tmp_root):
+    """Six one-file append manifests merge into two partition-clustered
+    ones: the scan plan (files + partition tuples + sequence numbers) is
+    bit-identical, no data file moves, and manifest-level pruning keeps
+    skipping the consolidated manifests unopened."""
+    loc = _hour_table(tmp_root, "ice_rw_mf", n_files=6)
+    before = im.scan_files(loc)
+    assert before["manifests_total"] == 6
+    data_files = sorted(before["files"])
+
+    st = im.rewrite_manifests(loc, target_entries=3, timestamp_ms=7_000)
+    assert st["manifests_replaced"] == 6 and st["manifests_created"] == 2
+    assert st["entries_rewritten"] == 6 and st["manifests_kept"] == 0
+
+    after = im.scan_files(loc)
+    assert after["manifests_total"] == 2 and after["manifests_skipped"] == 0
+    # identical plan: same files, same partitions, same per-file sequences
+    key = lambda plan: sorted(  # noqa: E731
+        zip(plan["files"], plan["file_sequences"],
+            [tuple(sorted(p.items())) for p in plan["partitions"]])
+    )
+    assert key(after) == key(before)
+    assert sorted(im.live_files(loc)) == data_files  # zero data movement
+
+    # entries were sorted by hour before chunking -> chunk bounds are
+    # disjoint and the out-of-range manifest is skipped UNOPENED
+    hours = sorted(p["cdc_time_hour"] for p in before["partitions"])
+    lo = hours[0]
+    plan = im.scan_files(loc, partition_ranges={"cdc_time_hour": (lo, lo)})
+    assert len(plan["files"]) == 1 and plan["manifests_skipped"] == 1
+    assert im.read_table(spark, loc).count() == 600
+
+    # idempotent: a second pass finds one manifest per kind at most and
+    # commits nothing
+    st2 = im.rewrite_manifests(loc, target_entries=3)
+    assert st2["snapshot_id"] is None and st2["manifests_replaced"] == 0
+
+
+def test_rewrite_manifests_stream_no_redelivery(tmp_root):
+    """The replace snapshot surfaces as an EMPTY heartbeat batch and a
+    consumer resuming past it receives only genuinely new appends — the
+    first-party version of the real-writer manifest-merge scenario."""
+    loc = _kv_table(tmp_root, "ice_rw_stream", n_files=3)
+    assert [len(b["files"]) for b in im.added_files(loc)] == [1, 1, 1]
+
+    st = im.rewrite_manifests(loc, target_entries=100, timestamp_ms=4)
+    assert st["manifests_replaced"] == 3 and st["manifests_created"] == 1
+    batches = im.added_files(loc)
+    assert [len(b["files"]) for b in batches] == [1, 1, 1, 0]
+    assert batches[-1]["snapshot_id"] == st["snapshot_id"]
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"k": ["kz"], "v": [999]}), f"{loc}/data/new.parquet"
+    )
+    im.append_files(loc, [f"{loc}/data/new.parquet"], timestamp_ms=5)
+    resumed = im.added_files(loc, after_snapshot_id=st["snapshot_id"])
+    assert len(resumed) == 1 and len(resumed[0]["files"]) == 1
+    assert resumed[0]["files"][0].endswith("new.parquet")
+
+
+def test_rewrite_manifests_preserves_delete_semantics(spark, tmp_root):
+    """Merged entries carry EXPLICIT sequence numbers, so the equality
+    delete's strictly-older rule and position deletes both survive the
+    rewrite; delete manifests consolidate too."""
+    loc = _kv_table(tmp_root, "ice_rw_del", n_files=2, rows_per=10)
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(4)], "k string")
+    im.write_equality_deletes(spark, loc, keys, ["k"], timestamp_ms=3)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # re-append two deleted keys AFTER the delete (newer sequence: survive)
+    pq.write_table(
+        pa.table({"k": ["k0", "k1"], "v": [100, 101]}), f"{loc}/data/re.parquet"
+    )
+    im.append_files(loc, [f"{loc}/data/re.parquet"], timestamp_ms=4)
+    im.delete_where(spark, loc, "v = 15", timestamp_ms=5)  # position delete
+
+    want = {(r["k"], r["v"]) for r in im.read_table(spark, loc).collect()}
+    st = im.rewrite_manifests(loc, target_entries=100, timestamp_ms=6)
+    # 3 data manifests -> 1, 2 delete manifests -> 1
+    assert st["manifests_replaced"] == 5 and st["manifests_created"] == 2
+    plan = im.scan_files(loc)
+    assert plan["manifests_total"] == 1  # data manifests only
+    assert plan["equality_deletes"][0]["sequence"] == 3  # explicit, not inherited
+    got = {(r["k"], r["v"]) for r in im.read_table(spark, loc).collect()}
+    assert got == want
+    assert (100 in {v for _, v in got}) and (15 not in {v for _, v in got})
+
+
+def test_rewrite_manifests_then_expire_reclaims(spark, tmp_root):
+    """expire_snapshots after a rewrite physically deletes the replaced
+    small manifests (no retained snapshot references them) while every
+    data file stays live."""
+    loc = _kv_table(tmp_root, "ice_rw_exp", n_files=4)
+    small = [
+        mf["manifest_path"]
+        for mf in avro.read_container(
+            im.snapshots(loc)[-1]["manifest-list"]
+        )[2]
+    ]
+    n_before = im.read_table(spark, loc).count()
+    im.rewrite_manifests(loc, target_entries=100, timestamp_ms=9)
+    stats = im.expire_snapshots(loc, keep_last=1)
+    assert stats["snapshots_expired"] == 4
+    assert stats["data_files_deleted"] == 0
+    assert all(not os.path.exists(p) for p in small)
+    assert im.read_table(spark, loc).count() == n_before
+
+
+def test_mirror_rewrite_manifests_cadence(spark, tmp_root, ice_pdf):
+    """maintain_iceberg_table(rewrite_manifests_every=N) keeps the
+    zero-copy mirror's manifest list bounded while read parity holds —
+    the mirror cannot data-compact (its files are the sink's), so this
+    is its only O(batches) control."""
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+    from scylla_cdc_source_connector_spark.streaming.engine import run_stream
+
+    d = f"{tmp_root}/ice_rwm_in"
+    os.makedirs(d, exist_ok=True)
+    for i in range(4):
+        write_changelog_chunk(
+            ice_pdf.iloc[i * 200 : (i + 1) * 200], f"{d}/chunk-{i:03d}.parquet"
+        )
+    cfg = _cfg(tmp_root, "ice_rwm")
+    q = run_stream(spark, cfg, d, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    loc = f"{tmp_root}/ice_rwm_tbl"
+    im.maintain_iceberg_table(spark, cfg, loc, rewrite_manifests_every=3)
+    cur = im.snapshots(loc)[-1]
+    _, _, mfs = avro.read_container(cur["manifest-list"])
+    assert len(mfs) == 1  # one consolidated manifest, not one per batch
+    assert cur["summary"]["operation"] == "replace"
+    got = im.read_table(spark, loc)
+    ref = sink_mod.read_emitted(spark, cfg)
+    assert got.count() == ref.count() > 0
