@@ -1394,7 +1394,14 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel equality + SNR ≥ 30 dB floors pinned by
     tests/test_audio_resample.py).  A third of the clips are re-wrapped
     into WAV (RIFF) containers INSIDE a mapInPandas stage (no driver-side
-    synthesis) to exercise the real container-parse path."""
+    synthesis) to exercise the real container-parse path.  Round 5 folds
+    in the spectral quality features (audio_features.extract_features —
+    one batched rFFT per Arrow batch, segmented reduceat aggregation;
+    physics pinned by tests/test_audio_features.py): centroid/flatness/
+    voice-band ratio + clipping/DC, 1:1-joined on clip_id."""
+    from scylla_cdc_source_connector_spark.audio_features import (
+        extract_features,
+    )
     from scylla_cdc_source_connector_spark.audio_resample import resample_clips
     from scylla_cdc_source_connector_spark.audio_vad import trim_clips
 
@@ -1442,6 +1449,17 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decode_ok").alias("resample_ok"),
         F.col("n_samples").alias("resampled_n_samples"),
     )
+    # spectral quality features over the WAV-wrapped fixture (same Arrow
+    # batch discipline; exercises the container + stereo-free path)
+    feats = extract_features(df).select(
+        "clip_id",
+        F.col("n_frames").alias("spec_frames"),
+        F.round("spectral_centroid_hz", 2).alias("spectral_centroid_hz"),
+        F.round("spectral_flatness", 4).alias("spectral_flatness"),
+        F.round("band_mid_ratio", 4).alias("voice_band_ratio"),
+        F.round("clipping_ratio", 4).alias("clipping_ratio"),
+        F.round("zcr", 4).alias("zcr"),
+    )
     return (
         out.select(
             "clip_id",
@@ -1453,6 +1471,7 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "codec",
         )
         .join(res, "clip_id")
+        .join(feats, "clip_id")
         .orderBy("clip_id")
     )
 

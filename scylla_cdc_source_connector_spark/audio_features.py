@@ -1,0 +1,278 @@
+"""Spectral feature extraction over audio payloads — one batched rFFT.
+
+The training-data pipeline's audio quality gate needs more than the
+decode/SNR verdict (`audio.py`): band-limited or resampled-up content,
+hum/DC offset, hard clipping, and tone-vs-noise character are invisible
+to RMS/peak stats but decide whether a clip is usable.  This module
+computes the standard spectral descriptors per clip:
+
+- time domain: zero-crossing rate, clipping ratio (|x| >= 0.999),
+  DC offset;
+- frequency domain (Hann-windowed 512-sample frames, hop 256, mean power
+  spectrum per clip): spectral centroid / bandwidth / 85 %-rolloff in Hz,
+  spectral flatness, and low/voice/high band energy ratios
+  (< 300 Hz / 300-3400 Hz / > 3400 Hz — the G.711 voice band).
+
+Reference analog: the connector validates payloads only structurally
+(cell presence, `ScyllaChangesConsumer.java`); the SNR >= 30 dB per-row
+invariant (BASELINE input_hint) lives in `audio.py` — these features are
+the engine-extension quality axis on top.
+
+Scale shape (the 100-TB rule): everything is `mapInPandas` over Arrow
+batches with ZERO per-row Python in the raw-codec path — each same-codec
+group decodes as ONE concatenated numpy array, every frame of every clip
+goes through ONE `np.fft.rfft` call, and per-clip aggregation is
+segmented `np.*.reduceat`.  Python-per-row happens only for WAV
+containers (O(1) header parse, same policy as `audio.py`) and stereo
+downmix.  Audio bytes never cross a shuffle: the features land in the
+same narrow stage that scanned them.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from scylla_cdc_source_connector_spark.audio import (
+    _ALAW_DECODE_LUT,
+    _ULAW_DECODE_LUT,
+    MalformedContainerError,
+    UnsupportedCodecError,
+    wav_parse,
+)
+
+#: analysis frame: 512 samples, 50 % overlap — 64 ms @ 8 kHz, 32 ms @ 16 kHz
+WIN, HOP = 512, 256
+_N_BINS = WIN // 2 + 1
+_HANN = np.hanning(WIN).astype(np.float32)
+_ROLLOFF_PCT = 0.85
+#: G.711 voice band (Hz): below = rumble/hum, above = presence/noise
+_BAND_LOW_HZ, _BAND_HIGH_HZ = 300.0, 3400.0
+
+AUDIO_FEATURES_SCHEMA = (
+    "clip_id string, decode_ok boolean, n_frames int, "
+    "zcr double, clipping_ratio double, dc_offset double, "
+    "spectral_centroid_hz double, spectral_bandwidth_hz double, "
+    "spectral_rolloff_hz double, spectral_flatness double, "
+    "band_low_ratio double, band_mid_ratio double, band_high_ratio double"
+)
+
+_FEATURE_COLS = [
+    "zcr",
+    "clipping_ratio",
+    "dc_offset",
+    "spectral_centroid_hz",
+    "spectral_bandwidth_hz",
+    "spectral_rolloff_hz",
+    "spectral_flatness",
+    "band_low_ratio",
+    "band_mid_ratio",
+    "band_high_ratio",
+]
+
+
+def _decode_concat(raws: list[bytes], codec: str):
+    """Same-codec group -> (concatenated float32 PCM, per-clip lengths)."""
+    enc = np.frombuffer(b"".join(raws), dtype=np.uint8)
+    lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=len(raws))
+    if codec == "pcm_s16le":
+        pcm = enc.view("<i2").astype(np.float32) * np.float32(1.0 / 32768.0)
+        return pcm, lens // 2
+    lut = _ULAW_DECODE_LUT if codec == "ulaw" else _ALAW_DECODE_LUT
+    pcm = lut[enc].astype(np.float32) * np.float32(1.0 / 32768.0)
+    return pcm, lens
+
+
+def _group_features(pcm: np.ndarray, n_samples: np.ndarray, srs: np.ndarray):
+    """Per-clip features for ONE concatenated group.
+
+    pcm: float32 concat of every clip, n_samples: per-clip sample counts
+    (all > 0), srs: per-clip sample rates.  Returns (n_frames int64,
+    features dict[str, float64 array])."""
+    c = len(n_samples)
+    starts = np.zeros(c, dtype=np.int64)
+    np.cumsum(n_samples[:-1], out=starts[1:])
+    feats = {k: np.full(c, np.nan) for k in _FEATURE_COLS}
+
+    # ---- time domain (segmented reductions over the concat array) ----
+    sums = np.add.reduceat(pcm, starts, dtype=np.float64)
+    feats["dc_offset"] = sums / n_samples
+    clip_hits = (np.abs(pcm) >= np.float32(0.999)).astype(np.float32)
+    feats["clipping_ratio"] = (
+        np.add.reduceat(clip_hits, starts, dtype=np.float64) / n_samples
+    )
+    sb = np.signbit(pcm)
+    if len(pcm) > 1:
+        crossings = (sb[1:] != sb[:-1]).astype(np.float32)
+        # reduceat over [start_i, start_{i+1}) includes the spurious
+        # boundary crossing between clip i and clip i+1 — subtract it
+        cross = np.add.reduceat(
+            crossings, np.minimum(starts, len(crossings) - 1), dtype=np.float64
+        )
+        if c > 1:
+            cross[:-1] -= crossings[starts[1:] - 1]
+        feats["zcr"] = np.where(
+            n_samples > 1, cross / np.maximum(n_samples - 1, 1), 0.0
+        )
+    else:
+        feats["zcr"] = np.zeros(c)
+
+    # ---- framing: every frame of every clip, one gather + one rFFT ----
+    n_frames = np.where(n_samples >= WIN, 1 + (n_samples - WIN) // HOP, 0)
+    total_f = int(n_frames.sum())
+    if total_f == 0:
+        return n_frames, feats
+    has = np.flatnonzero(n_frames > 0)
+    reps = n_frames[has]
+    clip_of_frame = np.repeat(np.arange(len(has)), reps)
+    f0 = np.zeros(len(has), dtype=np.int64)
+    np.cumsum(reps[:-1], out=f0[1:])
+    k = np.arange(total_f, dtype=np.int64) - f0[clip_of_frame]
+    fstarts = starts[has][clip_of_frame] + k * HOP
+    frames = pcm[fstarts[:, None] + np.arange(WIN)[None, :]]
+    frames *= _HANN
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (F, bins) float64
+
+    # mean power spectrum per clip: (C', bins)
+    mean_p = np.add.reduceat(spec, f0, axis=0) / reps[:, None]
+    tot = mean_p.sum(axis=1)
+    safe_tot = np.where(tot > 0, tot, 1.0)
+    bins = np.arange(_N_BINS, dtype=np.float64)
+    hz_per_bin = srs[has].astype(np.float64) / WIN
+
+    centroid_b = (mean_p * bins).sum(axis=1) / safe_tot
+    feats["spectral_centroid_hz"][has] = np.where(
+        tot > 0, centroid_b * hz_per_bin, 0.0
+    )
+    var_b = (mean_p * (bins[None, :] - centroid_b[:, None]) ** 2).sum(
+        axis=1
+    ) / safe_tot
+    feats["spectral_bandwidth_hz"][has] = np.where(
+        tot > 0, np.sqrt(var_b) * hz_per_bin, 0.0
+    )
+    cum = np.cumsum(mean_p, axis=1)
+    roll_idx = np.argmax(cum >= (_ROLLOFF_PCT * tot)[:, None], axis=1)
+    feats["spectral_rolloff_hz"][has] = np.where(
+        tot > 0, roll_idx * hz_per_bin, 0.0
+    )
+    eps = 1e-12
+    feats["spectral_flatness"][has] = np.where(
+        tot > 0,
+        np.exp(np.log(mean_p + eps).mean(axis=1)) / (mean_p.mean(axis=1) + eps),
+        0.0,
+    )
+    bin_hz = bins[None, :] * hz_per_bin[:, None]
+    for name, mask in (
+        ("band_low_ratio", bin_hz < _BAND_LOW_HZ),
+        (
+            "band_mid_ratio",
+            (bin_hz >= _BAND_LOW_HZ) & (bin_hz <= _BAND_HIGH_HZ),
+        ),
+        ("band_high_ratio", bin_hz > _BAND_HIGH_HZ),
+    ):
+        feats[name][has] = np.where(
+            tot > 0, (mean_p * mask).sum(axis=1) / safe_tot, 0.0
+        )
+    return n_frames, feats
+
+
+def _features_one(pdf: pd.DataFrame) -> pd.DataFrame:
+    raw_codecs = ("pcm_s16le", "ulaw", "alaw")
+    n = len(pdf)
+    ok = np.zeros(n, dtype=bool)
+    n_frames = np.zeros(n, dtype=np.int64)
+    out = {k: np.full(n, np.nan) for k in _FEATURE_COLS}
+
+    codecs = np.asarray(pdf["codec"].values, dtype=object)
+    raws = pdf["bytes"].values
+    srs = (
+        pd.to_numeric(pdf["sr_hz"], errors="coerce")
+        .fillna(0)
+        .astype(np.int64)
+        .values
+    )
+    eff_codec = codecs.copy()
+    eff_raw: list = list(raws)
+    eff_sr = srs.copy()
+    for i in np.flatnonzero(codecs == "wav"):
+        if raws[i] is None:
+            eff_codec[i] = None
+            continue
+        try:
+            inner, ch, sr, payload = wav_parse(bytes(raws[i]))
+        except (MalformedContainerError, UnsupportedCodecError):
+            eff_codec[i] = None
+            continue
+        eff_sr[i] = sr
+        if ch > 1:
+            # spectral features are per mono stream: downmix interleaved
+            # channels (same policy as the fingerprint path)
+            if inner == "pcm_s16le":
+                pcm16 = np.frombuffer(payload, dtype="<i2")
+            else:
+                lut = _ULAW_DECODE_LUT if inner == "ulaw" else _ALAW_DECODE_LUT
+                pcm16 = lut[np.frombuffer(payload, dtype=np.uint8)]
+            usable = (len(pcm16) // ch) * ch
+            mono = (
+                pcm16[:usable]
+                .reshape(-1, ch)
+                .mean(axis=1)
+                .astype("<i2")
+            )
+            eff_codec[i] = "pcm_s16le"
+            eff_raw[i] = mono.tobytes()
+        else:
+            eff_codec[i] = inner
+            eff_raw[i] = payload
+
+    valid = np.fromiter(
+        (
+            r is not None
+            and c in raw_codecs
+            and len(r) > 0
+            and sr > 0
+            and not (c == "pcm_s16le" and len(r) % 2)
+            for r, c, sr in zip(eff_raw, eff_codec, eff_sr)
+        ),
+        dtype=bool,
+        count=n,
+    )
+    for codec in raw_codecs:
+        sel = valid & (eff_codec == codec)
+        if not sel.any():
+            continue
+        pos = np.flatnonzero(sel)
+        pcm, lens = _decode_concat([bytes(eff_raw[i]) for i in pos], codec)
+        nf, feats = _group_features(pcm, lens, eff_sr[pos])
+        n_frames[pos] = nf
+        for k in _FEATURE_COLS:
+            out[k][pos] = feats[k]
+        ok[pos] = True
+
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"].values,
+            "decode_ok": ok,
+            "n_frames": n_frames.astype("int32"),
+            **{k: out[k] for k in _FEATURE_COLS},
+        }
+    )
+
+
+def audio_features_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body; input columns: clip_id, bytes, codec, sr_hz."""
+    for pdf in batches:
+        yield _features_one(pdf)
+
+
+def extract_features(df):
+    """Spectral features per clip: df(clip_id, bytes, codec, sr_hz) ->
+    AUDIO_FEATURES_SCHEMA.  One narrow Arrow stage — no shuffle, the
+    payload column is consumed where it is scanned."""
+    return df.select("clip_id", "bytes", "codec", "sr_hz").mapInPandas(
+        audio_features_batches, AUDIO_FEATURES_SCHEMA
+    )
