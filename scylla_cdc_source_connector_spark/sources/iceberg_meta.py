@@ -1081,7 +1081,7 @@ def _commit_snapshot(
             {
                 "manifest_path": manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": md["default-spec-id"],
                 "content": CONTENT_DATA,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -1126,7 +1126,7 @@ def _commit_snapshot(
             {
                 "manifest_path": manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": md["default-spec-id"],
                 "content": CONTENT_DELETES,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -1232,29 +1232,67 @@ def snapshots(location: str) -> list[dict]:
     return sorted(md["snapshots"], key=lambda s: s["sequence-number"])
 
 
-def _prune_ctx(md) -> tuple[list[dict], dict[str, str]]:
-    """(partition spec fields, field name -> result type) of the current
-    default spec — what both scan planning paths prune with."""
-    schema = md["schemas"][md["current-schema-id"]]
-    spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
-    rtypes = {f["name"]: _partition_result_type(f, schema) for f in spec_fields}
-    return spec_fields, rtypes
+def _union_schema(md) -> dict:
+    """Union of every table schema's fields by id (first occurrence wins)
+    — partition specs written before a column was dropped still resolve
+    their source columns through the schema that held them."""
+    seen: dict[int, dict] = {}
+    for sch in md["schemas"]:
+        for f in sch["fields"]:
+            seen.setdefault(f["id"], f)
+    return {"type": "struct", "fields": list(seen.values())}
 
 
-def _check_ranges(ranges: dict, spec_fields: list[dict]) -> None:
-    unknown = set(ranges) - {f["name"] for f in spec_fields}
+def _specs_ctx(md) -> dict[int, tuple[list[dict], dict[str, str]]]:
+    """spec-id -> (fields, {field name: result type}) for EVERY spec the
+    table has ever had — each manifest is pruned with the spec it was
+    written under (spec §Partition Evolution: a table's manifests may
+    reference different specs after `evolve_partition_spec`)."""
+    schema = _union_schema(md)
+    return {
+        spec["spec-id"]: (
+            spec["fields"],
+            {
+                f["name"]: _partition_result_type(f, schema)
+                for f in spec["fields"]
+            },
+        )
+        for spec in md["partition-specs"]
+    }
+
+
+def _all_spec_fields(md) -> list[dict]:
+    """Every partition field across every spec, deduped by field id in
+    first-seen order — the predicate-mapping universe for evolved
+    tables (a field id is bound to ONE (source, transform) forever)."""
+    seen: dict[int, dict] = {}
+    for spec in md["partition-specs"]:
+        for f in spec["fields"]:
+            seen.setdefault(f["field-id"], f)
+    return list(seen.values())
+
+
+def _check_ranges(ranges: dict, specs: dict[int, tuple]) -> None:
+    known = {f["name"] for fields, _ in specs.values() for f in fields}
+    unknown = set(ranges) - known
     if unknown:
         raise ValueError(f"unknown partition fields {sorted(unknown)}")
 
 
-def _manifest_pruned(mf, spec_fields, rtypes, ranges) -> bool:
+def _manifest_pruned(mf, specs, ranges) -> bool:
     """True when the manifest-list field summaries prove no entry of this
-    manifest can match `ranges` — the manifest is skipped UNOPENED."""
+    manifest can match `ranges` — the manifest is skipped UNOPENED.  The
+    summaries are positional per the MANIFEST'S OWN spec (not the current
+    default), so the spec is resolved from the manifest-file record; a
+    range on a field the manifest's spec lacks cannot prune it."""
     summaries = mf.get("partitions")
     if not ranges or not summaries:
         return False
+    spec_fields, rtypes = specs.get(mf.get("partition_spec_id", 0), ([], {}))
     for f, summ in zip(spec_fields, summaries):
         if f["name"] not in ranges or summ is None:
+            continue
+        if summ["lower_bound"] is None or summ["upper_bound"] is None:
             continue
         lo, hi = ranges[f["name"]]
         mlo = _bound_value(rtypes[f["name"]], summ["lower_bound"])
@@ -1275,10 +1313,14 @@ def partition_filter_for(location: str, equals: dict) -> dict:
     Point lookups on a bucket[N]-partitioned key — the 10^12-clip
     hot-key layout — prune to ~1/N of the table's files this way.
     Columns matching no partition field contribute nothing (they can
-    still prune via column_ranges file stats)."""
+    still prune via column_ranges file stats).  After partition spec
+    evolution the fields of EVERY spec participate (deduped by field id)
+    — old-spec files prune on the old fields, new-spec files on the new
+    ones; _entry_pruned/_manifest_pruned ignore fields a file's own spec
+    lacks."""
     md = current_metadata(location)
-    schema = md["schemas"][md["current-schema-id"]]
-    spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
+    schema = _union_schema(md)
+    spec_fields = _all_spec_fields(md)
     id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
     id_to_type = {f["id"]: f["type"] for f in schema["fields"]}
     ranges = {}
@@ -1309,10 +1351,12 @@ def partition_range_filter_for(location: str, between: dict) -> dict:
     partitions); bucket is not monotone, so a range over a
     bucket-partitioned source contributes nothing (every bucket may
     hold in-range values).  Composes with partition_filter_for's
-    equality map: equalities win where both name the same field."""
+    equality map: equalities win where both name the same field.  Like
+    partition_filter_for, spans every spec the table has had (deduped by
+    field id) so evolved tables prune old- and new-spec files alike."""
     md = current_metadata(location)
-    schema = md["schemas"][md["current-schema-id"]]
-    spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
+    schema = _union_schema(md)
+    spec_fields = _all_spec_fields(md)
     id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
     id_to_type = {f["id"]: f["type"] for f in schema["fields"]}
     ranges = {}
@@ -1338,9 +1382,14 @@ def partition_range_filter_for(location: str, between: dict) -> dict:
 
 
 def _entry_pruned(part: dict, ranges: dict) -> bool:
-    """True when a data file's partition tuple falls outside `ranges`."""
+    """True when a data file's partition tuple falls outside `ranges`.
+    A range field ABSENT from the tuple (the file was written under an
+    older spec that lacked it) proves nothing and never prunes; a field
+    PRESENT with a NULL value cannot be inside a closed range."""
     for name, (lo, hi) in ranges.items():
-        v = part.get(name)
+        if name not in part:
+            continue
+        v = part[name]
         if v is None or not (lo <= v <= hi):
             return True
     return False
@@ -1384,9 +1433,9 @@ def added_files(
     counters so pruning effectiveness is observable per snapshot."""
     md = current_metadata(location)
     ranges = partition_ranges or {}
-    spec_fields, rtypes = _prune_ctx(md) if ranges else ([], {})
+    specs = _specs_ctx(md) if ranges else {}
     if ranges:
-        _check_ranges(ranges, spec_fields)
+        _check_ranges(ranges, specs)
     out = []
     after_seq = None
     snaps = snapshots(location)
@@ -1419,7 +1468,7 @@ def added_files(
                 # earlier snapshots' files, already consumed in their batch
                 if mf["added_snapshot_id"] != s["snapshot-id"]:
                     continue
-                if _manifest_pruned(mf, spec_fields, rtypes, ranges):
+                if _manifest_pruned(mf, specs, ranges):
                     manifests_skipped += 1
                     continue
                 _, _, entries = avro.read_container(mf["manifest_path"])
@@ -1554,9 +1603,9 @@ def scan_files(
             "files_total": 0,
             "files_skipped_stats": 0,
         }
-    spec_fields, rtypes = _prune_ctx(md)
+    specs = _specs_ctx(md)
     ranges = partition_ranges or {}
-    _check_ranges(ranges, spec_fields)
+    _check_ranges(ranges, specs)
     # column_ranges: {column: (lo, hi)} inclusive predicate bounds on
     # ANY boundable column -> file-level data skipping via the spec's
     # lower_bounds/upper_bounds (timestamps: pass epoch micros)
@@ -1598,7 +1647,7 @@ def scan_files(
                     delete_files.append(df_["file_path"])
             continue
         total += 1
-        if _manifest_pruned(mf, spec_fields, rtypes, ranges):
+        if _manifest_pruned(mf, specs, ranges):
             skipped += 1
             continue
         _, _, entries = avro.read_container(mf["manifest_path"])
@@ -2737,8 +2786,8 @@ def rewrite_manifests(
     )
     _, _, manifests = avro.read_container(cur["manifest-list"])
     schema = md["schemas"][md["current-schema-id"]]
-    spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
-    result_types = [_partition_result_type(f, schema) for f in spec_fields]
+    specs_by_id = {s["spec-id"]: s["fields"] for s in md["partition-specs"]}
+    union_sch = _union_schema(md)
     seq = md["last-sequence-number"] + 1
     snap_id = seq
     token = uuid.uuid4().hex[:8]
@@ -2746,8 +2795,30 @@ def rewrite_manifests(
 
     kept: list[dict] = []
     created: list[dict] = []
-    for content, tag in ((CONTENT_DATA, "data"), (CONTENT_DELETES, "deletes")):
-        group = [mf for mf in manifests if mf["content"] == content]
+    # data manifests merge PER SPEC (a manifest's partition record schema
+    # is its own spec's — entries of different specs cannot share one
+    # manifest); delete manifests carry no partition tuple in this
+    # writer, so they merge as one group
+    groups: list[tuple[int, int, str, list[dict]]] = []
+    data_by_spec: dict[int, list[dict]] = {}
+    for mf in manifests:
+        if mf["content"] == CONTENT_DATA:
+            data_by_spec.setdefault(mf.get("partition_spec_id", 0), []).append(mf)
+    for spec_id in sorted(data_by_spec):
+        groups.append((CONTENT_DATA, spec_id, "data", data_by_spec[spec_id]))
+    groups.append(
+        (
+            CONTENT_DELETES,
+            md["default-spec-id"],
+            "deletes",
+            [mf for mf in manifests if mf["content"] == CONTENT_DELETES],
+        )
+    )
+    for content, spec_id, tag, group in groups:
+        spec_fields = specs_by_id.get(spec_id, []) if content == CONTENT_DATA else []
+        result_types = [
+            _partition_result_type(f, union_sch) for f in spec_fields
+        ]
         mergeable = [
             mf
             for mf in group
@@ -2799,7 +2870,7 @@ def rewrite_manifests(
             continue
         for ci in range(0, len(entries), target_entries):
             chunk = entries[ci : ci + target_entries]
-            suffix = "" if content == CONTENT_DATA else "-d"
+            suffix = f"-s{spec_id}" if content == CONTENT_DATA else "-d"
             manifest_path = os.path.join(
                 mdir,
                 f"manifest-{snap_id:020d}-{token}-m{ci // target_entries}"
@@ -2814,7 +2885,7 @@ def rewrite_manifests(
                     "partition-spec": json.dumps(
                         spec_fields if content == CONTENT_DATA else []
                     ),
-                    "partition-spec-id": str(md["default-spec-id"]),
+                    "partition-spec-id": str(spec_id),
                     "format-version": "2",
                     "content": tag,
                 },
@@ -2844,7 +2915,7 @@ def rewrite_manifests(
                 {
                     "manifest_path": manifest_path,
                     "manifest_length": os.path.getsize(manifest_path),
-                    "partition_spec_id": md["default-spec-id"],
+                    "partition_spec_id": spec_id,
                     "content": content,
                     "sequence_number": seq,
                     "min_sequence_number": (
@@ -3366,6 +3437,92 @@ def evolve_schema(location: str, new_spark_schema) -> int:
     md["last-column-id"] = max(md["last-column-id"], next_id - 1)
     _write_metadata(location, md, base_v + 1)
     return new_schema["schema-id"]
+
+
+def evolve_partition_spec(
+    location: str,
+    partition_by: list[tuple[str, str]] | None,
+    *,
+    timestamp_ms: int = 0,
+) -> int:
+    """Commit a new DEFAULT partition spec (spec §Partition Evolution —
+    the `ALTER TABLE ... ADD/DROP PARTITION FIELD` analog).  Already-
+    written data files keep the spec they were written under; only files
+    appended AFTER this commit are laid out (and must be partition-pure)
+    under the new spec.  Readers handle the mix per manifest: each
+    manifest prunes with its own spec (scan_files/added_files resolve
+    `partition_spec_id` per manifest-list record), predicates map through
+    EVERY spec's fields (partition_filter_for/partition_range_filter_for),
+    and a range on a field some file's spec lacks never prunes that file.
+    `compact_table` migrates the whole table to the new spec in one
+    replace snapshot (it rewrites under the current default) — Iceberg's
+    own recipe for completing a layout change.
+
+    Field-id rules (the spec's): a (source column, transform) pair that
+    appeared in ANY prior spec keeps its partition field id and name —
+    ids are never reused for a different meaning; genuinely new fields
+    get fresh ids past last-partition-id.  A name collision with a
+    different (source, transform) is refused.  An identical spec (same
+    fields, same order) is deduplicated: the existing spec becomes
+    default again and no new spec id is spent.  Returns the default
+    spec id.  partition_by syntax matches create_table: [(source_col,
+    "identity"|"hour"|"bucket[N]"|"truncate[W]")], None/[] =
+    unpartitioned."""
+    md, base_v = _load_for_update(location)
+    schema = md["schemas"][md["current-schema-id"]]
+    name_to_field = {f["name"]: f for f in schema["fields"]}
+    prior_by_key: dict[tuple, dict] = {}
+    prior_by_name: dict[str, dict] = {}
+    for spec in md["partition-specs"]:
+        for f in spec["fields"]:
+            prior_by_key.setdefault((f["source-id"], f["transform"]), f)
+            prior_by_name.setdefault(f["name"], f)
+    next_pid = md["last-partition-id"] + 1
+    new_fields = []
+    for col, transform in partition_by or []:
+        base, _param = _parse_transform(transform)
+        if col not in name_to_field:
+            raise ValueError(f"partition source column {col!r} not in schema")
+        src_id = name_to_field[col]["id"]
+        prior = prior_by_key.get((src_id, transform))
+        if prior is not None:
+            new_fields.append(dict(prior))
+            continue
+        pname = col.replace("$", "_") + (
+            f"_{_TRANSFORM_SUFFIX[base]}" if base != "identity" else ""
+        )
+        clash = prior_by_name.get(pname)
+        if clash is not None:
+            raise ValueError(
+                f"partition field name {pname!r} already bound to "
+                f"(source-id={clash['source-id']}, "
+                f"transform={clash['transform']!r}) in a prior spec"
+            )
+        field = {
+            "name": pname,
+            "transform": transform,
+            "source-id": src_id,
+            "field-id": next_pid,
+        }
+        next_pid += 1
+        new_fields.append(field)
+        prior_by_name[pname] = field
+    # result types must resolve NOW (bad transform/source combos fail at
+    # evolve time, not first append)
+    for f in new_fields:
+        _partition_result_type(f, schema)
+    for spec in md["partition-specs"]:
+        if spec["fields"] == new_fields:
+            new_id = spec["spec-id"]
+            break
+    else:
+        new_id = max(s["spec-id"] for s in md["partition-specs"]) + 1
+        md["partition-specs"].append({"spec-id": new_id, "fields": new_fields})
+    md["default-spec-id"] = new_id
+    md["last-partition-id"] = max(md["last-partition-id"], next_pid - 1)
+    md["last-updated-ms"] = timestamp_ms
+    _write_metadata(location, md, base_v + 1)
+    return new_id
 
 
 def current_spark_schema(location: str):

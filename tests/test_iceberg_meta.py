@@ -2365,3 +2365,181 @@ def test_mirror_rewrite_manifests_cadence(spark, tmp_root, ice_pdf):
     got = im.read_table(spark, loc)
     ref = sink_mod.read_emitted(spark, cfg)
     assert got.count() == ref.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# partition spec evolution (spec §Partition Evolution)
+# ---------------------------------------------------------------------------
+
+
+def _evo_table(tmp_root, name):
+    """Table that lived through a partition-spec change: 3 files under
+    spec0 = identity(g), then evolve to spec1 = (identity(g),
+    truncate[10](b)) and 2 more files pure under BOTH fields."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    loc = f"{tmp_root}/{name}"
+    shutil.rmtree(loc, ignore_errors=True)
+    sch = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("g", T.LongType(), False),
+            T.StructField("b", T.LongType(), False),
+        ]
+    )
+    im.create_table(loc, sch, partition_by=[("g", "identity")])
+
+    def _append(i, g):
+        pq.write_table(
+            pa.table(
+                {
+                    "k": [f"k{g}-{j}" for j in range(10)],
+                    "g": [g] * 10,
+                    "b": [g * 10 + j for j in range(10)],
+                }
+            ),
+            f"{loc}/data/f{i}.parquet",
+        )
+        im.append_files(loc, [f"{loc}/data/f{i}.parquet"], timestamp_ms=i + 1)
+
+    for i in range(3):
+        _append(i, i)
+    spec_id = im.evolve_partition_spec(
+        loc, [("g", "identity"), ("b", "truncate[10]")], timestamp_ms=100
+    )
+    assert spec_id == 1
+    for i in range(3, 5):
+        _append(i, i)
+    return loc
+
+
+def test_evolve_partition_spec_mixed_specs(spark, tmp_root):
+    """Old files keep their spec, new files get the new one; pruning is
+    per-manifest-spec and predicates map through every spec's fields."""
+    loc = _evo_table(tmp_root, "ice_evo")
+    md = im.current_metadata(loc)
+    assert md["default-spec-id"] == 1 and len(md["partition-specs"]) == 2
+    # field-id rules: shared (g, identity) keeps 1000, new field gets 1001
+    s1 = {f["name"]: f["field-id"] for f in md["partition-specs"][1]["fields"]}
+    assert s1 == {"g": 1000, "b_trunc": 1001}
+    assert md["last-partition-id"] == 1001
+
+    mans = im.metadata_table(spark, loc, "manifests").collect()
+    assert sorted(r["partition_spec_id"] for r in mans) == [0, 0, 0, 1, 1]
+
+    full = im.scan_files(loc)
+    assert len(full["files"]) == 5
+    # old-spec tuples carry only g; new-spec tuples both fields
+    keys = sorted(tuple(sorted(p)) for p in full["partitions"])
+    assert keys == [("b_trunc", "g")] * 2 + [("g",)] * 3
+
+    # range on the NEW field: cannot prune spec-0 files (field absent),
+    # prunes the non-matching spec-1 manifest unopened
+    plan = im.scan_files(loc, partition_ranges={"b_trunc": (30, 30)})
+    assert len(plan["files"]) == 4 and plan["manifests_skipped"] == 1
+
+    # range on the SHARED field prunes across both specs
+    plan = im.scan_files(loc, partition_ranges={"g": (1, 1)})
+    assert len(plan["files"]) == 1 and plan["manifests_skipped"] == 4
+
+    # predicate mapping spans every spec (deduped by field id)
+    assert im.partition_filter_for(loc, {"g": 1, "b": 35}) == {
+        "g": (1, 1),
+        "b_trunc": (30, 30),
+    }
+    assert im.partition_range_filter_for(loc, {"b": (5, 27)}) == {
+        "b_trunc": (0, 20)
+    }
+
+    # pruned read == full read + row filter (spec-0 rows survive the
+    # b_trunc scope because their files cannot be pruned on it)
+    got = im.read_table(spark, loc, partition_ranges={"b_trunc": (30, 30)})
+    assert got.count() == 40
+    assert got.where("g = 4").count() == 0
+
+    # dedup: re-evolving to an existing spec spends no new spec id
+    assert im.evolve_partition_spec(loc, [("g", "identity")]) == 0
+    assert im.current_metadata(loc)["default-spec-id"] == 0
+    assert len(im.current_metadata(loc)["partition-specs"]) == 2
+    assert (
+        im.evolve_partition_spec(loc, [("g", "identity"), ("b", "truncate[10]")])
+        == 1
+    )
+
+
+def test_evolve_partition_spec_guards(tmp_root):
+    import pyspark.sql.types as T
+
+    loc = f"{tmp_root}/ice_evo_guard"
+    shutil.rmtree(loc, ignore_errors=True)
+    sch = T.StructType(
+        [
+            T.StructField("b", T.LongType(), False),
+            T.StructField("b_trunc", T.LongType(), False),
+        ]
+    )
+    im.create_table(loc, sch, partition_by=[("b", "truncate[10]")])
+    with pytest.raises(ValueError, match="not in schema"):
+        im.evolve_partition_spec(loc, [("nope", "identity")])
+    # identity(b_trunc) would collide with spec-0's truncate field name —
+    # one name must never mean two different (source, transform) pairs
+    with pytest.raises(ValueError, match="already bound"):
+        im.evolve_partition_spec(loc, [("b_trunc", "identity")])
+    # evolving to unpartitioned is legal (spec with no fields)
+    assert im.evolve_partition_spec(loc, []) == 1
+    assert im.current_metadata(loc)["partition-specs"][1]["fields"] == []
+
+
+def test_evolve_then_compact_migrates_spec(spark, tmp_root):
+    """compact_table rewrites the whole table under the CURRENT default
+    spec — Iceberg's recipe for completing a layout change."""
+    loc = _evo_table(tmp_root, "ice_evo_compact")
+    assert im.compact_table(spark, loc, force=True) > 0
+    mans = im.metadata_table(spark, loc, "manifests").collect()
+    assert {r["partition_spec_id"] for r in mans} == {1}
+    # every live file now carries BOTH partition fields -> the new-field
+    # range prunes exactly
+    plan = im.scan_files(loc, partition_ranges={"b_trunc": (30, 30)})
+    assert len(plan["files"]) == 1
+    got = im.read_table(spark, loc, partition_ranges={"b_trunc": (30, 30)})
+    assert got.count() == 10 and got.where("g != 3").count() == 0
+    assert im.read_table(spark, loc).count() == 50
+
+
+def test_rewrite_manifests_mixed_specs(spark, tmp_root):
+    """Manifest consolidation never mixes specs in one manifest: the 3
+    spec-0 and 2 spec-1 manifests merge into one manifest PER SPEC, and
+    both pruning levels keep working on the merged metadata."""
+    loc = _evo_table(tmp_root, "ice_evo_rwm")
+    before_full = sorted(im.scan_files(loc)["files"])
+    before_g1 = sorted(
+        im.scan_files(loc, partition_ranges={"g": (1, 1)})["files"]
+    )
+    stats = im.rewrite_manifests(loc, timestamp_ms=200)
+    assert stats["manifests_replaced"] == 5
+    assert stats["manifests_created"] == 2
+    mans = im.metadata_table(spark, loc, "manifests").collect()
+    assert sorted(r["partition_spec_id"] for r in mans) == [0, 1]
+
+    assert sorted(im.scan_files(loc)["files"]) == before_full
+    plan = im.scan_files(loc, partition_ranges={"g": (1, 1)})
+    assert sorted(plan["files"]) == before_g1
+    # the spec-1 manifest is skipped unopened (its g summary is 30..49)
+    assert plan["manifests_skipped"] == 1
+    # new-field scope: spec-0 merged manifest survives (no b_trunc
+    # summary position), spec-1 entries prune to the g=3 file
+    plan = im.scan_files(loc, partition_ranges={"b_trunc": (30, 30)})
+    assert len(plan["files"]) == 4
+
+
+def test_added_files_pruning_after_evolution(tmp_root):
+    """Streaming-scope semantics across a spec change: a range on the
+    new field prunes only snapshots written under the new spec — older
+    snapshots deliver in full (sound over-delivery, never data loss)."""
+    loc = _evo_table(tmp_root, "ice_evo_stream")
+    batches = im.added_files(loc, partition_ranges={"b_trunc": (30, 30)})
+    per_snap = [(b["snapshot_id"], len(b["files"])) for b in batches]
+    assert per_snap == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 0)]
+    assert batches[-1]["manifests_skipped"] == 1
