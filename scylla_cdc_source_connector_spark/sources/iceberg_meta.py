@@ -952,10 +952,16 @@ def append_files(
     *,
     timestamp_ms: int = 0,
     summary_extra: dict[str, str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit one append snapshot covering `files` (parquet paths already
     under the table's data/ dir).  Row counts come off the parquet footers
-    (no Spark job).  Returns the new snapshot id."""
+    (no Spark job).  Returns the new snapshot id.
+
+    `branch` stages the append on a named branch (create_branch first)
+    instead of advancing main — the write half of write-audit-publish:
+    main readers and the snapshot stream (added_files follows main's
+    ancestry) never see the rows until `fast_forward` publishes them."""
     return _commit_snapshot(
         location,
         files,
@@ -963,6 +969,7 @@ def append_files(
         operation="append",
         timestamp_ms=timestamp_ms,
         summary_extra=summary_extra,
+        branch=branch,
     )
 
 
@@ -977,6 +984,7 @@ def _commit_snapshot(
     summary_extra: dict[str, str] | None = None,
     carry_prior: bool = True,
     set_sort_order: list[str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit one snapshot adding `data_files` (content=DATA manifest),
     `delete_files` (position-delete parquet, columns file_path/pos) and/or
@@ -991,6 +999,17 @@ def _commit_snapshot(
     import pyarrow.parquet as pq
 
     md, base_v = _load_for_update(location)
+    base_snap_id = md["current-snapshot-id"]
+    if branch is not None:
+        # branch commit (write-audit-publish staging): the parent and
+        # carried manifests come from the BRANCH head, and the commit
+        # advances the branch ref, never main
+        ref = md.get("refs", {}).get(branch)
+        if ref is None:
+            raise ValueError(f"no branch {branch!r} (create_branch first)")
+        if ref["type"] != "branch":
+            raise ValueError(f"ref {branch!r} is a {ref['type']}, not a branch")
+        base_snap_id = ref["snapshot-id"]
     seq = md["last-sequence-number"] + 1
     snap_id = seq  # deterministic, monotone with sequence number
     # manifest/list filenames carry a per-commit token so two writers
@@ -1146,9 +1165,9 @@ def _commit_snapshot(
     # new manifests are the table's complete live content and every
     # prior manifest — data and delete alike — drops out of the scan
     prior = []
-    if carry_prior and md["current-snapshot-id"] != -1:
+    if carry_prior and base_snap_id != -1:
         cur = next(
-            s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+            s for s in md["snapshots"] if s["snapshot-id"] == base_snap_id
         )
         _, _, prior = avro.read_container(cur["manifest-list"])
     list_path = os.path.join(mdir, f"snap-{snap_id:020d}-{token}.avro")
@@ -1166,11 +1185,7 @@ def _commit_snapshot(
     md["snapshots"].append(
         {
             "snapshot-id": snap_id,
-            "parent-snapshot-id": (
-                md["current-snapshot-id"]
-                if md["current-snapshot-id"] != -1
-                else None
-            ),
+            "parent-snapshot-id": base_snap_id if base_snap_id != -1 else None,
             "sequence-number": seq,
             "timestamp-ms": timestamp_ms,
             "manifest-list": list_path,
@@ -1185,10 +1200,15 @@ def _commit_snapshot(
             "schema-id": md["current-schema-id"],
         }
     )
-    md["snapshot-log"].append(
-        {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
-    )
-    md["current-snapshot-id"] = snap_id
+    if branch is not None:
+        # snapshot-log is main's history (spec): branch commits move the
+        # ref only; the snapshot publishes to main via fast_forward
+        md["refs"][branch]["snapshot-id"] = snap_id
+    else:
+        md["snapshot-log"].append(
+            {"snapshot-id": snap_id, "timestamp-ms": timestamp_ms}
+        )
+        md["current-snapshot-id"] = snap_id
     md["last-sequence-number"] = seq
     md["last-updated-ms"] = timestamp_ms
     if set_sort_order:
@@ -1223,6 +1243,19 @@ def _commit_snapshot(
 # ---------------------------------------------------------------------------
 # reader: snapshot-incremental ADDED-file resolution
 # ---------------------------------------------------------------------------
+
+
+def _ancestors_of(md, snapshot_id) -> set[int]:
+    """Snapshot ids on the parent chain from `snapshot_id` back to the
+    table's root (inclusive) — the branch line a pointer sees.  Tolerant
+    of expired parents: the walk stops where history was reclaimed."""
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    out: set[int] = set()
+    cur = snapshot_id
+    while cur is not None and cur != -1 and cur in by_id and cur not in out:
+        out.add(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    return out
 
 
 def snapshots(location: str) -> list[dict]:
@@ -1449,7 +1482,13 @@ def added_files(
                 f"resume snapshot {after_snapshot_id} not in table history "
                 "(expired?); re-run with from_timestamp_ms"
             )
+    # incremental reads follow MAIN's ancestry (Iceberg's incremental
+    # scan contract): snapshots staged on a branch (write-audit-publish)
+    # or stranded past a rollback are invisible until/unless published
+    main_line = _ancestors_of(md, md["current-snapshot-id"])
     for s in snaps:
+        if s["snapshot-id"] not in main_line:
+            continue
         if after_seq is not None and s["sequence-number"] <= after_seq:
             continue
         if (
@@ -2538,10 +2577,11 @@ def create_branch(
     *,
     timestamp_ms: int = 0,
 ) -> int:
-    """Named branch pointer (default: current snapshot).  This writer
-    commits to main only — a named branch here is a protected pointer
-    (read via read_table(ref=...)), not a divergent commit line; the
-    jar path owns multi-branch writes."""
+    """Named branch pointer (default: current snapshot).  Read it via
+    read_table(ref=...), commit to it via append_files(branch=...) —
+    the staging half of write-audit-publish — and publish it to main
+    with fast_forward.  The branch head is protected from
+    expire_snapshots until the ref is dropped."""
     return _create_ref(location, name, "branch", snapshot_id, timestamp_ms)
 
 
@@ -2578,6 +2618,53 @@ def rollback_to(location: str, snapshot_id: int, *, timestamp_ms: int = 0):
     )
     md["last-updated-ms"] = max(md["last-updated-ms"], timestamp_ms)
     _write_metadata(location, md, base_v + 1)
+
+
+def fast_forward(
+    location: str,
+    to_ref: str,
+    *,
+    branch: str = "main",
+    timestamp_ms: int = 0,
+) -> int:
+    """Move `branch` (default main) to `to_ref`'s snapshot iff that
+    snapshot DESCENDS from the branch's current head — Iceberg's
+    `fast_forward` procedure, the publish half of write-audit-publish:
+    staged branch commits become visible to main readers and to the
+    snapshot stream (added_files follows main's ancestry) atomically,
+    with no data or metadata rewritten.  A non-fast-forward target is
+    refused (use rollback_to to move main backwards).  Returns the new
+    head snapshot id."""
+    md, base_v = _load_for_update(location)
+    refs = md.get("refs", {})
+    tgt = refs.get(to_ref)
+    if tgt is None:
+        raise ValueError(f"no ref {to_ref!r}")
+    target_id = tgt["snapshot-id"]
+    if branch == "main":
+        head = md["current-snapshot-id"]
+    else:
+        bref = refs.get(branch)
+        if bref is None or bref["type"] != "branch":
+            raise ValueError(f"no branch {branch!r}")
+        head = bref["snapshot-id"]
+    if target_id == head:
+        return head
+    if head != -1 and head not in _ancestors_of(md, target_id):
+        raise ValueError(
+            f"{to_ref!r} ({target_id}) does not descend from {branch!r} "
+            f"head ({head}) — not a fast-forward"
+        )
+    if branch == "main":
+        md["current-snapshot-id"] = target_id
+        md["snapshot-log"].append(
+            {"snapshot-id": target_id, "timestamp-ms": timestamp_ms}
+        )
+    else:
+        refs[branch]["snapshot-id"] = target_id
+    md["last-updated-ms"] = max(md["last-updated-ms"], timestamp_ms)
+    _write_metadata(location, md, base_v + 1)
+    return target_id
 
 
 def expire_snapshots(

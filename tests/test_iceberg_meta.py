@@ -2543,3 +2543,97 @@ def test_added_files_pruning_after_evolution(tmp_root):
     per_snap = [(b["snapshot_id"], len(b["files"])) for b in batches]
     assert per_snap == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 0)]
     assert batches[-1]["manifests_skipped"] == 1
+
+
+# ---------------------------------------------------------------------------
+# branch commits + write-audit-publish (fast_forward)
+# ---------------------------------------------------------------------------
+
+
+def _stage_file(loc, name, k0):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = f"{loc}/data/{name}.parquet"
+    pq.write_table(
+        pa.table(
+            {"k": [f"s{k0 + j}" for j in range(10)], "v": [k0 + j for j in range(10)]}
+        ),
+        p,
+    )
+    return p
+
+
+def test_write_audit_publish(spark, tmp_root):
+    """WAP: append_files(branch=...) stages rows invisible to main and
+    to the snapshot stream; fast_forward publishes them atomically."""
+    loc = _kv_table(tmp_root, "ice_wap")  # snapshots 1, 2 on main
+    im.create_branch(loc, "audit", timestamp_ms=10)
+    s3 = im.append_files(
+        loc, [_stage_file(loc, "staged1", 100)], timestamp_ms=11, branch="audit"
+    )
+    # main readers and the stream see nothing; the branch sees the rows
+    assert im.read_table(spark, loc).count() == 20
+    assert im.read_table(spark, loc, ref="audit").count() == 30
+    assert [b["snapshot_id"] for b in im.added_files(loc)] == [1, 2]
+    # staged commits stack on the branch head
+    s4 = im.append_files(
+        loc, [_stage_file(loc, "staged2", 200)], timestamp_ms=12, branch="audit"
+    )
+    assert im.read_table(spark, loc, ref="audit").count() == 40
+    assert im.current_metadata(loc)["current-snapshot-id"] == 2
+    meta_snaps = {s["snapshot-id"]: s for s in im.snapshots(loc)}
+    assert meta_snaps[s3]["parent-snapshot-id"] == 2
+    assert meta_snaps[s4]["parent-snapshot-id"] == s3
+
+    # publish: main jumps to the branch head, stream delivers in order
+    assert im.fast_forward(loc, "audit", timestamp_ms=13) == s4
+    assert im.current_metadata(loc)["current-snapshot-id"] == s4
+    assert im.read_table(spark, loc).count() == 40
+    assert [b["snapshot_id"] for b in im.added_files(loc)] == [1, 2, s3, s4]
+    # a consumer parked at snapshot 2 resumes into exactly the published pair
+    assert [
+        b["snapshot_id"] for b in im.added_files(loc, after_snapshot_id=2)
+    ] == [s3, s4]
+    # fast_forward to the already-current head is a no-op
+    assert im.fast_forward(loc, "audit") == s4
+
+
+def test_fast_forward_guards(tmp_root):
+    loc = _kv_table(tmp_root, "ice_ff_guard")  # snapshots 1, 2
+    with pytest.raises(ValueError, match="no ref"):
+        im.fast_forward(loc, "nope")
+    # a branch pointing at an ANCESTOR of main is not a fast-forward
+    im.create_branch(loc, "old", snapshot_id=1)
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        im.fast_forward(loc, "old")
+    # divergence: branch staged off snapshot 1 while main sits at 2
+    im.append_files(loc, [_stage_file(loc, "div", 300)], branch="old")
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        im.fast_forward(loc, "old")
+    # commits to tags are refused, as is staging on a missing branch
+    im.create_tag(loc, "rel")
+    with pytest.raises(ValueError, match="not a branch"):
+        im.append_files(loc, [_stage_file(loc, "t", 400)], branch="rel")
+    with pytest.raises(ValueError, match="create_branch first"):
+        im.append_files(loc, [_stage_file(loc, "t2", 500)], branch="ghost")
+
+
+def test_wap_abandoned_audit_reclaimed(spark, tmp_root):
+    """A failed audit is abandoned by dropping the ref; once newer main
+    commits exist, expire_snapshots reclaims the staged files while the
+    published data stays intact."""
+    loc = _kv_table(tmp_root, "ice_wap_drop")
+    im.create_branch(loc, "audit")
+    staged = _stage_file(loc, "bad", 100)
+    im.append_files(loc, [staged], timestamp_ms=5, branch="audit")
+    im.drop_ref(loc, "audit")
+    # audit rows never reached main
+    assert im.read_table(spark, loc).count() == 20
+    # more main history lands, then retention sweeps the staged snapshot
+    im.append_files(loc, [_stage_file(loc, "good", 900)], timestamp_ms=6)
+    stats = im.expire_snapshots(loc, keep_last=1)
+    assert stats["snapshots_expired"] >= 1
+    assert not os.path.exists(staged)
+    got = im.read_table(spark, loc)
+    assert got.count() == 30 and got.where("k like 's1%'").count() == 0
