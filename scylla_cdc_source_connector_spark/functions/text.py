@@ -93,6 +93,135 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("doc_fingerprint", F.md5(norm))
 
 
+#: PII categories as (name, Java-regex, placeholder), applied IN ORDER —
+#: email before phone so the digits of "+1-555..." inside a redacted
+#: mailto never re-match; SSN before phone because every SSN is also a
+#: plausible phone fragment.  Patterns stay RE2-compatible (no lookarounds,
+#: no backrefs) so the same strings run under DuckDB/Hyperscan-style
+#: engines for cross-checking.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (
+        "ipv4",
+        r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        "<IP>",
+    ),
+    # international-format phone: +CC then 7..14 digits with optional
+    # single separators.  Deliberately conservative (requires the +CC
+    # prefix) — a bare 10-digit run is as likely a record id as a phone
+    # number in machine corpora, and false redaction corrupts training
+    # text irreversibly.
+    (
+        "phone",
+        r"\+\d{1,3}[ \-]?(?:\(\d{1,4}\)[ \-]?)?\d{2,4}[ \-]?\d{3,4}[ \-]?\d{0,4}\d",
+        "<PHONE>",
+    ),
+]
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    categories: list[str] | None = None,
+    redacted_col: str | None = None,
+) -> DataFrame:
+    """PII detection + redaction for training-data hygiene: per-category
+    match counts (``n_pii_email`` ...), a total (``n_pii``), and the
+    redacted text with matches replaced by typed placeholders.
+
+    The reference connector emits user rows verbatim (ScyllaSchema maps
+    CQL TEXT straight to STRING); any corpus built from its output needs
+    this pass before the text reaches a tokenizer.  Counts are computed
+    BEFORE redaction (on the raw text) while each replacement runs on the
+    output of the previous one, so overlapping categories (SSN inside a
+    longer digit run) count once under the first matching category —
+    deterministic because PII_PATTERNS order is fixed.
+
+    Scale shape: a chain of regexp_count/regexp_replace — pure whole-stage
+    codegen, narrow, zero shuffles, zero Python.  At 100 TB this is a
+    map-only pass that rides whatever partitioning the scan produced.
+    """
+    cats = [p for p in PII_PATTERNS if categories is None or p[0] in categories]
+    if categories is not None:
+        known = {p[0] for p in PII_PATTERNS}
+        bad = sorted(set(categories) - known)
+        if bad:
+            raise ValueError(f"unknown PII categories: {bad} (known: {sorted(known)})")
+    t = F.col(text_col)
+    total = F.lit(0)
+    for name, pat, _ in cats:
+        cnt = F.regexp_count(t, F.lit(pat))
+        df = df.withColumn(f"n_pii_{name}", cnt)
+        total = total + cnt
+    red = t
+    for _, pat, placeholder in cats:
+        red = F.regexp_replace(red, pat, placeholder)
+    return df.withColumn("n_pii", total).withColumn(
+        redacted_col or f"{text_col}_redacted", red
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    min_overlap_x1000: int = 500,
+) -> DataFrame:
+    """Benchmark-contamination screening: for every document, the fraction
+    of its word n-gram shingles that also occur anywhere in the benchmark
+    set.  Returns (id_col, n_shingles, n_contaminated, overlap_x1000,
+    contaminated) — ``overlap_x1000`` is an integer ‰ so the result is
+    oracle-hashable, ``contaminated`` is overlap ≥ min_overlap_x1000.
+
+    This is the standard n-gram decontamination test (GPT-3 appendix C /
+    PaLM-style 8-gram overlap) expressed as a Spark plan:
+
+      1. shingle the benchmark (shingles_expr, distinct) — the benchmark
+         side is eval-set sized (≪ corpus), so it is **broadcast**;
+      2. explode the corpus shingles to slim (doc_id, shingle) rows —
+         the document text itself never leaves the map side;
+      3. one broadcast LEFT join marks hits, ONE groupBy(doc_id) counts
+         total + hit shingles per document.
+
+    Scale shape: exactly one exchange (the final slim count aggregation,
+    partial map-side combine applies); the broadcast join adds none.  At
+    100 TB the exploded shingle stream is wide in rows but each row is a
+    dozen words — the payload/document bytes never cross the exchange.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingles_expr(F.col(bench_text_col), n)).alias("__sh")
+        )
+        .where(F.col("__sh") != "")
+        .distinct()
+        .withColumn("__bench_hit", F.lit(True))
+    )
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("__sh")
+    )
+    marked = doc_sh.join(F.broadcast(bench_sh), "__sh", "left")
+    agg = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("__bench_hit").alias("n_contaminated"),
+    )
+    overlap = F.floor(
+        F.col("n_contaminated") * 1000 / F.greatest(F.col("n_shingles"), F.lit(1))
+    ).cast("long")
+    return agg.withColumn("overlap_x1000", overlap).withColumn(
+        "contaminated", F.col("overlap_x1000") >= F.lit(min_overlap_x1000)
+    )
+
+
 def shingles_expr(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles from normalized text (for minhash/jaccard)."""
     toks = tokens_expr(F.lower(text))
