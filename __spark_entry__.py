@@ -1018,13 +1018,34 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_id + the gram fingerprint) remain individually pytest-pinned;
     folding them here freed driver-registry slots for the round-5
     Iceberg read surfaces while keeping every text op oracle-checked.
-    Pure codegen: no UDF, no shuffle (per-row expressions only)."""
+    Pure codegen: no UDF, no shuffle (per-row expressions only).
+
+    Round-5 fold: PII scrub (functions/text.pii_scrub).  The synthetic
+    documents carry no PII, so a deterministic suffix (email + IPv4 +
+    SSN + intl phone derived from doc_id) is synthesized per row in BOTH
+    engines; per-category counts AND the md5 of the cascaded-redaction
+    output are oracle-hashed — a real cross-engine check of the Java vs
+    RE2 regex semantics the scrubber relies on."""
     from scylla_cdc_source_connector_spark.functions.text import (
         lang_id,
+        pii_scrub,
         quality_metrics,
     )
 
     docs = _docs(spark, sf_dir)
+    pii_suffix = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-1234"),
+    )
+    docs = pii_scrub(
+        docs.withColumn("pii_text", F.concat(F.col("text"), pii_suffix)),
+        "pii_text",
+    )
     n = F.greatest(F.length("text") - F.lit(7), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n),
@@ -1040,6 +1061,12 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_pred",
         F.array_min(grams).alias("fp_min"),
         F.array_max(grams).alias("fp_max"),
+        "n_pii_email",
+        "n_pii_ssn",
+        "n_pii_ipv4",
+        "n_pii_phone",
+        "n_pii",
+        F.md5("pii_text_redacted").alias("pii_redacted_md5"),
     )
 
 
@@ -1303,6 +1330,11 @@ def q_audio_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                            banding join → coverage,
                            audio_fingerprint.audio_containment); score =
                            coverage
+      kind='alignment'   — offset estimation (audio_align.align_clip_pairs):
+                           amplitude-modulated clips with a transcoded
+                           500 ms excerpt planted at +250 ms; score = the
+                           estimated offset_ms (envelope FFT-NCC, ±5 ms at
+                           fps=200)
 
     Dup/excerpt synthesis runs INSIDE mapInPandas stages — the checked
     plan is distributed end-to-end, no driver-side payload loops."""
@@ -1379,7 +1411,70 @@ def q_audio_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("contained_id").alias("id_b"),
         F.round("coverage", 4).cast("double").alias("score"),
     )
-    return near.unionByName(cont).orderBy("kind", "id_a", "id_b")
+
+    # kind='alignment' — WHERE the shared content sits (audio_align):
+    # fixture clips are stationary sines (flat envelopes — degenerate for
+    # envelope NCC), so this leg amplitude-modulates them INSIDE an Arrow
+    # stage and plants a transcoded 500 ms excerpt at exactly +250 ms;
+    # score = estimated offset_ms, deterministically 250 when the
+    # FFT-NCC alignment locks (tests/test_audio_align.py pins tolerance)
+    from scylla_cdc_source_connector_spark.audio_align import align_clip_pairs
+
+    def modulated_pairs(batches):
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        from scylla_cdc_source_connector_spark import audio as audio_mod
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                raw, codec, sr = bytes(r.bytes), r.codec, int(r.sr_hz)
+                pcm = audio_mod.decode(raw, codec)
+                t = np.arange(len(pcm)) / sr
+                f_m = 1.5 + (zlib.crc32(r.clip_id.encode()) % 5) * 0.7
+                # chirp modulation (f_m -> f_m + 3.4*dur Hz): an APERIODIC
+                # envelope — a pure-tone envelope would alias the NCC peak
+                # at multiples of its period
+                env = 0.35 + 0.3 * np.sin(2 * np.pi * (f_m * t + 1.7 * t * t))
+                m16 = (
+                    (pcm * env * 32768.0).clip(-32768, 32767).astype("int16")
+                )
+                ex = m16[sr // 4 : sr // 4 + sr // 2]  # +250 ms, 500 ms long
+                if len(ex) < sr // 2:
+                    continue
+                rows.append(
+                    (
+                        f"al-{r.clip_id}",
+                        audio_mod.encode(m16, "pcm_s16le"),
+                        "pcm_s16le",
+                        sr,
+                    )
+                )
+                rows.append(
+                    (f"al-ex-{r.clip_id}", audio_mod.encode(ex, "ulaw"), "ulaw", sr)
+                )
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes", "codec", "sr_hz"])
+
+    al_base = _fixture_clips(spark, sf_dir, 100).filter(F.col("dur_ms") >= 900)
+    al_corpus = al_base.select("clip_id", "bytes", "codec", "sr_hz").mapInPandas(
+        modulated_pairs, "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+    al_pairs = al_base.select(
+        F.concat(F.lit("al-"), "clip_id").alias("id_a"),
+        F.concat(F.lit("al-ex-"), "clip_id").alias("id_b"),
+    )
+    ali = align_clip_pairs(
+        al_pairs, al_corpus, fps=200, min_overlap_s=0.1
+    ).select(
+        F.lit("alignment").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("offset_ms").cast("double").alias("score"),
+    )
+    return near.unionByName(cont).unionByName(ali).orderBy("kind", "id_a", "id_b")
 
 
 def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1831,6 +1926,24 @@ def oracle_sql() -> dict[str, str]:
         f"x -> x IN {ws})) AS h_{lang}"
         for lang, ws in lang_hits.items()
     )
+    # PII fold (text_metrics): same patterns, same order as
+    # functions/text.PII_PATTERNS — counts on the raw synthesized text,
+    # redaction cascaded, 'g' for Spark's replace-all semantics
+    from scylla_cdc_source_connector_spark.functions.text import PII_PATTERNS
+
+    pii_text_sql = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 ssn 123-45-6789 call +1-555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234'"
+    )
+    pii_count_sql = ", ".join(
+        f"len(regexp_extract_all(pii_text, '{pat}')) AS n_pii_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    pii_red_sql = "pii_text"
+    for _, pat, placeholder in PII_PATTERNS:
+        pii_red_sql = f"regexp_replace({pii_red_sql}, '{pat}', '{placeholder}', 'g')"
     return {
         "cdc_change_typing": f"SELECT op, count(*) AS n FROM ({proxy}) GROUP BY op",
         "cdc_envelope_flat": (
@@ -2129,15 +2242,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_en = m THEN 'en'
                         ELSE 'de' END AS lang_pred,
                    list_aggregate(g, 'min') AS fp_min,
-                   list_aggregate(g, 'max') AS fp_max
+                   list_aggregate(g, 'max') AS fp_max,
+                   {pii_count_sql},
+                   n_pii_email + n_pii_ssn + n_pii_ipv4 + n_pii_phone AS n_pii,
+                   md5({pii_red_sql}) AS pii_redacted_md5
             FROM (
-              SELECT doc_id, text, t, h_en, h_fr, h_es, h_de,
+              SELECT doc_id, text, pii_text, t, h_en, h_fr, h_es, h_de,
                      greatest(h_en, h_fr, h_es, h_de) AS m,
                      list_transform(
                        range(1, greatest(length(text) - 7, 1) + 1),
                        i -> md5(text[i : i + 7])
                      ) AS g
-              FROM (SELECT doc_id, text, {_TOKS} AS t, {hits_l_sql}
+              FROM (SELECT doc_id, text, {pii_text_sql} AS pii_text,
+                           {_TOKS} AS t, {hits_l_sql}
                     FROM documents)
             )
         """,
