@@ -546,6 +546,35 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["audio_trimmed_bytes"] = timed_audio("audio_trim", _trim)
 
+    # 3g2. pairwise alignment (audio_align.py): per-clip RMS envelopes in
+    # one Arrow pass over the containment-sampled subset, then FFT-NCC on
+    # a deterministic chain of candidate pairs — the realistic input is a
+    # near-dup pair table; envelope decode dominates, the NCC itself runs
+    # on ~200-frame arrays
+    def _align():
+        from pyspark.sql import Window
+
+        from scylla_cdc_source_connector_spark.audio_align import (
+            align_clip_pairs,
+        )
+
+        post = (
+            changelog.where("`cdc$operation` = 9")
+            .select("clip_id", "bytes", "codec", "sr_hz")
+            .where(F.crc32(F.col("clip_id")) % 9 == 0)
+        )
+        w = Window.orderBy("clip_id")
+        pairs = (
+            post.select("clip_id")
+            .distinct()
+            .withColumn("id_b", F.lead("clip_id").over(w))
+            .where("id_b IS NOT NULL")
+            .selectExpr("clip_id AS id_a", "id_b")
+        )
+        return align_clip_pairs(pairs, post).where("align_ok").count()
+
+    extra["audio_align_pairs"] = timed_audio("audio_align", _align)
+
     # phase-normalized Arrow-kernel costs: entry ÷ the audio_validate
     # gauge measured in the SAME host phase.  A host slowdown moves every
     # ratio's denominator and numerator together (ratios flat); a real
@@ -572,6 +601,7 @@ def run_bench(spark, sf_dir: str) -> dict:
             "audio_segment",
             "audio_containment",
             "audio_trim",
+            "audio_align",
         )
         if name in timings
     }
@@ -661,6 +691,39 @@ def run_bench(spark, sf_dir: str) -> dict:
         return out
 
     extra["dedup_approx_methods"] = _approx_methods()
+
+    # 5. text hygiene passes over the full documents table (pure codegen /
+    # one slim agg exchange — see functions/text.py)
+    def _pii():
+        from scylla_cdc_source_connector_spark.functions.text import pii_scrub
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        row = (
+            pii_scrub(docs)
+            .agg(
+                F.sum("n_pii").alias("n"),
+                F.sum(F.length("text_redacted")).alias("b"),
+            )
+            .collect()[0]
+        )
+        return int(row["n"] or 0)
+
+    extra["text_pii_hits"] = timed("text_pii", _pii)
+
+    def _contamination():
+        from scylla_cdc_source_connector_spark.functions.text import (
+            contamination_check,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench_set = docs.where("doc_id < 50").select("text")
+        return (
+            contamination_check(docs, bench_set, n=8)
+            .where("contaminated")
+            .count()
+        )
+
+    extra["text_contaminated_docs"] = timed("text_contamination", _contamination)
 
     total = round(sum(timings.values()), 3)
     return {

@@ -339,9 +339,16 @@ def align_clip_pairs(
         .union(pairs.select(F.col(id_b).alias("clip_id")))
         .distinct()
     )
-    envs = energy_envelopes(
-        clips.join(wanted, "clip_id", "left_semi"), fps=fps
-    ).where("env_ok")
+    # dedup AFTER the envelope pass, not before: the clips table may carry
+    # duplicate clip_ids (e.g. multiple postimages of one clip in a raw
+    # changelog), and deduping the payload table first would shuffle the
+    # audio bytes — deduping the envelope table shuffles only the compact
+    # (clip_id, env) rows
+    envs = (
+        energy_envelopes(clips.join(wanted, "clip_id", "left_semi"), fps=fps)
+        .where("env_ok")
+        .dropDuplicates(["clip_id"])
+    )
     ea = envs.select(
         F.col("clip_id").alias(id_a), F.col("env").alias("__env_a")
     )

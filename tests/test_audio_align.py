@@ -126,6 +126,17 @@ def test_align_skips_undecodable_and_prunes(spark, clips_df):
     assert [(r["id_a"], r["id_b"]) for r in rows] == [("full", "excerpt")]
 
 
+def test_align_duplicate_keyed_clips(spark, clips_df):
+    """A clips table with duplicate clip_ids (e.g. raw changelog
+    postimages) must yield exactly one output row per pair, not a
+    cross-product of the duplicates."""
+    dup_clips = clips_df.unionByName(clips_df)
+    pairs = spark.createDataFrame([("full", "excerpt")], "id_a string, id_b string")
+    rows = align_clip_pairs(pairs, dup_clips).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["offset_ms"] - 500) <= 10
+
+
 def test_align_short_clip_not_ok(spark):
     """Pairs shorter than the minimum overlap report align_ok=False
     rather than a garbage offset."""
