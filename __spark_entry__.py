@@ -1025,11 +1025,16 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SSN + intl phone derived from doc_id) is synthesized per row in BOTH
     engines; per-category counts AND the md5 of the cascaded-redaction
     output are oracle-hashed — a real cross-engine check of the Java vs
-    RE2 regex semantics the scrubber relies on."""
+    RE2 regex semantics the scrubber relies on.  Also folded: the
+    Gopher/C4-style repetition metrics (functions/text.repetition_metrics
+    — dup-word/dup-line/top-bigram ‰, per-row array arithmetic, the
+    bigram max via sorted-array run-fold vs DuckDB's list_max-of-counts:
+    two independent algorithms hash-matched)."""
     from scylla_cdc_source_connector_spark.functions.text import (
         lang_id,
         pii_scrub,
         quality_metrics,
+        repetition_metrics,
     )
 
     docs = _docs(spark, sf_dir)
@@ -1046,6 +1051,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("pii_text", F.concat(F.col("text"), pii_suffix)),
         "pii_text",
     )
+    docs = repetition_metrics(docs)
     n = F.greatest(F.length("text") - F.lit(7), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n),
@@ -1067,6 +1073,9 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pii_phone",
         "n_pii",
         F.md5("pii_text_redacted").alias("pii_redacted_md5"),
+        "dup_word_frac_x1000",
+        "dup_line_frac_x1000",
+        "top_bigram_frac_x1000",
     )
 
 
@@ -2245,14 +2254,28 @@ def oracle_sql() -> dict[str, str]:
                    list_aggregate(g, 'max') AS fp_max,
                    {pii_count_sql},
                    n_pii_email + n_pii_ssn + n_pii_ipv4 + n_pii_phone AS n_pii,
-                   md5({pii_red_sql}) AS pii_redacted_md5
+                   md5({pii_red_sql}) AS pii_redacted_md5,
+                   CAST(floor((len(t) - len(list_distinct(t))) * 1000
+                        / greatest(len(t), 1)) AS BIGINT) AS dup_word_frac_x1000,
+                   CAST(floor((len(l) - len(list_distinct(l))) * 1000
+                        / greatest(len(l), 1)) AS BIGINT) AS dup_line_frac_x1000,
+                   CAST(floor(
+                     (CASE WHEN len(t) >= 2 THEN
+                        list_max(list_transform(list_distinct(bg),
+                                 x -> len(list_filter(bg, y -> y = x))))
+                      ELSE 0 END) * 1000 / greatest(len(bg), 1)
+                   ) AS BIGINT) AS top_bigram_frac_x1000
             FROM (
               SELECT doc_id, text, pii_text, t, h_en, h_fr, h_es, h_de,
                      greatest(h_en, h_fr, h_es, h_de) AS m,
                      list_transform(
                        range(1, greatest(length(text) - 7, 1) + 1),
                        i -> md5(text[i : i + 7])
-                     ) AS g
+                     ) AS g,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> trim(x) <> '') AS l,
+                     list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                    i -> t[i] || ' ' || t[i + 1]) AS bg
               FROM (SELECT doc_id, text, {pii_text_sql} AS pii_text,
                            {_TOKS} AS t, {hits_l_sql}
                     FROM documents)

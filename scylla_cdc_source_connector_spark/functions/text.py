@@ -93,6 +93,80 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("doc_fingerprint", F.md5(norm))
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition quality signals, per document:
+
+      dup_word_frac_x1000   — 1 − distinct/total words (‰): word-level
+                              repetitiveness
+      dup_line_frac_x1000   — 1 − distinct/total non-empty lines (‰):
+                              boilerplate/template detector
+      top_bigram_frac_x1000 — occurrences of the most frequent word
+                              bigram ÷ total bigrams (‰): the classic
+                              "repeated phrase" rule (Gopher §A1.2-style)
+
+    Repetitive machine-generated or template text scores high on all
+    three; the standard gate drops docs above ~200-600‰ depending on the
+    signal.  Integer ‰ keeps the columns oracle-hashable.
+
+    Scale shape: everything is per-row array arithmetic — the bigram
+    max-run is computed by sorting the row's bigram array and folding a
+    (prev, run, best) state over it with `aggregate`, so no explode, no
+    groupBy, ZERO shuffles at any corpus size.  Higher-order functions
+    evaluate JVM-side (not whole-stage codegen, but never Python)."""
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    n_toks = F.size(toks)
+    dup_word = F.floor(
+        (n_toks - F.size(F.array_distinct(toks)))
+        * 1000
+        / F.greatest(n_toks, F.lit(1))
+    ).cast("long")
+
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    dup_line = F.floor(
+        (n_lines - F.size(F.array_distinct(lines)))
+        * 1000
+        / F.greatest(n_lines, F.lit(1))
+    ).cast("long")
+
+    idx = F.sequence(F.lit(1), F.greatest(n_toks - 1, F.lit(1)))
+    bigrams = F.when(
+        n_toks >= 2,
+        F.array_sort(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    run_state = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    n_bigrams = F.size(bigrams)
+    top_bigram = F.floor(
+        run_state["best"] * 1000 / F.greatest(n_bigrams, F.lit(1))
+    ).cast("long")
+
+    return (
+        df.withColumn("dup_word_frac_x1000", dup_word)
+        .withColumn("dup_line_frac_x1000", dup_line)
+        .withColumn("top_bigram_frac_x1000", top_bigram)
+    )
+
+
 #: PII categories as (name, Java-regex, placeholder), applied IN ORDER —
 #: email before phone so the digits of "+1-555..." inside a redacted
 #: mailto never re-match; SSN before phone because every SSN is also a

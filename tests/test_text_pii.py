@@ -64,6 +64,52 @@ def test_pii_scrub_is_shuffle_free(pii_df):
     assert "Exchange" not in plan
 
 
+def test_repetition_metrics(spark):
+    from scylla_cdc_source_connector_spark.functions.text import (
+        repetition_metrics,
+    )
+
+    rows = [
+        # "spam ham " x20: every word dup'd, one bigram dominates
+        ("looped", "spam ham " * 20),
+        ("clean", "each word here appears exactly once in this sentence"),
+        # duplicate lines
+        ("lines", "header line\nbody text\nheader line\nbody text\nheader line"),
+        ("tiny", "one"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+
+    lo = out["looped"]
+    # 40 words, 2 distinct -> 950 permille dup words
+    assert lo["dup_word_frac_x1000"] == 950
+    # 39 bigrams: 'spam ham' x20, 'ham spam' x19 -> top = 20/39
+    assert lo["top_bigram_frac_x1000"] == 1000 * 20 // 39
+
+    cl = out["clean"]
+    assert cl["dup_word_frac_x1000"] == 0
+    assert cl["top_bigram_frac_x1000"] == 1000 // 8  # 8 bigrams, all unique
+
+    ln = out["lines"]
+    # 5 non-empty lines, 2 distinct -> 600 permille
+    assert ln["dup_line_frac_x1000"] == 600
+
+    assert out["tiny"]["dup_word_frac_x1000"] == 0
+    assert out["tiny"]["top_bigram_frac_x1000"] == 0
+    assert out["empty"]["top_bigram_frac_x1000"] == 0
+
+
+def test_repetition_metrics_shuffle_free(spark):
+    from scylla_cdc_source_connector_spark.functions.text import (
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame([("a", "x y x y")], "doc_id string, text string")
+    plan = repetition_metrics(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_contamination_check(spark):
     bench_sentence = "the quick brown fox jumps over the lazy dog tonight"
     docs = spark.createDataFrame(
