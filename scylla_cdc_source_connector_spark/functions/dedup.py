@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from scylla_cdc_source_connector_spark.functions.text import (
@@ -403,4 +403,108 @@ def dedup_ngram_jaccard(
             jaccard_expr(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 3,
+) -> DataFrame:
+    """C4-style duplicate-span removal: of every `span_n`-consecutive-
+    sentence span occurring more than once ANYWHERE in the corpus, keep
+    only the first occurrence (ordered by (id, position)) and delete the
+    other occurrences' sentences from their documents (Raffel et al.,
+    "Exploring the Limits of Transfer Learning", §2.2: "we removed all
+    but one of any three-sentence span occurring more than once").
+
+    Returns (id_col, text [rebuilt], n_sentences, n_dropped_sentences).
+    Documents whose every sentence is dropped come back with text ''.
+    Documents with fewer than span_n sentences form one short span at
+    idx 0 (still deduped corpus-wide against identical short docs).
+
+    Scale shape — every stage is declarative, no Python:
+      1. posexplode sentences (narrow; the regex split rides the scan);
+      2. a per-doc window builds span hashes from `lead(sentence, k)`
+         (one shuffle on id — sentence text crosses it once);
+      3. the global first-occurrence ranking windows over (span_hash)
+         with only (hash, id, idx, n_sent) — SLIM rows, the sentence
+         text column is NOT carried (dropped before the shuffle);
+      4. duplicated-occurrence spans explode to their <= span_n covered
+         sentence indices (slim), distinct, and anti-join the sentence
+         table;
+      5. one groupBy(id) rebuilds text in position order via sort_array
+         of (idx, sentence) structs.
+    Total: sentence text crosses two exchanges (the per-doc window and
+    the rebuild agg); the corpus-wide dedup decision itself moves only
+    hashes.  The span-hash window key is a uniform md5, so no salting is
+    needed — no skew by construction unless one span dominates the
+    corpus, which is exactly what the operator deletes.
+    """
+    if span_n < 1:
+        raise ValueError("span_n must be >= 1")
+    sent_split = r"(?<=[.!?])\s+"
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), sent_split), lambda x: F.trim(x) != ""
+            )
+        ).alias("idx", "sent"),
+    )
+    per_doc = Window.partitionBy(id_col).orderBy("idx")
+    n_sent = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    parts = [F.col("sent")] + [
+        F.lead("sent", k).over(per_doc) for k in range(1, span_n)
+    ]
+    spans = (
+        sents.select(
+            F.col(id_col),
+            "idx",
+            n_sent.alias("n_sent"),
+            F.md5(F.concat_ws("\x1f", *parts)).alias("span_hash"),
+        )
+        # a span starts at idx iff a full span fits; a doc shorter than
+        # span_n contributes its single short span at idx 0
+        .where(
+            (F.col("idx") + span_n <= F.col("n_sent"))
+            | ((F.col("n_sent") < span_n) & (F.col("idx") == 0))
+        )
+    )
+    first = Window.partitionBy("span_hash").orderBy(F.col(id_col), F.col("idx"))
+    dup_occurrences = (
+        spans.withColumn("__rk", F.row_number().over(first))
+        .where(F.col("__rk") > 1)
+        .select(id_col, "idx", "n_sent")
+    )
+    drops = dup_occurrences.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.col("idx"),
+                F.least(F.col("idx") + span_n - 1, F.col("n_sent") - 1),
+            )
+        ).alias("idx"),
+    ).distinct()
+    kept = sents.join(drops, [id_col, "idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "sent"))),
+                lambda s: s["sent"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = sents.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sentences"))
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        "n_sentences",
+        (F.col("n_sentences") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_dropped_sentences"
+        ),
     )
