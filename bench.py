@@ -725,6 +725,33 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["text_contaminated_docs"] = timed("text_contamination", _contamination)
 
+    def _spans():
+        from scylla_cdc_source_connector_spark.functions.dedup import dedup_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return int(
+            dedup_spans(docs).agg(F.sum("n_dropped_sentences")).collect()[0][0]
+            or 0
+        )
+
+    extra["dedup_spans_dropped"] = timed("dedup_spans", _spans)
+
+    def _sample():
+        from scylla_cdc_source_connector_spark.plans.sampling import (
+            stratified_sample,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return stratified_sample(
+            docs,
+            ["lang"],
+            budget_per_stratum=200_000,
+            weight_col="n_chars",
+            id_cols=["doc_id"],
+        ).count()
+
+    extra["stratified_sample_rows"] = timed("stratified_sample", _sample)
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "cdc change-events/sec + operator suite wall time",

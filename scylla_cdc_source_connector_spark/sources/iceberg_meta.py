@@ -2821,6 +2821,83 @@ def expire_snapshots(
     return stats
 
 
+def remove_orphan_files(
+    location: str,
+    *,
+    older_than_ms: int,
+    dry_run: bool = False,
+) -> dict:
+    """Delete files under the table location that NO snapshot in the
+    current metadata references — the jarless `remove_orphan_files`
+    maintenance action, completing the triple with compact_table (fold
+    merge-on-read debt) and expire_snapshots (history retention).
+
+    Orphans are the debris of failed commits: a writer that crashed
+    after writing parquet/manifest files but before its metadata swap
+    (or lost its catalog CAS — iceberg_rest_catalog.CommitConflictError)
+    leaves files on disk that nothing references and nothing will ever
+    reclaim.  On a CDC mirror committing every micro-batch, any nonzero
+    failure rate accretes storage forever without this job.
+
+    Only files with mtime strictly older than `older_than_ms` are
+    removed — the safety window against deleting an IN-FLIGHT writer's
+    files before its commit lands (Iceberg defaults this to 3 days;
+    passing a recent cutoff on an actively-written table is the classic
+    way to corrupt someone's pending commit, hence no default here).
+
+    Scans location/data (all files) and location/metadata (only *.avro
+    manifest-list/manifest debris — *.metadata.json and version-hint
+    are version-managed by expire_snapshots/commits, never orphans).
+    Returns {orphans_deleted, bytes_reclaimed, files_scanned};
+    dry_run computes the same stats deleting nothing."""
+    md = current_metadata(location)
+    referenced: set[str] = set()
+    manifest_cache: set[str] = set()
+    for s in md.get("snapshots", []):
+        ml = s["manifest-list"]
+        referenced.add(os.path.abspath(ml))
+        _, _, manifests = avro.read_container(ml)
+        for mf in manifests:
+            mp = mf["manifest_path"]
+            referenced.add(os.path.abspath(mp))
+            if mp in manifest_cache:
+                continue
+            manifest_cache.add(mp)
+            _, _, entries = avro.read_container(mp)
+            for e in entries:
+                referenced.add(os.path.abspath(e["data_file"]["file_path"]))
+
+    stats = {"orphans_deleted": 0, "bytes_reclaimed": 0, "files_scanned": 0}
+    candidates: list[str] = []
+    data_dir = os.path.join(location, "data")
+    if os.path.isdir(data_dir):
+        for root, _dirs, files in os.walk(data_dir):
+            candidates.extend(os.path.join(root, fn) for fn in files)
+    mdir = _meta_dir(location)
+    if os.path.isdir(mdir):
+        candidates.extend(
+            os.path.join(mdir, fn)
+            for fn in os.listdir(mdir)
+            if fn.endswith(".avro")
+        )
+    for p in candidates:
+        stats["files_scanned"] += 1
+        ap = os.path.abspath(p)
+        if ap in referenced:
+            continue
+        try:
+            st = os.stat(p)
+        except OSError:
+            continue
+        if int(st.st_mtime * 1000) >= older_than_ms:
+            continue
+        stats["orphans_deleted"] += 1
+        stats["bytes_reclaimed"] += st.st_size
+        if not dry_run:
+            os.remove(p)
+    return stats
+
+
 def rewrite_manifests(
     location: str,
     *,

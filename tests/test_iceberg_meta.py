@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -1261,6 +1262,44 @@ def test_compact_partitioned_table(spark, tmp_root):
     mid = hours[1]
     sub = im.scan_files(loc, partition_ranges={"cdc_time_hour": (mid, mid)})
     assert len(sub["files"]) == 1
+
+
+def test_remove_orphan_files(spark, tmp_root):
+    """Failed-commit debris (data file + manifest avro nothing
+    references) is reclaimed; referenced files and files younger than
+    the safety window survive; dry_run deletes nothing."""
+    loc = _hour_table(tmp_root, "ice_orphans")
+    want = im.read_table(spark, loc).count()
+
+    # plant debris: an uncommitted parquet in data/ and a stray avro in
+    # metadata/ (a writer that died before its metadata swap)
+    orphan_data = os.path.join(loc, "data", "orphan-00000.parquet")
+    with open(orphan_data, "wb") as f:
+        f.write(b"PAR1 not really parquet")
+    orphan_manifest = os.path.join(loc, "metadata", "orphan-m0.avro")
+    with open(orphan_manifest, "wb") as f:
+        f.write(b"Obj\x01 stray manifest")
+    # a FRESH orphan inside the safety window must survive
+    fresh = os.path.join(loc, "data", "fresh-00000.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"PAR1 in-flight write")
+    cutoff = int(os.stat(orphan_manifest).st_mtime * 1000) + 1
+    os.utime(fresh, (time.time() + 3600, time.time() + 3600))
+
+    dry = im.remove_orphan_files(loc, older_than_ms=cutoff, dry_run=True)
+    assert dry["orphans_deleted"] == 2
+    assert os.path.exists(orphan_data) and os.path.exists(orphan_manifest)
+
+    stats = im.remove_orphan_files(loc, older_than_ms=cutoff)
+    assert stats["orphans_deleted"] == 2 and stats["bytes_reclaimed"] > 0
+    assert not os.path.exists(orphan_data)
+    assert not os.path.exists(orphan_manifest)
+    assert os.path.exists(fresh)  # safety window respected
+
+    # table unharmed: same rows, and a second pass finds nothing
+    assert im.read_table(spark, loc).count() == want
+    again = im.remove_orphan_files(loc, older_than_ms=cutoff)
+    assert again["orphans_deleted"] == 0
 
 
 def test_expire_snapshots_reclaims_files(spark, tmp_root):
