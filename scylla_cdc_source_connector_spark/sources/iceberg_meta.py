@@ -3281,6 +3281,7 @@ def maintain_latest_state_mirror(
     compact_every: int | None = None,
     expire_keep_last: int | None = None,
     compact_sort_by: list[str] | None = None,
+    remove_orphans_older_than_ms: int | None = None,
 ) -> int:
     """COMPACTED latest-state Iceberg mirror: one live row per primary
     key, maintained with ROW-LEVEL ops — new/updated keys append, stale
@@ -3354,10 +3355,19 @@ def maintain_latest_state_mirror(
             "maintain_latest_state_mirror needs full after-images "
             "(cfg.include_after=FULL) — partial images cannot be merged"
         )
+    def _reclaim_orphans():
+        if remove_orphans_older_than_ms is not None and os.path.exists(
+            _version_hint(location)
+        ):
+            remove_orphan_files(
+                location, older_than_ms=remove_orphans_older_than_ms
+            )
+
     register_consumer(cfg, location, name="iceberg_latest")
     done = set(applied_batch_ids(location))
     todo = [b for b in sink_mod.committed_batch_ids(cfg) if b not in done]
     if not todo:
+        _reclaim_orphans()
         return 0
     with_data, _dir_less, expired = split_consumable(
         cfg, todo, consumer="iceberg_latest", strict=strict
@@ -3488,6 +3498,10 @@ def maintain_latest_state_mirror(
                 spark, location, sort_by=compact_sort_by
             ) != -1 and (expire_keep_last is not None):
                 expire_snapshots(location, keep_last=expire_keep_last)
+    # orphan reclamation rides the same cadence: after expiry the only
+    # unreferenced-but-present files are failed-commit debris older than
+    # the caller's safety window (see remove_orphan_files docstring)
+    _reclaim_orphans()
     return committed
 
 

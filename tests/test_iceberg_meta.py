@@ -1508,6 +1508,22 @@ def test_mirror_auto_maintenance(spark, tmp_root, ice_pdf):
     ) == 0
     assert key(im.read_table(spark, mir)) == key(want)
 
+    # orphan reclamation rides the cadence: failed-commit debris planted
+    # in the mirror is gone after a pass with the safety cutoff
+    debris = os.path.join(mir, "data", "orphan-dead.parquet")
+    with open(debris, "wb") as f:
+        f.write(b"PAR1 dead write")
+    im.maintain_latest_state_mirror(
+        spark,
+        cfg,
+        mir,
+        compact_every=2,
+        expire_keep_last=1,
+        remove_orphans_older_than_ms=int(time.time() * 1000) + 60_000,
+    )
+    assert not os.path.exists(debris)
+    assert key(im.read_table(spark, mir)) == key(want)
+
 
 def test_time_travel_reads(spark, tmp_root):
     """snapshot_id / as_of_timestamp_ms read the table exactly as of a
