@@ -32,6 +32,34 @@ from pyspark.sql import functions as F
 KAFKA_SINK_COLUMNS = ("topic", "key", "value", "headers")
 
 
+def scrub_value_text_fields(
+    env: DataFrame,
+    fields: tuple[str, ...] = ("after.transcript", "before.transcript"),
+) -> DataFrame:
+    """Pre-serialization SMT: PII-redact text fields inside the envelope
+    value struct (functions/text.PII_PATTERNS, same cascade order), e.g.
+    transcripts, before they reach any wire format.  Connect does this
+    with a masking SMT between the SourceRecord and the converter; here
+    it is a pure-codegen column rewrite (`withField` in place — NULL
+    images/fields pass through untouched).  Paths are `image.field`
+    within `value`; missing images/fields are skipped, so the same
+    scrubber works under any include_before/include_after mode."""
+    from scylla_cdc_source_connector_spark.functions.text import PII_PATTERNS
+
+    value_fields = {f.name: f.dataType for f in env.schema["value"].dataType}
+    value = F.col("value")
+    for path in fields:
+        img, fld = path.split(".", 1)
+        dt = value_fields.get(img)
+        if dt is None or not hasattr(dt, "fieldNames") or fld not in dt.fieldNames():
+            continue
+        red = F.col(f"value.{img}.{fld}")
+        for _, pat, placeholder in PII_PATTERNS:
+            red = F.regexp_replace(red, pat, placeholder)
+        value = value.withField(img, value[img].withField(fld, red))
+    return env.withColumn("value", value)
+
+
 def kafka_records(
     env: DataFrame,
     *,
@@ -39,6 +67,7 @@ def kafka_records(
     key_schema_id: int | None = None,
     value_schema_id: int | None = None,
     extra_cols: tuple[str, ...] = (),
+    pre_serialize=None,
 ) -> DataFrame:
     """Envelope rows → Kafka-sink-ready rows (KAFKA_SINK_COLUMNS plus the
     cdc$stream_id passthrough, kept so a custom partitioner / sorted
@@ -49,6 +78,8 @@ def kafka_records(
     apply), matching the Connect converter."""
     if fmt not in ("json", "avro"):
         raise ValueError(f"unknown kafka record format: {fmt!r}")
+    if pre_serialize is not None:
+        env = pre_serialize(env)
     key_dt = env.schema["key"].dataType
     value_dt = env.schema["value"].dataType
     if fmt == "json":
@@ -102,6 +133,7 @@ def maintain_kafka_records(
     registry=None,
     topic: str | None = None,
     strict: bool = False,
+    pre_serialize=None,
 ) -> int:
     """Exactly-once Kafka-record emission: serialize every committed-but-
     unconverted envelope batch to wire records under
@@ -192,6 +224,7 @@ def maintain_kafka_records(
         key_schema_id=key_schema_id,
         value_schema_id=value_schema_id,
         extra_cols=("batch_id",),
+        pre_serialize=pre_serialize,
     )
     prev_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
