@@ -24,6 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 from scylla_cdc_source_connector_spark.config import EngineConfig
@@ -123,3 +124,60 @@ def validate_changelog(
                     f"(CdcTableOptionsValidator.java:93-149 analog)"
                 )
     return rep
+
+
+#: every cdc$operation byte the CDC log can carry (schemas.py; the full
+#: enum at CdcBatchPreimageMisalignmentIT.java:57-62 spans 0..9)
+VALID_OPERATIONS = tuple(range(10))
+
+
+def split_dlq(
+    df: DataFrame, *, pk_cols: tuple[str, ...] = ("clip_id",)
+) -> tuple[DataFrame, DataFrame]:
+    """Per-ROW error tolerance — Kafka Connect's `errors.tolerance=all`
+    + dead-letter-queue routing, for the changelog itself: rows that can
+    never form a valid change event (null primary key, unknown
+    cdc$operation byte, null stream/time coordinates) are split off with
+    a `dlq_reasons` array instead of poisoning the pipeline or silently
+    disappearing.
+
+    Returns (good, dlq): `good` has the input schema exactly; `dlq`
+    carries every original column plus `dlq_reasons` (all violated
+    checks, not just the first — the triage column a DLQ consumer needs).
+    Table-LEVEL problems (missing columns, wrong types) stay the job of
+    validate_changelog at startup; this guards the per-row tail a healthy
+    table can still contain after upstream corruption.
+
+    Scale shape: two filters over the same scan (Catalyst pushes both
+    down; no shuffle, no Python).  Route `dlq` wherever quarantined
+    payloads go — it is exactly-once under the sink's lineage like any
+    other per-batch output."""
+    checks = [
+        (
+            "null_pk",
+            F.lit(False)
+            if not pk_cols
+            else _any_null([F.col(c) for c in pk_cols]),
+        ),
+        (
+            "bad_operation",
+            F.col("`cdc$operation`").isNull()
+            | ~F.col("`cdc$operation`").isin(*VALID_OPERATIONS),
+        ),
+        ("null_stream", F.col("`cdc$stream_id`").isNull()),
+        ("null_time", F.col("`cdc$time`").isNull()),
+    ]
+    reasons = F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in checks])
+    )
+    flagged = df.withColumn("dlq_reasons", reasons)
+    good = flagged.where(F.size("dlq_reasons") == 0).drop("dlq_reasons")
+    dlq = flagged.where(F.size("dlq_reasons") > 0)
+    return good, dlq
+
+
+def _any_null(cols):
+    out = cols[0].isNull()
+    for c in cols[1:]:
+        out = out | c.isNull()
+    return out

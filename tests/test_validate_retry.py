@@ -175,3 +175,32 @@ def test_bad_config_reported(spark, changelog_path):
     cfg = EngineConfig(include_before=IncludeMode.FULL, preimages_enabled=False)
     rep = validate_changelog(spark, changelog_path, cfg)
     assert not rep.ok
+
+
+def test_split_dlq_routes_bad_rows(spark, changelog_path):
+    """Per-row errors.tolerance: rows with null PK / unknown op byte /
+    null coordinates land in the DLQ with ALL violated reasons; good
+    rows pass through schema-identical."""
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_source_connector_spark.validate import split_dlq
+
+    base = spark.read.parquet(changelog_path).limit(20)
+    bad = (
+        base.limit(3)
+        .withColumn("clip_id", F.lit(None).cast("string"))
+        .withColumn("cdc$operation", F.lit(77).cast(base.schema["cdc$operation"].dataType))
+    )
+    mixed = base.unionByName(bad)
+
+    good, dlq = split_dlq(mixed)
+    assert good.schema == mixed.schema
+    assert good.count() == 20
+    rows = dlq.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert set(r["dlq_reasons"]) == {"null_pk", "bad_operation"}
+
+    # a fully healthy changelog yields an empty DLQ
+    g2, d2 = split_dlq(base)
+    assert d2.count() == 0 and g2.count() == 20
