@@ -14,7 +14,11 @@ when windows are empty (ScyllaWorkerTransport.java:58-79).  Here:
 - heartbeat_batches: committed batches that carried no records (offset
   progress without data — K4);
 - streaming_query_summary: throughput + batch-duration percentiles from
-  a StreamingQuery's recentProgress.
+  a StreamingQuery's recentProgress;
+- connector_metrics: the Debezium streaming-metrics MBean attribute set
+  (ScyllaConnectorTask.java:134 registers the stock
+  DefaultChangeEventSourceMetricsFactory), folded driver-only from
+  lineage.
 """
 
 from __future__ import annotations
@@ -68,6 +72,75 @@ def shard_progress(cfg: EngineConfig) -> dict[str, dict]:
             cur["n_records"] += s["n_records"]
             cur["n_batches"] += 1
     return out
+
+
+def connector_metrics(cfg: EngineConfig, *, now_ms: int | None = None) -> dict:
+    """The Debezium streaming-metrics MBean analog, folded from lineage
+    on the driver (no Spark job).
+
+    The reference registers Debezium's stock streaming metrics via
+    DefaultChangeEventSourceMetricsFactory (ScyllaConnectorTask.java:134);
+    the attribute names here are that MBean's, computed from the sink's
+    committed lineage records:
+
+    - TotalNumberOfEventsSeen = emitted + quarantined (everything the
+      sink processed); NumberOfEventsFiltered = quarantined (the audio
+      gate is the engine's event filter);
+    - TotalNumberOfCreate/Update/DeleteEventsSeen from the per-shard
+      per-op tallies the stats pass records (older lineage without the
+      tallies contributes zero — the totals stay sums, never guesses);
+    - MilliSecondsSinceLastEvent = now − last data-carrying commit;
+    - MilliSecondsBehindSource = at that commit, wall clock − the newest
+      source event time it shipped (the consumer-visible replication lag);
+    - LastEvent / SourceEventPosition = the newest change's key and the
+      per-shard high-water marks (SourceInfo.java:32-63 offsets view);
+    - Connected = a committed lineage record exists.
+    """
+    import time as _time
+
+    recs = read_lineage(cfg)
+    if now_ms is None:
+        now_ms = int(_time.time() * 1000)
+    m: dict = {
+        "Connected": bool(recs),
+        "NumberOfCommittedBatches": len(recs),
+        "TotalNumberOfEventsSeen": 0,
+        "NumberOfEventsFiltered": 0,
+        "TotalNumberOfCreateEventsSeen": 0,
+        "TotalNumberOfUpdateEventsSeen": 0,
+        "TotalNumberOfDeleteEventsSeen": 0,
+        "MilliSecondsSinceLastEvent": None,
+        "MilliSecondsBehindSource": None,
+        "LastEvent": None,
+        "SourceEventPosition": {},
+    }
+    last_commit_ms = None
+    last_event_us = None
+    for rec in recs:
+        m["TotalNumberOfEventsSeen"] += rec["n_records"] + rec.get("n_quarantined", 0)
+        m["NumberOfEventsFiltered"] += rec.get("n_quarantined", 0)
+        for s in rec["shards"]:
+            m["TotalNumberOfCreateEventsSeen"] += s.get("n_creates", 0)
+            m["TotalNumberOfUpdateEventsSeen"] += s.get("n_updates", 0)
+            m["TotalNumberOfDeleteEventsSeen"] += s.get("n_deletes", 0)
+        if rec["n_records"] > 0:
+            batch_max_us = max(s["window_end_us"] for s in rec["shards"])
+            if last_event_us is None or batch_max_us >= last_event_us:
+                last_event_us = batch_max_us
+            last_commit_ms = max(last_commit_ms or 0, rec["committed_at_ms"])
+    if last_commit_ms is not None:
+        m["MilliSecondsSinceLastEvent"] = max(now_ms - last_commit_ms, 0)
+        m["MilliSecondsBehindSource"] = max(
+            last_commit_ms - last_event_us // 1000, 0
+        )
+    prog = shard_progress(cfg)
+    m["SourceEventPosition"] = {
+        sid: s["window_end_us"] for sid, s in prog.items()
+    }
+    if prog:
+        newest = max(prog.values(), key=lambda s: s["window_end_us"])
+        m["LastEvent"] = newest["last_change_clip_id"]
+    return m
 
 
 def heartbeat_batches(cfg: EngineConfig) -> list[int]:

@@ -715,6 +715,14 @@ def _write_batch(
                     "`cdc$time_us`",
                 ).alias("last_change_clip_id"),
                 F.count("*").alias("n_records"),
+                # per-op tallies ride the same pruned pass (value.op is a
+                # nested-schema-pruned read) and land in lineage so the
+                # Debezium streaming-metrics analog (metrics.
+                # connector_metrics: TotalNumberOfCreate/Update/Delete
+                # EventsSeen) is a driver-only fold, no rescan
+                F.count(F.when(F.col("value.op") == "c", 1)).alias("n_creates"),
+                F.count(F.when(F.col("value.op") == "u", 1)).alias("n_updates"),
+                F.count(F.when(F.col("value.op") == "d", 1)).alias("n_deletes"),
             )
             .collect()
         )
@@ -751,6 +759,9 @@ def _write_batch(
                     "window_end_us": r["window_end_us"],
                     "last_change_clip_id": r["last_change_clip_id"],
                     "n_records": r["n_records"],
+                    "n_creates": r["n_creates"],
+                    "n_updates": r["n_updates"],
+                    "n_deletes": r["n_deletes"],
                 }
             )
             n += r["n_records"]
@@ -798,6 +809,9 @@ def _write_batch(
                 "window_end_us": r["window_end_us"],
                 "last_change_clip_id": r["last_change_clip_id"],
                 "n_records": r["n_records"],
+                "n_creates": r["n_creates"],
+                "n_updates": r["n_updates"],
+                "n_deletes": r["n_deletes"],
             }
         )
         n += r["n_records"]

@@ -270,6 +270,29 @@ def test_metrics_surface(spark, tmp_root, stream_pdf):
     assert summary["input_rows"] == len(stream_pdf)
     assert summary["batch_ms_p50"] <= summary["batch_ms_max"]
 
+    # Debezium MBean analog: per-op tallies from lineage must equal a
+    # groupBy over the emitted envelopes; lag scalars sane and consistent
+    mb = metrics.connector_metrics(cfg)
+    by_op = {r["op"]: r["n"] for r in (
+        emitted.groupBy(F.col("value.op").alias("op"))
+        .agg(F.count("*").alias("n")).collect()
+    )}
+    assert mb["Connected"] and mb["NumberOfCommittedBatches"] == len(
+        sink_mod.read_lineage(cfg)
+    )
+    assert mb["TotalNumberOfEventsSeen"] == emitted.count()
+    assert mb["NumberOfEventsFiltered"] == 0
+    assert mb["TotalNumberOfCreateEventsSeen"] == by_op.get("c", 0)
+    assert mb["TotalNumberOfUpdateEventsSeen"] == by_op.get("u", 0)
+    assert mb["TotalNumberOfDeleteEventsSeen"] == by_op.get("d", 0)
+    assert mb["MilliSecondsSinceLastEvent"] >= 0
+    # synthetic 2024 event times: the sink committed well after the source
+    assert mb["MilliSecondsBehindSource"] > 0
+    assert set(mb["SourceEventPosition"]) == set(prog)
+    assert mb["LastEvent"] == max(
+        prog.values(), key=lambda s: s["window_end_us"]
+    )["last_change_clip_id"]
+
 
 @pytest.mark.parametrize("mode", ["vectorized", "stateful", TWS])
 def test_late_data_beyond_watermark_dropped(spark, tmp_root, mode):
