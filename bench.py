@@ -466,6 +466,21 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["audio_fingerprinted"] = timed_audio("audio_fingerprint", _fp)
 
+    # 3b2. log-mel/MFCC utterance features over the same postimages
+    # (shared decode + framing with the descriptors; one mel matmul per
+    # distinct sample rate, DCT as one matmul — audio_features.py)
+    def _mel():
+        from scylla_cdc_source_connector_spark.audio_features import (
+            extract_mel_features,
+        )
+
+        post = changelog.where("`cdc$operation` = 9").select(
+            "clip_id", "bytes", "codec", "sr_hz"
+        )
+        return extract_mel_features(post).where("decode_ok").count()
+
+    extra["audio_mel_rows"] = timed_audio("audio_mel", _mel)
+
     # 3c. VAD/silence segmentation over the same postimages (frame-energy
     # cumsum + segmented reductions; see audio_vad.py)
     def _vad():
@@ -596,6 +611,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         )
         for name in (
             "audio_fingerprint",
+            "audio_mel",
             "audio_vad",
             "audio_resample",
             "audio_segment",

@@ -85,6 +85,31 @@ def _decode_concat(raws: list[bytes], codec: str):
     return pcm, lens
 
 
+def _frame_power_spectra(
+    pcm: np.ndarray, starts: np.ndarray, n_samples: np.ndarray
+):
+    """Hann-windowed framing + ONE rFFT for every frame of every clip in
+    a concatenated group.  Returns (n_frames per clip, indices of clips
+    with >=1 frame, frames per such clip, first-frame offsets, power
+    spectra (F, bins) float64) — spec is None when no clip fills a frame.
+    Shared by the spectral-descriptor and log-mel/MFCC paths."""
+    n_frames = np.where(n_samples >= WIN, 1 + (n_samples - WIN) // HOP, 0)
+    total_f = int(n_frames.sum())
+    if total_f == 0:
+        return n_frames, None, None, None, None
+    has = np.flatnonzero(n_frames > 0)
+    reps = n_frames[has]
+    clip_of_frame = np.repeat(np.arange(len(has)), reps)
+    f0 = np.zeros(len(has), dtype=np.int64)
+    np.cumsum(reps[:-1], out=f0[1:])
+    k = np.arange(total_f, dtype=np.int64) - f0[clip_of_frame]
+    fstarts = starts[has][clip_of_frame] + k * HOP
+    frames = pcm[fstarts[:, None] + np.arange(WIN)[None, :]]
+    frames *= _HANN
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (F, bins) float64
+    return n_frames, has, reps, f0, spec
+
+
 def _group_features(pcm: np.ndarray, n_samples: np.ndarray, srs: np.ndarray):
     """Per-clip features for ONE concatenated group.
 
@@ -120,20 +145,9 @@ def _group_features(pcm: np.ndarray, n_samples: np.ndarray, srs: np.ndarray):
         feats["zcr"] = np.zeros(c)
 
     # ---- framing: every frame of every clip, one gather + one rFFT ----
-    n_frames = np.where(n_samples >= WIN, 1 + (n_samples - WIN) // HOP, 0)
-    total_f = int(n_frames.sum())
-    if total_f == 0:
+    n_frames, has, reps, f0, spec = _frame_power_spectra(pcm, starts, n_samples)
+    if spec is None:
         return n_frames, feats
-    has = np.flatnonzero(n_frames > 0)
-    reps = n_frames[has]
-    clip_of_frame = np.repeat(np.arange(len(has)), reps)
-    f0 = np.zeros(len(has), dtype=np.int64)
-    np.cumsum(reps[:-1], out=f0[1:])
-    k = np.arange(total_f, dtype=np.int64) - f0[clip_of_frame]
-    fstarts = starts[has][clip_of_frame] + k * HOP
-    frames = pcm[fstarts[:, None] + np.arange(WIN)[None, :]]
-    frames *= _HANN
-    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (F, bins) float64
 
     # mean power spectrum per clip: (C', bins)
     mean_p = np.add.reduceat(spec, f0, axis=0) / reps[:, None]
@@ -178,13 +192,17 @@ def _group_features(pcm: np.ndarray, n_samples: np.ndarray, srs: np.ndarray):
     return n_frames, feats
 
 
-def _features_one(pdf: pd.DataFrame) -> pd.DataFrame:
-    raw_codecs = ("pcm_s16le", "ulaw", "alaw")
-    n = len(pdf)
-    ok = np.zeros(n, dtype=bool)
-    n_frames = np.zeros(n, dtype=np.int64)
-    out = {k: np.full(n, np.nan) for k in _FEATURE_COLS}
+#: codecs the concat-decode path accepts directly (WAV resolves to one)
+_RAW_CODECS = ("pcm_s16le", "ulaw", "alaw")
 
+
+def _resolve_effective(pdf: pd.DataFrame):
+    """Container/codec resolution shared by every feature path: WAV
+    headers parsed (O(1) Python per WAV row), multi-channel downmixed to
+    mono, undecodable rows marked invalid.  Returns (effective raw bytes
+    list, effective codec array, effective sample-rate array, valid
+    mask)."""
+    n = len(pdf)
     codecs = np.asarray(pdf["codec"].values, dtype=object)
     raws = pdf["bytes"].values
     srs = (
@@ -230,7 +248,7 @@ def _features_one(pdf: pd.DataFrame) -> pd.DataFrame:
     valid = np.fromiter(
         (
             r is not None
-            and c in raw_codecs
+            and c in _RAW_CODECS
             and len(r) > 0
             and sr > 0
             and not (c == "pcm_s16le" and len(r) % 2)
@@ -239,7 +257,16 @@ def _features_one(pdf: pd.DataFrame) -> pd.DataFrame:
         dtype=bool,
         count=n,
     )
-    for codec in raw_codecs:
+    return eff_raw, eff_codec, eff_sr, valid
+
+
+def _features_one(pdf: pd.DataFrame) -> pd.DataFrame:
+    n = len(pdf)
+    ok = np.zeros(n, dtype=bool)
+    n_frames = np.zeros(n, dtype=np.int64)
+    out = {k: np.full(n, np.nan) for k in _FEATURE_COLS}
+    eff_raw, eff_codec, eff_sr, valid = _resolve_effective(pdf)
+    for codec in _RAW_CODECS:
         sel = valid & (eff_codec == codec)
         if not sel.any():
             continue
@@ -275,4 +302,154 @@ def extract_features(df):
     payload column is consumed where it is scanned."""
     return df.select("clip_id", "bytes", "codec", "sr_hz").mapInPandas(
         audio_features_batches, AUDIO_FEATURES_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-mel filterbank + MFCC — the standard ASR/TTS utterance representation
+# --------------------------------------------------------------------------
+#
+# Per clip: the mean log-mel energy vector over frames (n_mels) plus the
+# per-clip mean and standard deviation of the frame MFCCs (DCT-II of the
+# log-mel energies, n_mfcc coefficients) — the classic utterance-level
+# summary used for corpus filtering, clustering, and as the embedding
+# column feeding the near-dup / ANN operators.
+#
+# Same scale shape as the descriptors above: one concat decode per
+# same-codec group, one rFFT for every frame, and the mel projection is
+# ONE matmul per distinct sample rate in the group (the filterbank
+# depends on sr; distinct rates in a corpus are few).  Reference analog:
+# none — the connector never looks inside payload cells; this is the
+# engine-extension feature axis over the input_hint's audio payload.
+
+#: HTK mel scale
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def _mel_weights(sr: int, n_mels: int) -> np.ndarray:
+    """Triangular mel filterbank (n_mels, _N_BINS) for WIN-sample frames
+    at sample rate sr — HTK-style band edges, peak-normalized to 1."""
+    f_max = sr / 2.0
+    edges_hz = _mel_to_hz(np.linspace(0.0, _hz_to_mel(f_max), n_mels + 2))
+    bin_hz = np.arange(_N_BINS, dtype=np.float64) * (sr / WIN)
+    lo, ctr, hi = edges_hz[:-2, None], edges_hz[1:-1, None], edges_hz[2:, None]
+    up = (bin_hz[None, :] - lo) / np.maximum(ctr - lo, 1e-9)
+    down = (hi - bin_hz[None, :]) / np.maximum(hi - ctr, 1e-9)
+    return np.clip(np.minimum(up, down), 0.0, 1.0)
+
+
+def _dct2_ortho(n_out: int, n_in: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (n_out, n_in) — c = M @ log_mel."""
+    k = np.arange(n_out, dtype=np.float64)[:, None]
+    i = np.arange(n_in, dtype=np.float64)[None, :]
+    m = np.cos(np.pi * k * (2 * i + 1) / (2 * n_in)) * np.sqrt(2.0 / n_in)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_LOG_EPS = 1e-10
+
+
+def _group_mel(
+    pcm: np.ndarray,
+    n_samples: np.ndarray,
+    srs: np.ndarray,
+    n_mels: int,
+    n_mfcc: int,
+):
+    """Per-clip (n_frames, log_mel mean, mfcc mean, mfcc std) for one
+    concatenated same-codec group."""
+    c = len(n_samples)
+    starts = np.zeros(c, dtype=np.int64)
+    np.cumsum(n_samples[:-1], out=starts[1:])
+    log_mel = np.full((c, n_mels), np.nan)
+    mfcc_mean = np.full((c, n_mfcc), np.nan)
+    mfcc_std = np.full((c, n_mfcc), np.nan)
+    n_frames, has, reps, f0, spec = _frame_power_spectra(pcm, starts, n_samples)
+    if spec is None:
+        return n_frames, log_mel, mfcc_mean, mfcc_std
+    dct = _dct2_ortho(n_mfcc, n_mels)
+    # mel projection per distinct sample rate: one matmul each
+    srs_has = srs[has]
+    frame_sr = np.repeat(srs_has, reps)
+    mel_frames = np.empty((spec.shape[0], n_mels))
+    for sr in np.unique(srs_has):
+        sel = frame_sr == sr
+        mel_frames[sel] = spec[sel] @ _mel_weights(int(sr), n_mels).T
+    log_frames = np.log(mel_frames + _LOG_EPS)  # (F, n_mels)
+    mfcc_frames = log_frames @ dct.T  # (F, n_mfcc)
+    counts = reps[:, None].astype(np.float64)
+    log_mel[has] = np.add.reduceat(log_frames, f0, axis=0) / counts
+    mu = np.add.reduceat(mfcc_frames, f0, axis=0) / counts
+    mfcc_mean[has] = mu
+    sq = np.add.reduceat(mfcc_frames**2, f0, axis=0) / counts
+    mfcc_std[has] = np.sqrt(np.maximum(sq - mu**2, 0.0))
+    return n_frames, log_mel, mfcc_mean, mfcc_std
+
+
+def _mel_one(pdf: pd.DataFrame, n_mels: int, n_mfcc: int) -> pd.DataFrame:
+    n = len(pdf)
+    ok = np.zeros(n, dtype=bool)
+    n_frames = np.zeros(n, dtype=np.int64)
+    lm = np.full((n, n_mels), np.nan)
+    mm = np.full((n, n_mfcc), np.nan)
+    ms = np.full((n, n_mfcc), np.nan)
+    eff_raw, eff_codec, eff_sr, valid = _resolve_effective(pdf)
+    for codec in _RAW_CODECS:
+        sel = valid & (eff_codec == codec)
+        if not sel.any():
+            continue
+        pos = np.flatnonzero(sel)
+        pcm, lens = _decode_concat([bytes(eff_raw[i]) for i in pos], codec)
+        nf, g_lm, g_mm, g_ms = _group_mel(
+            pcm, lens, eff_sr[pos], n_mels, n_mfcc
+        )
+        n_frames[pos] = nf
+        lm[pos], mm[pos], ms[pos] = g_lm, g_mm, g_ms
+        ok[pos] = True
+
+    def rows(a: np.ndarray) -> list:
+        return [
+            None if np.isnan(r).all() else r.astype(np.float32).tolist()
+            for r in a
+        ]
+
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"].values,
+            "decode_ok": ok,
+            "n_frames": n_frames.astype("int32"),
+            "log_mel": rows(lm),
+            "mfcc_mean": rows(mm),
+            "mfcc_std": rows(ms),
+        }
+    )
+
+
+MEL_FEATURES_SCHEMA = (
+    "clip_id string, decode_ok boolean, n_frames int, "
+    "log_mel array<float>, mfcc_mean array<float>, mfcc_std array<float>"
+)
+
+
+def extract_mel_features(df, *, n_mels: int = 40, n_mfcc: int = 13):
+    """Log-mel + MFCC utterance features per clip:
+    df(clip_id, bytes, codec, sr_hz) -> MEL_FEATURES_SCHEMA.
+
+    One narrow Arrow stage, no shuffle; `mfcc_mean` is directly usable as
+    the `embedding` column for functions.similarity / dedup's ANN and
+    near-dup operators (content-based audio clustering without a model).
+    """
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _mel_one(pdf, n_mels, n_mfcc)
+
+    return df.select("clip_id", "bytes", "codec", "sr_hz").mapInPandas(
+        body, MEL_FEATURES_SCHEMA
     )

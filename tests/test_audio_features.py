@@ -176,3 +176,136 @@ def test_spark_integration(spark):
         abs(got["s1"]["spectral_flatness"] - local["s1"]["spectral_flatness"])
         < 1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# log-mel / MFCC
+# ---------------------------------------------------------------------------
+
+from scylla_cdc_source_connector_spark.audio_features import (  # noqa: E402
+    MEL_FEATURES_SCHEMA,
+    _hz_to_mel,
+    _mel_one,
+    _mel_to_hz,
+    _mel_weights,
+    extract_mel_features,
+)
+
+N_MELS, N_MFCC = 40, 13
+
+
+def _run_mel(rows):
+    out = _mel_one(_pdf(rows), N_MELS, N_MFCC)
+    return {r["clip_id"]: r for _, r in out.iterrows()}
+
+
+def _mel_centers_hz(sr):
+    edges = _mel_to_hz(np.linspace(0.0, _hz_to_mel(sr / 2.0), N_MELS + 2))
+    return edges[1:-1]
+
+
+def test_mel_tone_lands_in_nearest_filter_multi_sr():
+    """A pure tone's energy peaks in the mel filter whose center is
+    nearest the tone, for 8 kHz and 16 kHz clips batched together (the
+    per-sample-rate filterbank split)."""
+    rows = []
+    for sr, f in ((8000, 700.0), (16000, 3000.0)):
+        rows.append(
+            (f"t{sr}", audio.encode(_tone(sr, f, sr=sr), "pcm_s16le"),
+             "pcm_s16le", sr)
+        )
+    r = _run_mel(rows)
+    for sr, f in ((8000, 700.0), (16000, 3000.0)):
+        row = r[f"t{sr}"]
+        assert row["decode_ok"] and row["n_frames"] > 0
+        lm = np.asarray(row["log_mel"])
+        assert len(lm) == N_MELS
+        centers = _mel_centers_hz(sr)
+        peak, nearest = int(np.argmax(lm)), int(np.argmin(np.abs(centers - f)))
+        assert abs(peak - nearest) <= 1, (sr, f, peak, nearest)
+
+
+def test_mel_amplitude_moves_only_c0():
+    """Scaling the waveform by g adds log(g^2) to every log-mel band, so
+    after the orthonormal DCT only coefficient 0 moves — an exact
+    property of log + DCT that pins the whole kernel chain."""
+    rng = np.random.default_rng(11)
+    base = rng.uniform(-0.4, 0.4, SR)
+    loud = np.clip(base * 2.0, -1, 1)
+    rows = [
+        ("soft", audio.encode((base * 32767).astype(np.int16), "pcm_s16le"),
+         "pcm_s16le", SR),
+        ("loud", audio.encode((loud * 32767).astype(np.int16), "pcm_s16le"),
+         "pcm_s16le", SR),
+    ]
+    r = _run_mel(rows)
+    lm_soft = np.asarray(r["soft"]["log_mel"], dtype=np.float64)
+    lm_loud = np.asarray(r["loud"]["log_mel"], dtype=np.float64)
+    shift = lm_loud - lm_soft
+    assert np.allclose(shift, np.log(4.0), atol=0.02)  # log(g^2), g=2
+    mm_soft = np.asarray(r["soft"]["mfcc_mean"], dtype=np.float64)
+    mm_loud = np.asarray(r["loud"]["mfcc_mean"], dtype=np.float64)
+    assert mm_loud[0] > mm_soft[0] + 1.0  # c0 carries the gain
+    assert np.allclose(mm_loud[1:], mm_soft[1:], atol=0.05)
+
+
+def test_mel_filterbank_covers_spectrum():
+    """Filterbank sanity: weights in [0, 1], every filter catches at
+    least one FFT bin at half height (narrow low-mel triangles sampled on
+    the discrete grid peak below 1 — that is expected), wide upper
+    filters peak at ~1, and interior FFT bins are covered by at least one
+    filter (no spectral holes)."""
+    w = _mel_weights(16000, N_MELS)
+    assert w.shape == (N_MELS, WIN // 2 + 1)
+    assert (w >= 0).all() and (w <= 1.0).all()
+    assert (w.max(axis=1) > 0.5).all()
+    # wide upper filters land a bin near the peak (grid quantization only)
+    assert (w[N_MELS // 2 :].max(axis=1) > 0.9).all()
+    interior = w[:, 2:-2].sum(axis=0)
+    assert (interior > 0).all()
+
+
+def test_mel_stereo_wav_and_short_and_invalid():
+    pcm = _tone(SR, 440)
+    left, right = _tone(SR, 440), _tone(SR, 880)
+    inter = np.empty(2 * SR, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    rows = [
+        ("mono", audio.encode(pcm, "pcm_s16le"), "pcm_s16le", SR),
+        ("st", audio.wav_encode(inter, SR, "pcm_s16le", n_channels=2), "wav", 0),
+        ("short", audio.encode(_tone(WIN - 1), "pcm_s16le"), "pcm_s16le", SR),
+        ("opus", b"\x00" * 64, "opus", SR),
+    ]
+    r = _run_mel(rows)
+    assert r["mono"]["decode_ok"] and r["st"]["decode_ok"]
+    # short clip decodes but fills no frame: features are null
+    assert r["short"]["decode_ok"] and r["short"]["n_frames"] == 0
+    assert r["short"]["log_mel"] is None and r["short"]["mfcc_mean"] is None
+    assert not r["opus"]["decode_ok"]
+    # stereo downmix keeps a 440+880 mix: peak within the 400-900 Hz mels
+    lm = np.asarray(r["st"]["log_mel"])
+    centers = _mel_centers_hz(SR)
+    assert 350.0 < centers[int(np.argmax(lm))] < 1000.0
+
+
+def test_mel_spark_integration(spark):
+    """extract_mel_features: schema, no Exchange, values match the local
+    kernel bit-for-bit (same code path through Arrow)."""
+    pcm = _tone(SR, 700)
+    df = spark.createDataFrame(
+        [("m1", bytearray(audio.encode(pcm, "pcm_s16le")), "pcm_s16le", SR),
+         ("m2", None, "pcm_s16le", SR)],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    out = extract_mel_features(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["clip_id"]: r for r in out.collect()}
+    assert got["m1"]["decode_ok"] and not got["m2"]["decode_ok"]
+    local = _run_mel([("m1", audio.encode(pcm, "pcm_s16le"), "pcm_s16le", SR)])
+    assert np.allclose(
+        np.asarray(got["m1"]["mfcc_mean"]),
+        np.asarray(local["m1"]["mfcc_mean"]),
+        atol=1e-6,
+    )
+    assert len(got["m1"]["log_mel"]) == 40 and len(got["m1"]["mfcc_std"]) == 13
