@@ -481,6 +481,20 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["audio_mel_rows"] = timed_audio("audio_mel", _mel)
 
+    # 3b3. pitch/voicing gate over the same postimages (autocorrelation
+    # via one irFFT of the shared power spectra — audio_features.py)
+    def _pitch():
+        from scylla_cdc_source_connector_spark.audio_features import (
+            extract_pitch,
+        )
+
+        post = changelog.where("`cdc$operation` = 9").select(
+            "clip_id", "bytes", "codec", "sr_hz"
+        )
+        return extract_pitch(post).where("decode_ok").count()
+
+    extra["audio_pitch_rows"] = timed_audio("audio_pitch", _pitch)
+
     # 3c. VAD/silence segmentation over the same postimages (frame-energy
     # cumsum + segmented reductions; see audio_vad.py)
     def _vad():
@@ -612,6 +626,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         for name in (
             "audio_fingerprint",
             "audio_mel",
+            "audio_pitch",
             "audio_vad",
             "audio_resample",
             "audio_segment",

@@ -453,3 +453,124 @@ def extract_mel_features(df, *, n_mels: int = 40, n_mfcc: int = 13):
     return df.select("clip_id", "bytes", "codec", "sr_hz").mapInPandas(
         body, MEL_FEATURES_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Pitch (F0) + voicing — the speech-specific quality gate
+# --------------------------------------------------------------------------
+#
+# Frame-level autocorrelation pitch tracking: the power spectra the framing
+# pass already computed ARE the FFT of each frame's circular autocorrelation
+# (Wiener–Khinchin), so per-frame autocorr costs one irFFT — no new framing,
+# no new gather.  Per clip: voiced-frame ratio (normalized autocorr peak >
+# threshold inside the plausible pitch-lag band) and mean/std F0 over voiced
+# frames.  A TTS/ASR corpus gate: voiced_ratio ~ 0 flags noise/music/silence
+# rows, near-zero f0_std flags synthetic monotone speech.
+#
+# Circular (not zero-padded linear) autocorrelation is used deliberately —
+# the peak lag of a periodic signal is unchanged and the shared spectra are
+# reused; the symmetric alias r[N-l] == r[l] caps the search at WIN//2 lags,
+# so the detectable floor is sr/(WIN/2) (31 Hz at 8 kHz, 62 Hz at 16 kHz —
+# below the human pitch floor at telephone rates and at the F0_MIN clamp).
+
+#: plausible speech F0 band (Hz) and the voicing decision threshold
+F0_MIN_HZ, F0_MAX_HZ = 50.0, 400.0
+VOICED_AUTOCORR = 0.5
+
+PITCH_SCHEMA = (
+    "clip_id string, decode_ok boolean, n_frames int, "
+    "voiced_ratio double, f0_mean_hz double, f0_std_hz double"
+)
+
+
+def _group_pitch(pcm: np.ndarray, n_samples: np.ndarray, srs: np.ndarray):
+    """Per-clip (n_frames, voiced_ratio, f0_mean, f0_std) for one
+    concatenated same-codec group."""
+    c = len(n_samples)
+    starts = np.zeros(c, dtype=np.int64)
+    np.cumsum(n_samples[:-1], out=starts[1:])
+    voiced_ratio = np.full(c, np.nan)
+    f0_mean = np.full(c, np.nan)
+    f0_std = np.full(c, np.nan)
+    n_frames, has, reps, f0_off, spec = _frame_power_spectra(
+        pcm, starts, n_samples
+    )
+    if spec is None:
+        return n_frames, voiced_ratio, f0_mean, f0_std
+    # Wiener–Khinchin: circular autocorrelation per frame, one irFFT
+    ac = np.fft.irfft(spec, n=WIN, axis=1)  # (F, WIN)
+    energy = ac[:, 0].copy()
+    energy[energy <= 0] = 1.0
+    ac /= energy[:, None]
+    srs_has = srs[has]
+    frame_sr = np.repeat(srs_has, reps)
+    total_f = ac.shape[0]
+    peak_val = np.zeros(total_f)
+    peak_f0 = np.zeros(total_f)
+    for sr in np.unique(srs_has):
+        sel = frame_sr == sr
+        lag_lo = max(int(np.ceil(sr / F0_MAX_HZ)), 1)
+        lag_hi = min(int(sr / F0_MIN_HZ), WIN // 2)
+        if lag_hi <= lag_lo:
+            continue
+        band = ac[sel, lag_lo : lag_hi + 1]
+        idx = np.argmax(band, axis=1)
+        peak_val[sel] = band[np.arange(band.shape[0]), idx]
+        peak_f0[sel] = sr / (idx + lag_lo).astype(np.float64)
+    voiced = peak_val > VOICED_AUTOCORR
+    counts = reps.astype(np.float64)
+    n_voiced = np.add.reduceat(voiced.astype(np.float64), f0_off)
+    voiced_ratio[has] = n_voiced / counts
+    vf0 = np.where(voiced, peak_f0, 0.0)
+    sum_f0 = np.add.reduceat(vf0, f0_off)
+    sum_f0sq = np.add.reduceat(vf0**2, f0_off)
+    safe_n = np.maximum(n_voiced, 1.0)
+    mu = sum_f0 / safe_n
+    f0_mean[has] = np.where(n_voiced > 0, mu, np.nan)
+    f0_std[has] = np.where(
+        n_voiced > 0, np.sqrt(np.maximum(sum_f0sq / safe_n - mu**2, 0.0)), np.nan
+    )
+    return n_frames, voiced_ratio, f0_mean, f0_std
+
+
+def _pitch_one(pdf: pd.DataFrame) -> pd.DataFrame:
+    n = len(pdf)
+    ok = np.zeros(n, dtype=bool)
+    n_frames = np.zeros(n, dtype=np.int64)
+    vr = np.full(n, np.nan)
+    fm = np.full(n, np.nan)
+    fs = np.full(n, np.nan)
+    eff_raw, eff_codec, eff_sr, valid = _resolve_effective(pdf)
+    for codec in _RAW_CODECS:
+        sel = valid & (eff_codec == codec)
+        if not sel.any():
+            continue
+        pos = np.flatnonzero(sel)
+        pcm, lens = _decode_concat([bytes(eff_raw[i]) for i in pos], codec)
+        nf, g_vr, g_fm, g_fs = _group_pitch(pcm, lens, eff_sr[pos])
+        n_frames[pos] = nf
+        vr[pos], fm[pos], fs[pos] = g_vr, g_fm, g_fs
+        ok[pos] = True
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"].values,
+            "decode_ok": ok,
+            "n_frames": n_frames.astype("int32"),
+            "voiced_ratio": vr,
+            "f0_mean_hz": fm,
+            "f0_std_hz": fs,
+        }
+    )
+
+
+def extract_pitch(df):
+    """Pitch/voicing gate per clip: df(clip_id, bytes, codec, sr_hz) ->
+    PITCH_SCHEMA.  One narrow Arrow stage, no shuffle."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pitch_one(pdf)
+
+    return df.select("clip_id", "bytes", "codec", "sr_hz").mapInPandas(
+        body, PITCH_SCHEMA
+    )

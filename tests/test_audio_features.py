@@ -309,3 +309,89 @@ def test_mel_spark_integration(spark):
         atol=1e-6,
     )
     assert len(got["m1"]["log_mel"]) == 40 and len(got["m1"]["mfcc_std"]) == 13
+
+
+# ---------------------------------------------------------------------------
+# pitch / voicing
+# ---------------------------------------------------------------------------
+
+from scylla_cdc_source_connector_spark.audio_features import (  # noqa: E402
+    _pitch_one,
+    extract_pitch,
+)
+
+
+def _run_pitch(rows):
+    out = _pitch_one(_pdf(rows))
+    return {r["clip_id"]: r for _, r in out.iterrows()}
+
+
+def _pulse_train(n, f0, sr, amp=0.6):
+    """Harmonic-rich periodic signal (speech-like glottal excitation)."""
+    period = int(round(sr / f0))
+    x = np.zeros(n)
+    x[::period] = 1.0
+    # one-pole smoothing so the pulse has energy spread like a formant
+    y = np.empty(n)
+    acc = 0.0
+    for i in range(n):
+        acc = 0.97 * acc + x[i]
+        y[i] = acc
+    y = y - y.mean()
+    y /= np.abs(y).max()
+    return (amp * y * 32767).astype(np.int16)
+
+
+def test_pitch_tone_and_pulse_train_multi_sr():
+    """A sine tracks its own frequency as F0; a 200 Hz pulse train tracks
+    its period; both for 8 k and 16 k clips batched together; std near 0
+    for stationary sources."""
+    rows = [
+        ("sine8", audio.encode(_tone(SR * 2, 220.0), "pcm_s16le"),
+         "pcm_s16le", SR),
+        ("pulse8", audio.encode(_pulse_train(SR * 2, 200.0, SR), "pcm_s16le"),
+         "pcm_s16le", SR),
+        ("sine16", audio.encode(_tone(32000, 330.0, sr=16000), "pcm_s16le"),
+         "pcm_s16le", 16000),
+    ]
+    r = _run_pitch(rows)
+    for cid, want, sr in (
+        ("sine8", 220.0, SR), ("pulse8", 200.0, SR), ("sine16", 330.0, 16000)
+    ):
+        row = r[cid]
+        assert row["decode_ok"] and row["voiced_ratio"] > 0.9, cid
+        # lag quantization: F0 resolution is sr/lag vs sr/(lag±1)
+        lag = round(sr / want)
+        tol = max(sr / (lag - 1) - sr / lag, 3.0)
+        assert abs(row["f0_mean_hz"] - want) < tol + 1e-9, (cid, row["f0_mean_hz"])
+        assert row["f0_std_hz"] < 10.0, cid
+
+
+def test_pitch_noise_unvoiced_and_invalid():
+    rng = np.random.default_rng(3)
+    noise = (rng.uniform(-0.5, 0.5, SR * 2) * 32767).astype(np.int16)
+    rows = [
+        ("noise", audio.encode(noise, "pcm_s16le"), "pcm_s16le", SR),
+        ("short", audio.encode(_tone(WIN - 1), "pcm_s16le"), "pcm_s16le", SR),
+        ("opus", b"\x00" * 64, "opus", SR),
+    ]
+    r = _run_pitch(rows)
+    assert r["noise"]["decode_ok"] and r["noise"]["voiced_ratio"] < 0.3
+    assert r["short"]["decode_ok"] and r["short"]["n_frames"] == 0
+    assert np.isnan(r["short"]["voiced_ratio"])
+    assert not r["opus"]["decode_ok"]
+
+
+def test_pitch_spark_integration(spark):
+    pcm = _tone(SR * 2, 220.0)
+    df = spark.createDataFrame(
+        [("p1", bytearray(audio.encode(pcm, "pcm_s16le")), "pcm_s16le", SR)],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    out = extract_pitch(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    row = out.collect()[0]
+    local = _run_pitch([("p1", audio.encode(pcm, "pcm_s16le"), "pcm_s16le", SR)])
+    assert abs(row["f0_mean_hz"] - local["p1"]["f0_mean_hz"]) < 1e-9
+    assert row["voiced_ratio"] > 0.9
