@@ -1502,9 +1502,16 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the spectral quality features (audio_features.extract_features —
     one batched rFFT per Arrow batch, segmented reduceat aggregation;
     physics pinned by tests/test_audio_features.py): centroid/flatness/
-    voice-band ratio + clipping/DC, 1:1-joined on clip_id."""
+    voice-band ratio + clipping/DC, 1:1-joined on clip_id.  Round 5 also
+    folds in the R128 loudness gate (audio_loudness.extract_loudness —
+    BS.1770-4 K-weighted gated LUFS + 4x-oversampled true peak, spec
+    coefficient table + 997 Hz anchor pinned by
+    tests/test_audio_loudness.py), 1:1-joined on clip_id."""
     from scylla_cdc_source_connector_spark.audio_features import (
         extract_features,
+    )
+    from scylla_cdc_source_connector_spark.audio_loudness import (
+        extract_loudness,
     )
     from scylla_cdc_source_connector_spark.audio_resample import resample_clips
     from scylla_cdc_source_connector_spark.audio_vad import trim_clips
@@ -1564,6 +1571,13 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("clipping_ratio", 4).alias("clipping_ratio"),
         F.round("zcr", 4).alias("zcr"),
     )
+    # R128 loudness over the same WAV-wrapped fixture (metadata only)
+    loud = extract_loudness(df).select(
+        "clip_id",
+        F.col("n_blocks").alias("r128_blocks"),
+        F.round("lufs_integrated", 2).alias("lufs_integrated"),
+        F.round("true_peak_dbtp", 2).alias("true_peak_dbtp"),
+    )
     return (
         out.select(
             "clip_id",
@@ -1576,6 +1590,7 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(res, "clip_id")
         .join(feats, "clip_id")
+        .join(loud, "clip_id")
         .orderBy("clip_id")
     )
 

@@ -495,6 +495,20 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["audio_pitch_rows"] = timed_audio("audio_pitch", _pitch)
 
+    # 3b4. R128 loudness gate over the same postimages (frequency-domain
+    # K-weighted gated LUFS + 4x-oversampled true peak; audio_loudness.py)
+    def _loudness():
+        from scylla_cdc_source_connector_spark.audio_loudness import (
+            extract_loudness,
+        )
+
+        post = changelog.where("`cdc$operation` = 9").select(
+            "clip_id", "bytes", "codec", "sr_hz"
+        )
+        return extract_loudness(post).where("decode_ok").count()
+
+    extra["audio_loudness_rows"] = timed_audio("audio_loudness", _loudness)
+
     # 3c. VAD/silence segmentation over the same postimages (frame-energy
     # cumsum + segmented reductions; see audio_vad.py)
     def _vad():

@@ -1,0 +1,217 @@
+"""R128/BS.1770 loudness (audio_loudness.py): spec-table coefficient
+reproduction, the 997 Hz full-scale anchor, two-stage gating, true-peak
+inter-sample recovery, LRA behavior, batch-boundary safety, and the
+Spark mapInPandas integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from scylla_cdc_source_connector_spark import audio
+from scylla_cdc_source_connector_spark.audio_loudness import (
+    AUDIO_LOUDNESS_SCHEMA,
+    _deman_highpass,
+    _deman_highshelf,
+    _loudness_one,
+    extract_loudness,
+    k_weight_mag2,
+)
+
+SR = 16000
+
+
+def _tone(n, freq, amp, sr=SR, phase=0.0):
+    t = np.arange(n) / sr
+    return (amp * np.sin(2 * np.pi * freq * t + phase) * 32767).astype("<i2")
+
+
+def _pdf(rows):
+    return pd.DataFrame(rows, columns=["clip_id", "bytes", "codec", "sr_hz"])
+
+
+def _run(rows):
+    out = _loudness_one(_pdf(rows))
+    return {r["clip_id"]: r for _, r in out.iterrows()}
+
+
+def test_k_filter_reproduces_bs1770_48k_table():
+    """At 48 kHz the derived biquads must equal the coefficient table
+    printed in BS.1770-4 itself (the pinned public spec vectors)."""
+    b, a = _deman_highshelf(48000.0)
+    np.testing.assert_allclose(
+        b, [1.53512485958697, -2.69169618940638, 1.19839281085285], atol=1e-10
+    )
+    np.testing.assert_allclose(
+        a, [1.0, -1.69065929318241, 0.73248077421585], atol=1e-10
+    )
+    bh, ah = _deman_highpass(48000.0)
+    np.testing.assert_allclose(bh, [1.0, -2.0, 1.0], atol=0)
+    np.testing.assert_allclose(
+        ah, [1.0, -1.99004745483398, 0.99007225036621], atol=1e-10
+    )
+    # the -0.691 LUFS offset is the K-gain at 997 Hz: ~ +0.691 dB at 48k
+    m2 = k_weight_mag2(48000, 48000)
+    assert abs(10 * np.log10(m2[997]) - 0.691) < 0.01
+
+
+@pytest.mark.parametrize("sr", [8000, 16000, 48000])
+def test_full_scale_997hz_anchor(sr):
+    """Full-scale 997 Hz sine reads -3.01 LUFS (the textbook anchor the
+    -0.691 constant exists for), within 0.1 LU at every sample rate."""
+    r = _run([(f"t{sr}", _tone(sr * 5, 997.0, 1.0, sr).tobytes(), "pcm_s16le", sr)])
+    row = r[f"t{sr}"]
+    assert row["decode_ok"] and row["n_blocks"] == 1 + (5 * sr - int(0.4 * sr)) // int(0.1 * sr)
+    assert abs(row["lufs_integrated"] - (-3.01)) < 0.1
+    # steady tone: no loudness range, peak at full scale
+    assert row["lra_lu"] < 0.1
+    assert abs(row["true_peak_dbtp"]) < 0.1
+
+
+def test_level_linearity():
+    """-6.02 dB of amplitude is exactly -6.02 LU of loudness."""
+    r = _run(
+        [
+            ("a", _tone(SR * 3, 997.0, 1.0).tobytes(), "pcm_s16le", SR),
+            ("b", _tone(SR * 3, 997.0, 0.5).tobytes(), "pcm_s16le", SR),
+        ]
+    )
+    assert abs((r["a"]["lufs_integrated"] - r["b"]["lufs_integrated"]) - 6.0206) < 0.05
+
+
+def test_absolute_gate_excludes_silence():
+    """1 s tone + 9 s digital silence: silence blocks fall below the
+    -70 LUFS absolute gate, so integrated loudness stays near the
+    tone-only value instead of averaging the silence in (which would
+    read ~10 dB lower)."""
+    tone = _tone(SR, 997.0, 0.25)
+    padded = np.concatenate([tone, np.zeros(SR * 9, dtype="<i2")])
+    r = _run(
+        [
+            ("padded", padded.tobytes(), "pcm_s16le", SR),
+            ("alone", tone.tobytes(), "pcm_s16le", SR),
+        ]
+    )
+    # boundary-straddling blocks legitimately pull it down ~1 LU
+    assert abs(r["padded"]["lufs_integrated"] - r["alone"]["lufs_integrated"]) < 1.5
+    # full silence: nothing survives the gate
+    s = _run([("sil", np.zeros(SR, dtype="<i2").tobytes(), "pcm_s16le", SR)])
+    assert np.isnan(s["sil"]["lufs_integrated"])
+
+
+def test_relative_gate_excludes_quiet_tail():
+    """Loud tone followed by a tone 30 LU quieter: the quiet half passes
+    the absolute gate but sits >10 LU below the mean, so the relative
+    gate drops it — integrated tracks the loud half."""
+    loud = _tone(SR * 4, 997.0, 0.5)
+    quiet = _tone(SR * 4, 997.0, 0.5 * 10 ** (-30 / 20))
+    r = _run(
+        [
+            ("both", np.concatenate([loud, quiet]).tobytes(), "pcm_s16le", SR),
+            ("loud", loud.tobytes(), "pcm_s16le", SR),
+        ]
+    )
+    assert abs(r["both"]["lufs_integrated"] - r["loud"]["lufs_integrated"]) < 1.0
+
+
+def test_true_peak_recovers_intersample_overshoot():
+    """Sine at sr/4 with phase pi/4: every sample lands at |x| = a/sqrt(2)
+    (sample peak reads 3.01 dB low) but the true peak is a — the 4x
+    oversampler must recover it within 0.2 dB."""
+    a = 0.5
+    pcm = _tone(SR * 2, SR / 4, a, phase=np.pi / 4)
+    r = _run([("tp", pcm.tobytes(), "pcm_s16le", SR)])["tp"]
+    assert abs(pcm).max() / 32767 < a * 0.72  # sample domain really is low
+    assert abs(r["true_peak_dbtp"] - 20 * np.log10(a)) < 0.2
+
+
+def test_lra_spread_vs_steady():
+    """Alternating -10/-30 LU 4 s segments produce a large LRA; a steady
+    tone produces ~0."""
+    seg_loud = _tone(SR * 4, 997.0, 0.3)
+    seg_soft = _tone(SR * 4, 997.0, 0.3 * 10 ** (-15 / 20))
+    prog = np.concatenate([seg_loud, seg_soft, seg_loud, seg_soft])
+    r = _run(
+        [
+            ("prog", prog.tobytes(), "pcm_s16le", SR),
+            ("steady", _tone(SR * 16, 997.0, 0.3).tobytes(), "pcm_s16le", SR),
+        ]
+    )
+    assert r["prog"]["lra_lu"] > 5.0
+    assert r["steady"]["lra_lu"] < 0.1
+    # short clip (< 3 s): LRA undefined, integrated still present
+    s = _run([("short", _tone(SR, 997.0, 0.3).tobytes(), "pcm_s16le", SR)])
+    assert np.isnan(s["short"]["lra_lu"])
+    assert np.isfinite(s["short"]["lufs_integrated"])
+
+
+def test_batch_boundary_no_leakage():
+    """Together == alone for every output (concat segmentation leaks
+    nothing), including a sub-block clip between them."""
+    # fade the sub-block clip's edges: an abrupt cut makes the (correct)
+    # band-limited interpolator ring above the tone amplitude (Gibbs)
+    tiny = _tone(100, 440.0, 0.9).astype(np.float64)
+    ramp = np.minimum(np.arange(100), np.arange(100)[::-1]) / 10.0
+    tiny = (tiny * np.minimum(ramp, 1.0)).astype("<i2")
+    rows = [
+        ("x", _tone(SR * 2, 440.0, 0.4).tobytes(), "pcm_s16le", SR),
+        ("tiny", tiny.tobytes(), "pcm_s16le", SR),
+        ("y", _tone(SR * 2, 997.0, 0.1).tobytes(), "pcm_s16le", SR),
+    ]
+    together = _run(rows)
+    for row in rows:
+        alone = _run([row])[row[0]]
+        for col in ("n_blocks", "lufs_integrated", "lra_lu", "true_peak_dbtp"):
+            a, b = alone[col], together[row[0]][col]
+            assert (pd.isna(a) and pd.isna(b)) or a == b, (row[0], col, a, b)
+    # the sub-block clip: no gating block, but true peak still measured
+    t = together["tiny"]
+    assert t["n_blocks"] == 0 and np.isnan(t["lufs_integrated"])
+    assert abs(t["true_peak_dbtp"] - 20 * np.log10(0.9)) < 0.3
+
+
+def test_containers_codecs_and_invalid_rows():
+    """WAV (incl. stereo downmix) and ulaw inputs run; undecodable rows
+    come back decode_ok=False with NaNs."""
+    mono = _tone(SR * 2, 997.0, 0.5)
+    stereo = np.empty(SR * 4, dtype="<i2")
+    stereo[0::2] = mono
+    stereo[1::2] = mono
+    rows = [
+        ("wav", audio.wav_encode(mono, SR, "pcm_s16le"), "wav", SR),
+        ("wav2", audio.wav_encode(stereo, SR, "pcm_s16le", n_channels=2), "wav", SR),
+        ("ulaw", audio.encode(mono, "ulaw"), "ulaw", SR),
+        ("bad", b"\x01\x02\x03", "opus", SR),
+        ("null", None, "pcm_s16le", SR),
+    ]
+    r = _run(rows)
+    for cid in ("wav", "wav2", "ulaw"):
+        assert r[cid]["decode_ok"]
+        assert abs(r[cid]["lufs_integrated"] - (-9.0)) < 1.0
+    # identical L/R downmixed to mono reads the same as the mono clip
+    assert abs(r["wav"]["lufs_integrated"] - r["wav2"]["lufs_integrated"]) < 0.05
+    for cid in ("bad", "null"):
+        assert not r[cid]["decode_ok"]
+        assert np.isnan(r[cid]["lufs_integrated"])
+
+
+def test_extract_loudness_spark(spark):
+    """End-to-end through mapInPandas: schema, one row per clip, values
+    equal the local kernel's."""
+    rows = [
+        ("s1", _tone(SR * 2, 997.0, 1.0).tobytes(), "pcm_s16le", SR),
+        ("s2", _tone(SR * 2, 997.0, 0.25).tobytes(), "pcm_s16le", SR),
+        ("s3", None, "pcm_s16le", SR),
+    ]
+    df = spark.createDataFrame(
+        _pdf(rows), "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+    out = extract_loudness(df)
+    assert out.schema.simpleString() == (
+        "struct<" + AUDIO_LOUDNESS_SCHEMA.replace(", ", ",").replace(" ", ":") + ">"
+    )
+    got = {r["clip_id"]: r for r in out.collect()}
+    assert len(got) == 3 and not got["s3"]["decode_ok"]
+    assert abs(got["s1"]["lufs_integrated"] - (-3.01)) < 0.1
+    assert abs(got["s2"]["lufs_integrated"] - (-15.05)) < 0.1
