@@ -797,6 +797,26 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["stratified_sample_rows"] = timed("stratified_sample", _sample)
 
+    def _pack():
+        from scylla_cdc_source_connector_spark.plans.sampling import (
+            pack_duration_batches,
+        )
+
+        post = changelog.where("`cdc$operation` = 9").select(
+            "clip_id", "dur_ms"
+        )
+        return (
+            pack_duration_batches(
+                post, budget_ms=30_000, bucket_width_ms=2_000, n_shards=8
+            )
+            .where("pack_flag = 'ok'")
+            .select("pack_key")
+            .distinct()
+            .count()
+        )
+
+    extra["duration_packs"] = timed("pack_duration_batches", _pack)
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "cdc change-events/sec + operator suite wall time",

@@ -126,3 +126,123 @@ def stratified_sample(
         .select(*ids)
     )
     return df.join(picked, on=ids, how="left_semi")
+
+
+def pack_duration_batches(
+    clips: DataFrame,
+    *,
+    budget_ms: int,
+    bucket_width_ms: int = 1_000,
+    max_clips_per_batch: int | None = None,
+    n_shards: int = 1,
+    id_col: str = "clip_id",
+    dur_col: str = "dur_ms",
+) -> DataFrame:
+    """Duration-bucketed batch packing — the training-loader step that
+    turns a clip corpus into fixed-duration-budget batches of
+    near-homogeneous lengths (the "bucket by length, pack to a budget"
+    sampler every ASR/TTS trainer ships; padding waste within a batch is
+    bounded by the bucket width).
+
+    Semantics (all integer arithmetic, so an ANSI-SQL oracle reproduces
+    it bit-for-bit — pinned by tests/test_sampling.py):
+
+      * bucket  = floor((dur-1) / bucket_width_ms)  — linear duration
+        buckets; a batch only mixes clips from one bucket;
+      * capacity = max(1, budget_ms div bucket_upper_edge)  (optionally
+        capped by max_clips_per_batch) — counting against the bucket's
+        UPPER edge makes the budget a hard guarantee: every emitted
+        batch's total duration (even padded to the batch max) is
+        <= budget_ms, with no sequential state;
+      * within (bucket, shard): rows ordered by (dur desc, id) are cut
+        into consecutive groups of `capacity` — pack_key
+        "bucket:shard:k", slot = position within the pack.
+
+    Rows that cannot be packed pass through with pack_key NULL and
+    pack_flag 'oversize' (dur > budget) or 'no_duration' (NULL/<= 0);
+    everything else is 'ok'.
+
+    Scale shape: ONE shuffle — the row_number window over a SLIM
+    (id, dur) projection; payloads never enter the sort (callers join
+    the assignment back by id).  A single bucket holding most of the
+    corpus would skew the window partition; `n_shards > 1` sub-splits
+    every bucket by xxhash64(id) so no window partition exceeds
+    ~corpus/n_shards while each pack stays within one shard (packing is
+    order-free across packs, so sharding changes WHICH clips share a
+    batch, never the budget guarantee).
+
+    Reference analog: none — the connector stops at emitting rows; this
+    is the engine-extension corpus-composition axis next to
+    `stratified_sample`.
+    """
+    if budget_ms <= 0 or bucket_width_ms <= 0:
+        raise ValueError("budget_ms and bucket_width_ms must be positive")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    d = F.col("__dur")
+    flag = (
+        F.when(d.isNull() | (d <= 0), F.lit("no_duration"))
+        .when(d > budget_ms, F.lit("oversize"))
+        .otherwise(F.lit("ok"))
+    )
+    slim = clips.select(
+        F.col(id_col).alias("__id"), F.col(dur_col).cast("long").alias("__dur")
+    ).withColumn("__flag", flag)
+    ok = slim.where(F.col("__flag") == "ok")
+    bucket = F.floor((F.col("__dur") - 1) / bucket_width_ms).cast("long")
+    upper = (bucket + 1) * bucket_width_ms
+    cap = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.lit(int(budget_ms)) / upper).cast("long"),
+    )
+    if max_clips_per_batch is not None:
+        cap = F.least(cap, F.lit(int(max_clips_per_batch)).cast("long"))
+    shard = (
+        F.pmod(F.xxhash64("__id"), F.lit(n_shards)).cast("long")
+        if n_shards > 1
+        else F.lit(0).cast("long")
+    )
+    win = Window.partitionBy("__bucket", "__shard").orderBy(
+        F.col("__dur").desc(), F.col("__id")
+    )
+    packed = (
+        ok.withColumn("__bucket", bucket)
+        .withColumn("__shard", shard)
+        .withColumn("__cap", cap)
+        .withColumn("__rn", F.row_number().over(win).cast("long"))
+        .select(
+            "__id",
+            "__dur",
+            "__flag",
+            "__bucket",
+            "__shard",
+            "__cap",
+            F.concat_ws(
+                ":",
+                F.col("__bucket"),
+                F.col("__shard"),
+                F.floor((F.col("__rn") - 1) / F.col("__cap")).cast("long"),
+            ).alias("__pack"),
+            ((F.col("__rn") - 1) % F.col("__cap")).alias("__slot"),
+        )
+    )
+    rest = slim.where(F.col("__flag") != "ok").select(
+        "__id",
+        "__dur",
+        "__flag",
+        F.lit(None).cast("long").alias("__bucket"),
+        F.lit(None).cast("long").alias("__shard"),
+        F.lit(None).cast("long").alias("__cap"),
+        F.lit(None).cast("string").alias("__pack"),
+        F.lit(None).cast("long").alias("__slot"),
+    )
+    return packed.unionByName(rest).select(
+        F.col("__id").alias(id_col),
+        F.col("__dur").alias(dur_col),
+        F.col("__flag").alias("pack_flag"),
+        F.col("__bucket").alias("bucket"),
+        F.col("__shard").alias("shard"),
+        F.col("__cap").alias("pack_capacity"),
+        F.col("__pack").alias("pack_key"),
+        F.col("__slot").alias("slot"),
+    )

@@ -140,3 +140,152 @@ def test_stratified_payload_not_in_window_sort(spark, corpus):
 
     win = re.search(r"Window .*", plan)
     assert win is not None and "text" not in win.group(0)
+
+
+# ---------------------------------------------------------------------------
+# pack_duration_batches
+# ---------------------------------------------------------------------------
+
+def _pack_fixture(spark, n=400, seed=11):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(f"c{i:04d}", rng.randint(200, 28_000)) for i in range(n)]
+    rows += [("over1", 90_000), ("nodur", 0), ("nulldur", None)]
+    return spark.createDataFrame(rows, "clip_id string, dur_ms int"), rows
+
+
+def test_pack_budget_is_a_hard_guarantee(spark):
+    from scylla_cdc_source_connector_spark.plans.sampling import (
+        pack_duration_batches,
+    )
+
+    df, _ = _pack_fixture(spark)
+    out = pack_duration_batches(df, budget_ms=30_000, bucket_width_ms=2_000)
+    rows = out.collect()
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r["pack_flag"], []).append(r)
+    assert len(by_flag["oversize"]) == 1 and len(by_flag["no_duration"]) == 2
+    assert all(r["pack_key"] is None for r in by_flag["oversize"])
+    packs = {}
+    for r in by_flag["ok"]:
+        packs.setdefault(r["pack_key"], []).append(r)
+    # hard budget: every pack's PADDED cost (n * pack max) fits
+    for key, members in packs.items():
+        durs = [m["dur_ms"] for m in members]
+        assert sum(durs) <= 30_000, (key, durs)
+        assert len(members) * max(durs) <= 30_000, (key, durs)
+        # one bucket per pack: padding waste bounded by bucket width
+        assert max(durs) - min(durs) < 2_000
+        # slots are 0..k-1 within the pack
+        assert sorted(m["slot"] for m in members) == list(range(len(members)))
+    # full packs: per-pack sum >= capacity * bucket lower edge (the
+    # structural floor), and mean utilization is healthy on seeded data
+    full = [
+        members
+        for members in packs.values()
+        if len(members) == members[0]["pack_capacity"]
+    ]
+    assert full
+    for ms in full:
+        lo = ms[0]["bucket"] * 2_000
+        assert sum(m["dur_ms"] for m in ms) >= len(ms) * lo
+    mean_util = sum(sum(m["dur_ms"] for m in ms) for ms in full) / (
+        30_000 * len(full)
+    )
+    assert mean_util > 0.55, mean_util
+
+
+def test_pack_deterministic_and_sharded(spark):
+    from scylla_cdc_source_connector_spark.plans.sampling import (
+        pack_duration_batches,
+    )
+
+    df, _ = _pack_fixture(spark, n=300, seed=5)
+    kw = dict(budget_ms=20_000, bucket_width_ms=1_000, n_shards=4)
+    a = sorted(map(tuple, pack_duration_batches(df, **kw).collect()))
+    b = sorted(map(tuple, pack_duration_batches(df, **kw).collect()))
+    assert a == b
+    ok = [r for r in pack_duration_batches(df, **kw).collect() if r["pack_flag"] == "ok"]
+    # every ok row packed exactly once; shards partition each bucket
+    assert len({r["clip_id"] for r in ok}) == len(ok)
+    packs = {}
+    for r in ok:
+        packs.setdefault(r["pack_key"], []).append(r)
+    for members in packs.values():
+        assert sum(m["dur_ms"] for m in members) <= 20_000
+        assert len({(m["bucket"], m["shard"]) for m in members}) == 1
+    assert len({r["shard"] for r in ok}) == 4
+
+
+def test_pack_max_clips_cap_and_validation(spark):
+    from scylla_cdc_source_connector_spark.plans.sampling import (
+        pack_duration_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(f"c{i}", 100) for i in range(50)], "clip_id string, dur_ms int"
+    )
+    out = pack_duration_batches(
+        df, budget_ms=100_000, bucket_width_ms=1_000, max_clips_per_batch=8
+    ).collect()
+    packs = {}
+    for r in out:
+        packs.setdefault(r["pack_key"], []).append(r)
+    assert max(len(v) for v in packs.values()) == 8
+    with pytest.raises(ValueError):
+        pack_duration_batches(df, budget_ms=0)
+    with pytest.raises(ValueError):
+        pack_duration_batches(df, budget_ms=10, n_shards=0)
+
+
+def test_pack_matches_sql_oracle(spark):
+    """The packing arithmetic is ANSI-SQL-reproducible: duckdb computes
+    the identical assignment (n_shards=1 — the sharded variant differs
+    only by the xxhash64 sub-split, pinned above)."""
+    import duckdb
+
+    from scylla_cdc_source_connector_spark.plans.sampling import (
+        pack_duration_batches,
+    )
+
+    df, rows = _pack_fixture(spark, n=250, seed=23)
+    budget, width = 25_000, 2_000
+    got = sorted(
+        (r["clip_id"], r["pack_flag"], r["pack_key"], r["slot"])
+        for r in pack_duration_batches(
+            df, budget_ms=budget, bucket_width_ms=width
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE clips AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{c}', {d if d is not None else 'NULL'})" for c, d in rows
+        )
+        + ") t(clip_id, dur_ms)"
+    )
+    oracle = con.sql(f"""
+        WITH ok AS (
+          SELECT clip_id, dur_ms,
+                 CAST(FLOOR((dur_ms - 1) / {width}) AS BIGINT) AS bucket
+          FROM clips WHERE dur_ms > 0 AND dur_ms <= {budget}
+        ), r AS (
+          SELECT clip_id, bucket,
+                 GREATEST(1, CAST(FLOOR({budget} / ((bucket + 1) * {width})) AS BIGINT)) AS cap,
+                 ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY dur_ms DESC, clip_id) AS rn
+          FROM ok
+        )
+        SELECT clip_id, 'ok' AS flag,
+               bucket || ':0:' || CAST(FLOOR((rn - 1) / cap) AS BIGINT) AS pack_key,
+               (rn - 1) % cap AS slot
+        FROM r
+        UNION ALL
+        SELECT clip_id,
+               CASE WHEN dur_ms IS NULL OR dur_ms <= 0 THEN 'no_duration'
+                    ELSE 'oversize' END,
+               NULL, NULL
+        FROM clips WHERE dur_ms IS NULL OR dur_ms <= 0 OR dur_ms > {budget}
+    """).fetchall()
+    assert got == sorted(oracle)
