@@ -69,3 +69,75 @@ def flatten_columns(envelopes: DataFrame) -> DataFrame:
                 col = _unwrapped(col, f.dataType)
         new_value_fields.append(col.alias(f.name))
     return envelopes.withColumn("value", F.struct(*new_value_fields))
+
+
+def route_topic_regex(
+    records: DataFrame, regex: str, replacement: str, *, topic_col: str = "topic"
+) -> DataFrame:
+    """Kafka Connect's standard `RegexRouter` SMT as a codegen column
+    rewrite: when the ENTIRE topic matches `regex`, rewrite it with
+    `replacement` ($1-style capture references, Java regex semantics —
+    the same engine Connect uses); otherwise the row passes through
+    unchanged.  Connect matches with `Pattern.matcher(topic).matches()`
+    (whole-string), which the anchored `^(?:...)$` wrapper reproduces.
+
+    Deployment analog: the reference emits `prefix.keyspace.table`
+    topics (`ScyllaTopicSelector.java:12-24`) and its SMT chapter
+    (`/root/reference/README.md:263,1156`) documents chaining Connect
+    transforms downstream — RegexRouter is the stock Connect transform
+    every such chain uses for topic renames; here it composes with
+    `kafka_records` / `extract_new_record_state` on the same DataFrame.
+    Zero shuffle — a projection over whatever plan produced the records.
+    """
+    anchored = f"^(?:{regex})$"
+    t = F.col(topic_col)
+    return records.withColumn(
+        topic_col,
+        F.when(
+            t.rlike(anchored), F.regexp_replace(t, anchored, replacement)
+        ).otherwise(t),
+    )
+
+
+def route_topic_timestamp(
+    records: DataFrame,
+    *,
+    topic_format: str = "${topic}-${timestamp}",
+    timestamp_format: str = "yyyyMMdd",
+    ts_col: str = "value.ts_ms",
+    topic_col: str = "topic",
+) -> DataFrame:
+    """Kafka Connect's `TimestampRouter` SMT: suffix (or otherwise
+    template) the topic with the record timestamp — the standard daily-
+    topic fan-out for retention tiering.  `topic_format` takes the
+    Connect placeholders ${topic} and ${timestamp}; `timestamp_format`
+    is a date pattern applied to the record's epoch-millis timestamp
+    (Connect uses SimpleDateFormat; Spark's date_format covers the same
+    yyyy/MM/dd/HH... fields used in practice).  Rows with a NULL
+    timestamp keep their topic (Connect would NPE; passing through is
+    the streaming-safe choice, documented here).  Zero shuffle.
+    """
+    stamp = F.date_format(
+        F.timestamp_millis(F.col(ts_col).cast("long")), timestamp_format
+    )
+    parts: list = []
+    rest = topic_format
+    while rest:
+        i_t, i_s = rest.find("${topic}"), rest.find("${timestamp}")
+        nxt = min(x for x in (i_t, i_s) if x >= 0) if max(i_t, i_s) >= 0 else -1
+        if nxt < 0:
+            parts.append(F.lit(rest))
+            break
+        if nxt > 0:
+            parts.append(F.lit(rest[:nxt]))
+        if rest[nxt:].startswith("${topic}"):
+            parts.append(F.col(topic_col))
+            rest = rest[nxt + len("${topic}"):]
+        else:
+            parts.append(stamp)
+            rest = rest[nxt + len("${timestamp}"):]
+    routed = F.concat(*parts) if parts else F.col(topic_col)
+    return records.withColumn(
+        topic_col,
+        F.when(F.col(ts_col).isNotNull(), routed).otherwise(F.col(topic_col)),
+    )

@@ -1,0 +1,102 @@
+"""Connect router SMT analogs (operators/smt.py): RegexRouter whole-
+string matching + capture rewrites, TimestampRouter templating, NULL
+safety, and shuffle-free plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scylla_cdc_source_connector_spark.operators.smt import (
+    route_topic_regex,
+    route_topic_timestamp,
+)
+
+
+def _records(spark):
+    rows = [
+        ("prefix.ks.clips", "k1", 1_700_000_000_000),
+        ("prefix.ks.transcripts", "k2", 1_700_086_400_000),
+        ("other.ks.clips", "k3", None),
+    ]
+    return spark.createDataFrame(
+        [(t, k, {"ts_ms": ts}) for t, k, ts in rows],
+        "topic string, key string, value struct<ts_ms: long>",
+    )
+
+
+def test_regex_router_whole_string_and_captures(spark):
+    out = {
+        r["key"]: r["topic"]
+        for r in route_topic_regex(
+            _records(spark), r"prefix\.(.*)", "cdc.$1"
+        ).collect()
+    }
+    assert out["k1"] == "cdc.ks.clips"
+    assert out["k2"] == "cdc.ks.transcripts"
+    # Connect semantics: pattern must match the ENTIRE topic
+    assert out["k3"] == "other.ks.clips"
+    # a substring match alone must not rewrite (anchoring pinned)
+    sub = {
+        r["key"]: r["topic"]
+        for r in route_topic_regex(_records(spark), r"ks", "X").collect()
+    }
+    assert sub["k1"] == "prefix.ks.clips"
+
+
+def test_timestamp_router_template_and_null_ts(spark):
+    out = {
+        r["key"]: r["topic"]
+        for r in route_topic_timestamp(
+            _records(spark),
+            topic_format="${topic}-${timestamp}",
+            timestamp_format="yyyyMMdd",
+        ).collect()
+    }
+    assert out["k1"] == "prefix.ks.clips-20231114"
+    assert out["k2"] == "prefix.ks.transcripts-20231115"
+    # NULL timestamp: row passes through (documented streaming-safe choice)
+    assert out["k3"] == "other.ks.clips"
+    # arbitrary template order / literals
+    out2 = {
+        r["key"]: r["topic"]
+        for r in route_topic_timestamp(
+            _records(spark),
+            topic_format="dt=${timestamp}/t=${topic}",
+            timestamp_format="yyyy-MM-dd",
+        ).collect()
+    }
+    assert out2["k1"] == "dt=2023-11-14/t=prefix.ks.clips"
+
+
+def test_routers_add_no_exchange(spark):
+    df = _records(spark)
+    for routed in (
+        route_topic_regex(df, r"prefix\.(.*)", "cdc.$1"),
+        route_topic_timestamp(df),
+    ):
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_routers_compose_with_extract_smt(spark):
+    """RegexRouter chained after the envelope-unwrap SMT, the standard
+    Connect transform chain shape."""
+    env = spark.createDataFrame(
+        [
+            (
+                "prefix.ks.clips",
+                "k1",
+                {"op": "c", "ts_ms": 1_700_000_000_000, "after": {"clip_id": "a"}},
+            )
+        ],
+        "topic string, key string, "
+        "value struct<op: string, ts_ms: long, after: struct<clip_id: string>>",
+    )
+    from scylla_cdc_source_connector_spark.operators.smt import (
+        extract_new_record_state,
+    )
+
+    flat = extract_new_record_state(env)
+    routed = route_topic_regex(flat, r"prefix\.ks\.(.*)", "train.$1")
+    row = routed.collect()[0]
+    assert row["topic"] == "train.clips" and row["clip_id"] == "a"
