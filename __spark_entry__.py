@@ -404,7 +404,33 @@ def q_iceberg_latest_state_mirror(spark: SparkSession, sf_dir: str) -> DataFrame
     # expired snapshots referenced — the result must be unchanged
     iceberg_meta.compact_table(spark, mir)
     iceberg_meta.expire_snapshots(mir, keep_last=1)
-    return iceberg_meta.read_table(spark, mir).select(
+    # round-5 bootstrap leg: a FRESH consumer backfills op='r' envelopes
+    # from this mirror and hands off to the changelog stream at the
+    # mirror's applied hwm (run_initial_snapshot_then_stream) — every
+    # live mirror row must arrive exactly once
+    from scylla_cdc_source_connector_spark.streaming import sink as sink_mod
+    from scylla_cdc_source_connector_spark.streaming.engine import (
+        run_initial_snapshot_then_stream,
+    )
+
+    cfg_boot = EngineConfig(
+        include_before=IncludeMode.FULL,
+        include_after=IncludeMode.FULL,
+        checkpoint_dir=os.path.join(root, "boot", "ckpt"),
+        output_dir=os.path.join(root, "boot", "out"),
+        lineage_dir=os.path.join(root, "boot", "lineage"),
+    )
+    run_initial_snapshot_then_stream(spark, cfg_boot, mir, loc, n_chunks=4)
+    state = iceberg_meta.read_table(spark, mir)
+    r_rows = (
+        sink_mod.read_emitted(spark, cfg_boot).where("value.op = 'r'").count()
+    )
+    if r_rows != state.count():
+        raise AssertionError(
+            f"bootstrap backfill emitted {r_rows} 'r' rows for "
+            f"{state.count()} live mirror rows"
+        )
+    return state.select(
         "clip_id",
         F.col("__ts_us").alias("last_ts_us"),
         "transcript",

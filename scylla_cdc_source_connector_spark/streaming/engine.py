@@ -380,6 +380,8 @@ def run_iceberg_meta_stream(
     from_timestamp_ms: int | None = None,
     adopt_schema: bool = False,
     partition_ranges: dict[str, tuple] | None = None,
+    from_sequence: int | None = None,
+    source_identity: str | None = None,
 ) -> dict:
     """Drain an Iceberg changelog table WITHOUT the runtime jar.
 
@@ -409,6 +411,14 @@ def run_iceberg_meta_stream(
     are different streams — the partition scope is part of the lineage
     identity, so one EngineConfig cannot alternate between scopes.
 
+    `from_sequence` starts the drain strictly AFTER that snapshot
+    sequence number on every run (fresh or resumed) — the initial-
+    snapshot handoff point (run_initial_snapshot_then_stream): sequences
+    <= from_sequence are already reflected in the backfilled state, so
+    they are part of the stream identity, never re-delivered.
+    `source_identity` overrides the lineage-namespace stamp for callers
+    that compose this drain into a larger stream (same refusal rule).
+
     Returns {"consumed": [snapshot ids run this call],
              "skipped": [snapshot ids already committed],
              "emitted_total": rows in the exactly-once view afterwards,
@@ -428,7 +438,9 @@ def run_iceberg_meta_stream(
             f"{k}=[{lo},{hi}]" for k, (lo, hi) in sorted(partition_ranges.items())
         )
     stamp_source(
-        cfg, f"iceberg_meta:{os.path.abspath(table_location)}{scope}"
+        cfg,
+        source_identity
+        or f"iceberg_meta:{os.path.abspath(table_location)}{scope}",
     )
 
     if adopt_schema:
@@ -452,6 +464,9 @@ def run_iceberg_meta_stream(
         partition_ranges=partition_ranges,
     ):
         bid = b["sequence_number"]
+        if from_sequence is not None and bid <= from_sequence:
+            skipped.append(b["snapshot_id"])
+            continue
         if bid in committed:
             skipped.append(b["snapshot_id"])
             continue
@@ -471,4 +486,226 @@ def run_iceberg_meta_stream(
         "emitted_total": read_emitted(spark, cfg).count(),
         "manifests_skipped": manifests_skipped,
         "files_skipped": files_skipped,
+    }
+
+
+def run_initial_snapshot_then_stream(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    mirror_location: str,
+    changelog_location: str,
+    *,
+    table: TableModel = DEFAULT_TABLE,
+    n_chunks: int = 8,
+    snapshot_streams: int = 8,
+    adopt_schema: bool = False,
+) -> dict:
+    """Initial snapshot + streaming handoff — Debezium's
+    `snapshot.mode=initial` for a changelog whose history has been
+    EXPIRED (the reference connector never snapshots, S6; a fresh
+    consumer of a finite-retention changelog needs this or it simply
+    cannot bootstrap).
+
+    Phase A (snapshot): read the latest-state mirror table
+    (`maintain_latest_state_mirror` output — one live row per key,
+    `_applied` markers recording exactly WHICH changelog snapshot
+    sequence numbers its state reflects) and emit every live row as an
+    op='r' (READ) envelope, in `n_chunks` deterministic key-hash chunks.
+    Each chunk is one idempotent sink batch with a NEGATIVE batch_id
+    (chunk k of n -> k - n, disjoint from snapshot sequence numbers >= 1
+    by construction), so a crash anywhere in the backfill resumes
+    exactly where it stopped — the same lineage-is-the-commit-marker
+    rule as the stream.  'r' rows keep the ORIGINAL change time
+    (the mirror's __ts_us) so downstream last-writer-wins
+    materialization (apply.py) needs no special casing.
+
+    Phase B (stream): run_iceberg_meta_stream(from_sequence=hwm) where
+    hwm = max(mirror `_applied`) — the handoff is EXACT (Iceberg
+    sequence numbers, not a DBLog-style dedup window): every event
+    <= hwm is already inside the snapshot state, everything > hwm
+    streams normally.  If retention expired snapshots BEYOND the
+    mirror's coverage (oldest surviving sequence > hwm + 1) the
+    bootstrap would silently lose changes — refused loudly instead.
+
+    The hwm is pinned in `lineage_dir/_snapshot_phase.json` at first
+    run: a resumed bootstrap keeps its original handoff point even if
+    the mirror advanced meanwhile.  Requires a mirror maintained from an
+    iceberg-meta-path consumer (its `_applied` ids ARE changelog
+    sequence numbers; the file-stream path's 0-based ids are not).
+
+    Scale shape: the mirror read is the pruned jarless `read_table`
+    scan; chunking is a key-hash predicate on that scan (no shuffle to
+    form chunks); each chunk's envelope build is the normal batch
+    pipeline (ONE exchange); 'r' rows spread over `snapshot_streams`
+    synthetic shards so the per-shard ordered write parallelizes.
+    """
+    import json as _json
+    import time as _time
+
+    from scylla_cdc_source_connector_spark.plans.pipeline import cdc_envelopes
+    from scylla_cdc_source_connector_spark.schemas import (
+        OP_POST_IMAGE,
+        OP_ROW_INSERT,
+    )
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta
+    from scylla_cdc_source_connector_spark.streaming.apply import (
+        applied_batch_ids,
+    )
+    from scylla_cdc_source_connector_spark.streaming.sink import (
+        _commit_lineage,
+        _write_batch,
+        lineage_path,
+        read_emitted,
+        stamp_source,
+    )
+
+    if n_chunks < 1:
+        raise ValueError("n_chunks must be >= 1")
+    os.makedirs(cfg.lineage_dir, exist_ok=True)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    # ---- pin the handoff point (fresh start) or reload it (resume) ----
+    marker = os.path.join(cfg.lineage_dir, "_snapshot_phase.json")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            phase = _json.load(fh)
+        if phase["n_chunks"] != n_chunks:
+            raise ValueError(
+                f"bootstrap was started with n_chunks={phase['n_chunks']}; "
+                f"resuming with {n_chunks} would re-chunk the key space"
+            )
+    else:
+        applied = applied_batch_ids(mirror_location)
+        if not applied:
+            raise ValueError(
+                f"mirror {mirror_location} has no _applied markers — "
+                "nothing to snapshot from; run run_iceberg_meta_stream "
+                "directly for a full-history bootstrap"
+            )
+        phase = {
+            "hwm": max(applied),
+            "n_chunks": n_chunks,
+            "mirror": os.path.abspath(mirror_location),
+        }
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(phase, fh)
+        os.replace(tmp, marker)
+    hwm = phase["hwm"]
+
+    identity = (
+        f"iceberg_meta+initial_snapshot:{os.path.abspath(changelog_location)}"
+        f":{phase['mirror']}:hwm={hwm}"
+    )
+    stamp_source(cfg, identity)
+
+    # ---- retention-gap guard: the stream must pick up at hwm + 1 ----
+    surviving = sorted(
+        b["sequence_number"] for b in iceberg_meta.added_files(changelog_location)
+    )
+    newer = [s for s in surviving if s > hwm]
+    if newer and newer[0] > hwm + 1 and hwm + 1 not in surviving:
+        raise ValueError(
+            f"changelog retention gap: mirror state reflects sequences <= "
+            f"{hwm} but the oldest surviving newer snapshot is {newer[0]} — "
+            f"sequences {hwm + 1}..{newer[0] - 1} were expired and are in "
+            "neither the snapshot nor the stream"
+        )
+
+    # ---- phase A: chunked op='r' backfill from the mirror ----
+    pk = table.pk_columns
+    chunk_expr = F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(n_chunks))
+    state = iceberg_meta.read_table(spark, mirror_location)
+    proc_ms = int(_time.time() * 1000)
+    snapshot_chunks_run, snapshot_rows = [], 0
+
+    def _chunk_changelog(rows: DataFrame) -> DataFrame:
+        sub = F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(snapshot_streams))
+        meta_common = [
+            F.concat(F.lit("snapshot-"), sub.cast("string")).alias(
+                "cdc$stream_id"
+            ),
+            F.timestamp_micros(F.col("__ts_us")).alias("cdc$time"),
+            F.col("__ts_us").alias("cdc$time_us"),
+            F.lit(-1).cast("int").alias("generation"),
+        ]
+        base = [F.col(f.name) for f in table.base_fields()]
+        markers = [
+            F.lit(None).cast("boolean").alias(f"cdc$deleted_{c}")
+            for c in table.non_pk_columns
+        ] + [
+            F.lit(None)
+            .cast(table.deleted_elements_type(c))
+            .alias(f"cdc$deleted_elements_{c}")
+            for c in table.collection_columns()
+            if c in table.non_pk_columns
+        ]
+        delta = rows.select(
+            *meta_common,
+            F.lit(OP_ROW_INSERT).cast("int").alias("cdc$operation"),
+            F.lit(1).cast("int").alias("cdc$batch_seq_no"),
+            *base,
+            *markers,
+        )
+        post = rows.select(
+            *meta_common,
+            F.lit(OP_POST_IMAGE).cast("int").alias("cdc$operation"),
+            F.lit(2).cast("int").alias("cdc$batch_seq_no"),
+            *base,
+            *markers,
+        )
+        both = delta.unionByName(post)
+        # exact changelog schema order/nullability
+        return both.select(
+            *[F.col(f"`{f.name}`") for f in table.changelog_schema().fields]
+        )
+
+    for k in range(n_chunks):
+        batch_id = k - n_chunks
+        if os.path.exists(lineage_path(cfg, batch_id)):
+            continue
+        t0 = _time.time()
+        chunk = state.where(chunk_expr == k)
+        env = cdc_envelopes(
+            _chunk_changelog(chunk),
+            cfg,
+            processing_ts_ms=F.lit(proc_ms),
+            table=table,
+        ).withColumn("value", F.col("value").withField("op", F.lit("r")))
+        n, shards, n_quar, n_dups = _write_batch(env, batch_id, cfg, table)
+        _commit_lineage(
+            cfg,
+            batch_id,
+            {
+                "batch_id": batch_id,
+                "phase": "snapshot",
+                "chunk": k,
+                "snapshot_hwm": hwm,
+                "n_records": n,
+                "n_quarantined": n_quar,
+                "n_dup_pairs": n_dups,
+                "shards": shards,
+                "committed_at_ms": int(_time.time() * 1000),
+                "sink_seconds": round(_time.time() - t0, 3),
+            },
+        )
+        snapshot_chunks_run.append(k)
+        snapshot_rows += n
+
+    # ---- phase B: stream strictly after the handoff point ----
+    stream = run_iceberg_meta_stream(
+        spark,
+        cfg,
+        changelog_location,
+        table=table,
+        adopt_schema=adopt_schema,
+        from_sequence=hwm,
+        source_identity=identity,
+    )
+    return {
+        "snapshot_hwm": hwm,
+        "snapshot_chunks_run": snapshot_chunks_run,
+        "snapshot_rows": snapshot_rows,
+        **stream,
+        "emitted_total": read_emitted(spark, cfg).count(),
     }

@@ -2692,3 +2692,132 @@ def test_wap_abandoned_audit_reclaimed(spark, tmp_root):
     assert not os.path.exists(staged)
     got = im.read_table(spark, loc)
     assert got.count() == 30 and got.where("k like 's1%'").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# initial snapshot + streaming handoff (Debezium snapshot.mode=initial)
+# ---------------------------------------------------------------------------
+
+
+def test_initial_snapshot_then_stream(spark, tmp_root, ice_pdf):
+    """Fresh consumer of a changelog whose history was EXPIRED: backfill
+    op='r' envelopes from the latest-state mirror, hand off to the
+    stream exactly at the mirror's applied sequence hwm — materialized
+    state equals a full-history consumer's, idempotent on rerun, and a
+    crash mid-backfill resumes without duplicates."""
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+    from scylla_cdc_source_connector_spark.streaming import apply as apply_mod
+    from scylla_cdc_source_connector_spark.streaming.engine import (
+        run_initial_snapshot_then_stream,
+    )
+
+    loc, _sids = _ice_table(tmp_root, ice_pdf, "ice_boot_src", n_snaps=4)
+    cfg_a = _cfg(tmp_root, "ice_boot_a")
+    run_iceberg_meta_stream(spark, cfg_a, loc)
+    mir = f"{tmp_root}/ice_boot_mirror"
+    im.maintain_latest_state_mirror(spark, cfg_a, mir)
+    hwm_ids = apply_mod.applied_batch_ids(mir)
+    assert max(hwm_ids) == 4
+    mirror_rows = im.read_table(spark, mir).count()
+
+    # second wave: updates + deletes arrive AFTER the mirror's state
+    extra = ice_pdf.iloc[:240].copy()
+    extra["cdc$time"] = extra["cdc$time"] + pd.Timedelta(hours=3)
+    extra["cdc$time_us"] = extra["cdc$time_us"] + 10_800_000_000
+    for i, lo in enumerate(range(0, 240, 120)):
+        p = f"{loc}/data/wave2-{i}.parquet"
+        write_changelog_chunk(extra.iloc[lo : lo + 120], p)
+        im.append_files(loc, [p], timestamp_ms=20_000 + i)
+    # retention: only the new wave survives — full-history replay is gone
+    im.expire_snapshots(loc, keep_last=2)
+    assert len(im.snapshots(loc)) == 2
+
+    # crash mid-backfill: 2nd lineage commit dies; rerun converges
+    cfg_b = _cfg(tmp_root, "ice_boot_b")
+    real_commit = sink_mod._commit_lineage
+    calls = {"n": 0}
+
+    def flaky(cfg, batch_id, rec):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash")
+        real_commit(cfg, batch_id, rec)
+
+    import pytest as _pytest
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(sink_mod, "_commit_lineage", flaky)
+        with _pytest.raises(RuntimeError):
+            run_initial_snapshot_then_stream(
+                spark, cfg_b, mir, loc, n_chunks=3
+            )
+    res = run_initial_snapshot_then_stream(spark, cfg_b, mir, loc, n_chunks=3)
+    assert res["snapshot_hwm"] == 4
+    # chunk 0 committed pre-crash; 1 and 2 ran on resume
+    assert res["snapshot_chunks_run"] == [1, 2]
+    assert res["consumed"] and len(res["consumed"]) == 2
+
+    got = sink_mod.read_emitted(spark, cfg_b)
+    r_rows = got.where("value.op = 'r'")
+    assert r_rows.count() == mirror_rows  # every live row exactly once
+    assert r_rows.select("clip_id").distinct().count() == mirror_rows
+    assert {r[0] for r in r_rows.select("generation").distinct().collect()} == {-1}
+
+    # state parity vs the full-history consumer
+    run_iceberg_meta_stream(spark, cfg_a, loc)  # A drains the new wave too
+    want_t = f"{tmp_root}/ice_boot_want"
+    got_t = f"{tmp_root}/ice_boot_got"
+    apply_mod.materialize_latest(spark, cfg_a, target_dir=want_t)
+    apply_mod.materialize_latest(spark, cfg_b, target_dir=got_t)
+    key = lambda d: {  # noqa: E731
+        (r["clip_id"], r["__ts_us"], r["transcript"])
+        for r in d.select("clip_id", "__ts_us", "transcript").collect()
+    }
+    assert key(apply_mod.read_latest(spark, got_t)) == key(
+        apply_mod.read_latest(spark, want_t)
+    )
+
+    # idempotent rerun: nothing re-snapshotted, nothing re-streamed
+    res2 = run_initial_snapshot_then_stream(spark, cfg_b, mir, loc, n_chunks=3)
+    assert res2["snapshot_chunks_run"] == [] and res2["consumed"] == []
+    assert res2["emitted_total"] == res["emitted_total"]
+    # re-chunking a started bootstrap is refused
+    with pytest.raises(ValueError, match="n_chunks"):
+        run_initial_snapshot_then_stream(spark, cfg_b, mir, loc, n_chunks=5)
+
+
+def test_initial_snapshot_retention_gap_refused(spark, tmp_root):
+    """Expiring snapshots BEYOND the mirror's coverage must fail the
+    bootstrap loudly (those changes are in neither snapshot nor stream),
+    and an empty mirror refuses with a pointer to the full drain."""
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+    from scylla_cdc_source_connector_spark.streaming.engine import (
+        run_initial_snapshot_then_stream,
+    )
+
+    pdf = make_changelog(FixtureSpec(n_events=300, n_clips=60, n_shards=2))
+    loc, _ = _ice_table(tmp_root, pdf, "ice_gap_src", n_snaps=1)
+    cfg_a = _cfg(tmp_root, "ice_gap_a")
+    run_iceberg_meta_stream(spark, cfg_a, loc)
+    mir = f"{tmp_root}/ice_gap_mirror"
+    im.maintain_latest_state_mirror(spark, cfg_a, mir)  # hwm = 1
+
+    extra = pdf.iloc[:100].copy()
+    for i in (0, 1):
+        p = f"{loc}/data/late-{i}.parquet"
+        write_changelog_chunk(extra.iloc[i * 50 : (i + 1) * 50], p)
+        im.append_files(loc, [p], timestamp_ms=30_000 + i)
+    im.expire_snapshots(loc, keep_last=1)  # sequence 2 is gone forever
+
+    cfg_b = _cfg(tmp_root, "ice_gap_b")
+    with pytest.raises(ValueError, match="retention gap"):
+        run_initial_snapshot_then_stream(spark, cfg_b, mir, loc)
+
+    # empty mirror: refuse with guidance
+    cfg_c = _cfg(tmp_root, "ice_gap_c")
+    empty_mir = f"{tmp_root}/ice_gap_empty_mirror"
+    os.makedirs(empty_mir, exist_ok=True)
+    with pytest.raises(ValueError, match="no _applied markers"):
+        run_initial_snapshot_then_stream(spark, cfg_c, empty_mir, loc)
