@@ -60,10 +60,172 @@ def scrub_value_text_fields(
     return env.withColumn("value", value)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Connect JsonConverter schemas.enable envelope
+# ---------------------------------------------------------------------------
+
+
+def connect_schema_json(dt, *, optional: bool = False, name: str | None = None):
+    """Kafka Connect JSON schema (the `schema` half of JsonConverter's
+    schemas.enable=true envelope) for a Spark type — the exact structure
+    `org.apache.kafka.connect.json.JsonConverter.asJsonSchema` emits:
+    primitive `type` strings (int8..int64/float/double/boolean/string/
+    bytes), `array`(items)/`map`(keys,values)/`struct`(fields[{field,
+    ...}]), per-field `optional` from Spark nullability, and the Connect
+    logical names for temporals (Timestamp as int64 epoch-millis, Date
+    as int32 epoch-days).  Returned as a plain dict; kafka_records embeds
+    it as ONE driver-side json literal per DataFrame."""
+    from pyspark.sql import types as T
+
+    prim = {
+        T.ByteType: "int8",
+        T.ShortType: "int16",
+        T.IntegerType: "int32",
+        T.LongType: "int64",
+        T.FloatType: "float",
+        T.DoubleType: "double",
+        T.BooleanType: "boolean",
+        T.StringType: "string",
+        T.BinaryType: "bytes",
+    }
+    out: dict = {}
+    if isinstance(dt, T.StructType):
+        out = {
+            "type": "struct",
+            "fields": [
+                {
+                    "field": f.name,
+                    **connect_schema_json(f.dataType, optional=f.nullable),
+                }
+                for f in dt.fields
+            ],
+        }
+        if name:
+            out["name"] = name
+    elif isinstance(dt, T.ArrayType):
+        out = {
+            "type": "array",
+            "items": connect_schema_json(
+                dt.elementType, optional=dt.containsNull
+            ),
+        }
+    elif isinstance(dt, T.MapType):
+        out = {
+            "type": "map",
+            "keys": connect_schema_json(dt.keyType),
+            "values": connect_schema_json(
+                dt.valueType, optional=dt.valueContainsNull
+            ),
+        }
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        out = {
+            "type": "int64",
+            "name": "org.apache.kafka.connect.data.Timestamp",
+            "version": 1,
+        }
+    elif isinstance(dt, T.DateType):
+        out = {
+            "type": "int32",
+            "name": "org.apache.kafka.connect.data.Date",
+            "version": 1,
+        }
+    elif type(dt) in prim:
+        out = {"type": prim[type(dt)]}
+    elif isinstance(dt, T.DecimalType):
+        out = {
+            "type": "bytes",
+            "name": "org.apache.kafka.connect.data.Decimal",
+            "version": 1,
+            "parameters": {"scale": str(dt.scale)},
+        }
+    else:
+        raise ValueError(f"no Connect JSON schema mapping for {dt!r}")
+    out["optional"] = bool(optional)
+    return out
+
+
+def _connectify(col, dt):
+    """Rewrite temporal leaves to Connect's wire representation BEFORE
+    to_json: Timestamp -> int64 epoch millis, Date -> int32 epoch days
+    (JsonConverter payload values for the logical types above).  Pure
+    column expressions, recursing through struct/array/map."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        if not any(_has_temporal(f.dataType) for f in dt.fields):
+            return col
+        rebuilt = F.struct(
+            *[
+                _connectify(col[f.name], f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+        return F.when(col.isNotNull(), rebuilt)
+    if isinstance(dt, T.ArrayType):
+        if not _has_temporal(dt.elementType):
+            return col
+        return F.transform(col, lambda e: _connectify(e, dt.elementType))
+    if isinstance(dt, T.MapType):
+        if not _has_temporal(dt.valueType):
+            return col
+        return F.map_from_arrays(
+            F.map_keys(col),
+            F.transform(
+                F.map_values(col), lambda v: _connectify(v, dt.valueType)
+            ),
+        )
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_millis(col)
+    if isinstance(dt, T.DateType):
+        return F.datediff(col, F.lit("1970-01-01").cast("date"))
+    return col
+
+
+def _has_temporal(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_temporal(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_temporal(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_temporal(dt.keyType) or _has_temporal(dt.valueType)
+    return False
+
+
+def _schemas_enable_json(col, dt, *, schema_name: str | None):
+    """`{"schema": <constant>, "payload": <to_json(value)>}` — the
+    JsonConverter schemas.enable=true wire format.  The schema half is
+    ONE driver-side literal (it is a function of the DataFrame schema,
+    not of any row); the payload rides the same whole-stage-codegen
+    to_json as the plain format, so enabling schemas costs one concat."""
+    import json as _json
+
+    schema_lit = F.lit(
+        _json.dumps(
+            connect_schema_json(dt, name=schema_name), separators=(",", ":")
+        )
+    )
+    payload = F.to_json(_connectify(col, dt))
+    return F.concat(
+        F.lit('{"schema":'),
+        schema_lit,
+        F.lit(',"payload":'),
+        payload,
+        F.lit("}"),
+    )
+
+
 def kafka_records(
     env: DataFrame,
     *,
     fmt: str = "json",
+    schemas_enable: bool = False,
+    schema_name: str | None = None,
     key_schema_id: int | None = None,
     value_schema_id: int | None = None,
     extra_cols: tuple[str, ...] = (),
@@ -75,7 +237,16 @@ def kafka_records(
 
     Null key structs (kafka-key placement off) serialize to null key
     bytes — a valid Kafka record (log-compaction semantics simply don't
-    apply), matching the Connect converter."""
+    apply), matching the Connect converter.
+
+    schemas_enable=True (fmt="json") wraps key and value in Connect
+    JsonConverter's DEFAULT wire format — {"schema": <connect schema>,
+    "payload": <row json>} with Connect type names, per-field optional
+    flags from Spark nullability, and epoch-number temporals — the shape
+    the reference's plain-JSON ITs assert (README.md:613-750 output
+    samples, ScyllaTypesAllPlainConnectorIT).  The schema half is one
+    driver-side literal; `schema_name` stamps Debezium-style
+    `<prefix>.Key` / `<prefix>.Envelope` names."""
     if fmt not in ("json", "avro"):
         raise ValueError(f"unknown kafka record format: {fmt!r}")
     if pre_serialize is not None:
@@ -83,10 +254,38 @@ def kafka_records(
     key_dt = env.schema["key"].dataType
     value_dt = env.schema["value"].dataType
     if fmt == "json":
-        key_bytes = F.when(
-            F.col("key").isNotNull(), F.encode(F.to_json("key"), "utf-8")
-        )
-        value_bytes = F.encode(F.to_json("value"), "utf-8")
+        if schemas_enable:
+            # Connect JsonConverter's DEFAULT wire format (the shape the
+            # reference's plain-JSON ITs assert, ScyllaTypesAllPlain
+            # ConnectorIT): {"schema": <connect schema>, "payload": ...}
+            key_bytes = F.when(
+                F.col("key").isNotNull(),
+                F.encode(
+                    _schemas_enable_json(
+                        F.col("key"),
+                        key_dt,
+                        schema_name=(
+                            f"{schema_name}.Key" if schema_name else None
+                        ),
+                    ),
+                    "utf-8",
+                ),
+            )
+            value_bytes = F.encode(
+                _schemas_enable_json(
+                    F.col("value"),
+                    value_dt,
+                    schema_name=(
+                        f"{schema_name}.Envelope" if schema_name else None
+                    ),
+                ),
+                "utf-8",
+            )
+        else:
+            key_bytes = F.when(
+                F.col("key").isNotNull(), F.encode(F.to_json("key"), "utf-8")
+            )
+            value_bytes = F.encode(F.to_json("value"), "utf-8")
     else:
         from scylla_cdc_source_connector_spark.functions.avro import (
             to_avro_udf,

@@ -432,3 +432,129 @@ def test_kafka_records_avro_roundtrip(spark, envelopes):
             b = after.get("bytes")
             assert (dafter["bytes"] or None) == (bytes(b) if b is not None else None)
             assert dafter["transcript"] == after["transcript"]
+
+
+def test_kafka_records_schemas_enable(spark, envelopes):
+    """Connect JsonConverter's schemas.enable=true wire format: the
+    {"schema": ..., "payload": ...} envelope with Connect type names,
+    per-field optionality from Spark nullability, temporal logical
+    types as epoch numbers, and base64 bytes — vs the plain format's
+    bare payload."""
+    import json as _json
+
+    from scylla_cdc_source_connector_spark.operators.kafka_records import (
+        connect_schema_json,
+        kafka_records,
+    )
+
+    cfg, env = envelopes
+    rec = kafka_records(
+        env, fmt="json", schemas_enable=True, schema_name="prefix.ks.clips"
+    )
+    plain = kafka_records(env, fmt="json")
+    rows = {  # key bytes -> value json, joined on the key
+        bytes(r["key"]): _json.loads(bytes(r["value"]).decode())
+        for r in rec.limit(20).collect()
+    }
+    assert rows
+    for v in rows.values():
+        assert set(v) == {"schema", "payload"}
+        sch = v["schema"]
+        assert sch["type"] == "struct"
+        assert sch["name"] == "prefix.ks.clips.Envelope"
+        by_field = {f["field"]: f for f in sch["fields"]}
+        assert by_field["op"]["type"] == "string"
+        assert by_field["ts_ms"]["type"] == "int64"
+        after = by_field["after"]
+        assert after["type"] == "struct" and after["optional"] is True
+        a_fields = {f["field"]: f for f in after["fields"]}
+        assert a_fields["bytes"]["type"] == "bytes"
+        assert a_fields["sr_hz"]["type"] == "int32"
+        # optionality mirrors the DataFrame schema's nullability exactly
+        after_dt = env.schema["value"].dataType["after"].dataType
+        for sf in after_dt.fields:
+            assert a_fields[sf.name]["optional"] is sf.nullable
+        # payload values: identical to the plain format's body
+        assert v["payload"]["op"] in ("c", "u", "d")
+
+    # key schema envelope too; payloads match the plain emission 1:1
+    for r in rec.limit(5).collect():
+        k = _json.loads(bytes(r["key"]).decode())
+        assert k["schema"]["name"] == "prefix.ks.clips.Key"
+        assert {f["field"] for f in k["schema"]["fields"]} == {"clip_id"}
+
+    # temporal + decimal + map/array coverage on a constructed struct
+    from pyspark.sql import types as T
+
+    dt = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("d", T.DateType(), True),
+            T.StructField("dec", T.DecimalType(10, 2), True),
+            T.StructField(
+                "m", T.MapType(T.StringType(), T.TimestampType(), True), True
+            ),
+            T.StructField("arr", T.ArrayType(T.IntegerType(), False), True),
+        ]
+    )
+    sch = connect_schema_json(dt)
+    f = {x["field"]: x for x in sch["fields"]}
+    assert f["ts"]["name"] == "org.apache.kafka.connect.data.Timestamp"
+    assert f["ts"]["type"] == "int64"
+    assert f["d"]["type"] == "int32"
+    assert f["dec"]["parameters"] == {"scale": "2"}
+    assert f["m"]["values"]["name"] == "org.apache.kafka.connect.data.Timestamp"
+    assert f["arr"]["items"]["type"] == "int32"
+
+    import datetime as dt_mod
+
+    df = spark.createDataFrame(
+        [
+            (
+                "t",
+                "k",
+                (
+                    dt_mod.datetime(2023, 11, 14, 22, 13, 20),
+                    dt_mod.date(2023, 11, 15),
+                ),
+                None,
+            )
+        ],
+        T.StructType(
+            [
+                T.StructField("topic", T.StringType()),
+                T.StructField("key2", T.StringType()),
+                T.StructField(
+                    "value",
+                    T.StructType(
+                        [
+                            T.StructField("ts", T.TimestampType(), True),
+                            T.StructField("d", T.DateType(), True),
+                        ]
+                    ),
+                ),
+                T.StructField(
+                    "headers",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("k", T.StringType()),
+                                T.StructField("v", T.StringType()),
+                            ]
+                        )
+                    ),
+                    True,
+                ),
+            ]
+        ),
+    ).withColumn("key", F.struct(F.col("key2").alias("id"))).drop("key2")
+    df = (
+        df.withColumn("cdc$stream_id", F.lit("s0"))
+        .withColumn("cdc$time_us", F.lit(0).cast("long"))
+        .withColumn("cdc$batch_seq_no", F.lit(1))
+    )
+    out = kafka_records(df, fmt="json", schemas_enable=True).collect()[0]
+    v = _json.loads(bytes(out["value"]).decode())
+    # Connect wire values: epoch millis / epoch days, NOT ISO strings
+    assert v["payload"]["ts"] == 1_700_000_000_000
+    assert v["payload"]["d"] == 19_676
