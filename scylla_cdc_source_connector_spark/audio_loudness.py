@@ -23,19 +23,20 @@ Implementation notes (all public spec / textbook DSP):
   sample rate come from De Man's published tan-warped re-derivation of
   the spec's 48 kHz table ("Evaluation of implementations of the ITU-R
   BS.1770 loudness algorithm", reproduced bit-for-bit at 48 kHz by a
-  test).  We apply the weighting in
-  the FREQUENCY domain: a gating block's K-weighted mean square equals
-  (by Parseval) the block's power spectrum dotted with |H(w)|^2.  This
-  avoids the sequential IIR recurrence (unvectorizable in numpy) and is
-  exact for content stationary within a 400 ms block; the 997 Hz
-  full-scale sine anchor (-3.01 LUFS) is pinned by tests to 0.1 LU.
+  test).  We apply the weighting in the FREQUENCY domain, once per
+  CLIP: y = irfft(rfft(x_padded) * H) — circular convolution whose wrap
+  the zero-pad tail absorbs (the 38 Hz high-pass's impulse response
+  decays well inside the 0.125 s pad).  This avoids the sequential IIR
+  recurrence (unvectorizable in numpy); every 400 ms gating block's
+  mean square then falls out of one cumsum of y^2 in O(1) per block.
+  The 997 Hz full-scale sine anchor (-3.01 LUFS) is pinned by tests to
+  0.1 LU at 8/16/48 kHz.
 - Short-term (3 s) loudness is composited from the 400 ms block powers
   (mean of the 27 blocks whose 100 ms hops tile the window) — a
   documented approximation with a slight taper at window edges.
-- True peak uses non-overlapping 400 ms coverage blocks with a 32-sample
-  margin on each side (clamped to the clip, zero outside), FFT-zero-pad
-  4x upsampling, max over the interior — so block edges never create
-  wrap-around artifacts and neighbouring clips never leak in.
+- True peak is the BS.1770 Annex-2-shaped 4x polyphase FIR (64-tap
+  Hann-windowed sinc, one np.convolve per row+phase so a row stays in
+  cache across phases), floored at the sample-domain peak.
 
 Reference analog: none — the connector never looks inside payload cells
 (`ScyllaChangesConsumer.java` validates structurally); this is the
@@ -195,10 +196,94 @@ def _gated_mean_db(
     return out
 
 
+def k_filter_complex(sr: int, n_fft: int) -> np.ndarray:
+    """Combined K-weighting complex frequency response H(w) at the rFFT
+    bin frequencies of an n_fft-point transform at sample rate sr — the
+    full-signal filtering form (vs k_weight_mag2's power form)."""
+    w = 2.0 * np.pi * np.arange(n_fft // 2 + 1, dtype=np.float64) / n_fft
+    z1 = np.exp(-1j * w)
+    z2 = z1 * z1
+    bs, as_ = _deman_highshelf(float(sr))
+    bh, ah = _deman_highpass(float(sr))
+    hs = (bs[0] + bs[1] * z1 + bs[2] * z2) / (as_[0] + as_[1] * z1 + as_[2] * z2)
+    hh = (bh[0] + bh[1] * z1 + bh[2] * z2) / (ah[0] + ah[1] * z1 + ah[2] * z2)
+    return hs * hh
+
+
+#: cap on rows x padded-length per stacked FFT chunk (float64 working set
+#: ~32 MB for the matrix)
+_CHUNK_ELEMS = 1 << 22
+
+
+def _fast_fft_len(n: np.ndarray) -> np.ndarray:
+    """Smallest {1,3,5}x2^k >= n (>= 1024) — pocketfft handles radix
+    3/5 efficiently, and allowing them cuts the zero-pad inflation from
+    a worst-case 2x (pure pow2) to ~1.25x."""
+    n = np.maximum(np.asarray(n, dtype=np.int64), 1024)
+    p2 = 1 << np.ceil(np.log2(n)).astype(np.int64)
+    best = p2
+    for mul in (3, 5):
+        cand = mul << np.maximum(
+            np.ceil(np.log2(n / mul)).astype(np.int64), 0
+        )
+        best = np.where((cand >= n) & (cand < best), cand, best)
+    return best
+
+#: 4x polyphase windowed-sinc interpolator for the true-peak meter (the
+#: BS.1770 Annex 2 oversampled-peak shape): 64-tap Hann-windowed sinc,
+#: 4 phases x 16 taps, per-phase DC gain normalized.  Worst-case
+#: passband error vs ideal is ~0.16 dB up to 0.45 fs (pinned by the
+#: sr/4 recovery test).
+_TP_TAPS = 16
+
+
+def _tp_phase_filters() -> np.ndarray:
+    m = np.arange(_TP_OVER * _TP_TAPS)
+    center = (_TP_OVER * _TP_TAPS - 1) / 2.0
+    h = np.sinc((m - center) / _TP_OVER) * np.hanning(_TP_OVER * _TP_TAPS)
+    hp = np.stack([h[p :: _TP_OVER] for p in range(_TP_OVER)], axis=1)
+    return (hp / hp.sum(axis=0, keepdims=True)).astype(np.float32)
+
+
+_TP_HP = _tp_phase_filters()
+
+
+def _true_peak_rows(mat32: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
+    """Per-row 4x-oversampled peak of a float32 (B, <=n) matrix via the
+    polyphase FIR, one `np.convolve` per (row, phase).  The per-ROW loop
+    is deliberate: a row (~10k samples, ~40 kB) stays in L1/L2 across
+    the 4 phase convolutions, so the corpus crosses DRAM once — the
+    matrix-wide formulations (sliding-window matmul: 16x materialized
+    copy; 64 shifted multiply-add passes; zero-padded-spectrum irfft:
+    4x the base FFT) each re-stream the whole corpus several times and
+    measured 3-25x slower under 32-way worker parallelism."""
+    B = mat32.shape[0]
+    out = np.empty(B, dtype=np.float64)
+    for r in range(B):
+        x = mat32[r, : max(int(n_valid[r]), 1) + _TP_TAPS]
+        m = np.abs(x).max()
+        if len(x) >= _TP_TAPS:
+            for p in range(_TP_OVER):
+                y = np.convolve(x, _TP_HP[:, p], mode="valid")
+                m = max(m, np.abs(y).max())
+        out[r] = m
+    return out
+
+
 def _group_loudness(pcm: np.ndarray, n_samples: np.ndarray, srs: np.ndarray):
     """Per-clip (n_blocks, lufs_integrated, lra_lu, true_peak_dbtp) for
-    ONE concatenated same-codec group; framing is per distinct sample
-    rate (block length depends on sr)."""
+    ONE concatenated same-codec group.
+
+    Shape: clips are bucketed by next-pow2 padded length per sample rate
+    and stacked, then per bucket-chunk: ONE rfft, K-filter applied in
+    the frequency domain (full-signal filtering — no per-block FFTs, no
+    75 %-overlap data expansion), ONE irfft back, and every 400 ms
+    gating-block mean square falls out of a row-wise cumsum of y^2 in
+    O(1) per block.  True peak is the Annex-2-shaped polyphase FIR as
+    streaming shifted adds in float32 (_true_peak_rows) — no second FFT
+    pass.  The first cut of this kernel did per-block non-pow2 rFFTs
+    over 4x-overlapped gathers + a 4x irfft per coverage block; this
+    shape measured ~5x faster on the bench corpus (see BENCH notes)."""
     c = len(n_samples)
     starts = np.zeros(c, dtype=np.int64)
     np.cumsum(n_samples[:-1], out=starts[1:])
@@ -213,10 +298,43 @@ def _group_loudness(pcm: np.ndarray, n_samples: np.ndarray, srs: np.ndarray):
         hop = int(round(_HOP_S * sr))
         ns = n_samples[idx]
         st0 = starts[idx]
-
-        # ---- gating blocks: 400 ms, 75 % overlap, one rFFT ----
         nb = np.where(ns >= N, 1 + (ns - N) // hop, 0)
         n_blocks[idx] = nb
+
+        # ---- bucket by padded fast FFT length, chunk rows for memory ----
+        pad = max(_TP_PAD, int(0.125 * sr))  # HP-filter circular-wrap tail
+        Ls = _fast_fft_len(ns + pad)
+        z_per_clip: list = [None] * len(idx)  # per-clip gating-block powers
+        for L in np.unique(Ls):
+            sub = np.flatnonzero(Ls == L)
+            max_rows = max(1, _CHUNK_ELEMS // int(L))
+            h_cplx = k_filter_complex(int(sr), int(L))
+            for lo in range(0, len(sub), max_rows):
+                rows = sub[lo : lo + max_rows]
+                B = len(rows)
+                n_max = int(ns[rows].max())
+                mat = np.zeros((B, int(L)))
+                for r, j in enumerate(rows):
+                    mat[r, : ns[j]] = pcm[st0[j] : st0[j] + ns[j]]
+                X = np.fft.rfft(mat, axis=1)
+                y = np.fft.irfft(X * h_cplx, n=int(L), axis=1)[:, :n_max]
+                cs = np.cumsum(y * y, axis=1)
+                # block sum = cs[end] - cs[start-1]; O(1) per block
+                for r, j in enumerate(rows):
+                    if nb[j] > 0:
+                        bst = np.arange(nb[j], dtype=np.int64) * hop
+                        ends = bst + N - 1
+                        sums = cs[r, ends]
+                        nz = bst > 0
+                        sums = sums - np.where(nz, cs[r, np.maximum(bst - 1, 0)], 0.0)
+                        z_per_clip[j] = sums / N
+                # ---- true peak: per-row polyphase FIR (float32) ----
+                tp_lin = _true_peak_rows(
+                    mat[:, : n_max + _TP_TAPS].astype(np.float32), ns[rows]
+                )
+                tp[idx[rows]] = 20.0 * np.log10(np.maximum(tp_lin, 1e-12))
+
+        # ---- gating + LRA over the collected per-clip block powers ----
         total_b = int(nb.sum())
         if total_b > 0:
             has = np.flatnonzero(nb > 0)
@@ -224,11 +342,7 @@ def _group_loudness(pcm: np.ndarray, n_samples: np.ndarray, srs: np.ndarray):
             blk_of = np.repeat(np.arange(len(has)), reps)
             b0 = np.zeros(len(has), dtype=np.int64)
             np.cumsum(reps[:-1], out=b0[1:])
-            k = np.arange(total_b, dtype=np.int64) - b0[blk_of]
-            bstarts = st0[has][blk_of] + k * hop
-            blocks = pcm[bstarts[:, None] + np.arange(N)[None, :]]
-            spec = np.abs(np.fft.rfft(blocks, axis=1)) ** 2
-            z = spec @ _parseval_weights(int(sr), N) / float(N) ** 2
+            z = np.concatenate([z_per_clip[j] for j in has])
             with np.errstate(divide="ignore"):
                 l_db = _LUFS_OFFSET + 10.0 * np.log10(
                     np.maximum(z, 1e-30)
@@ -275,32 +389,6 @@ def _group_loudness(pcm: np.ndarray, n_samples: np.ndarray, srs: np.ndarray):
                 p95 = _segment_percentile(sorted_l, s0, kept_cnt, 0.95)
                 p10 = _segment_percentile(sorted_l, s0, kept_cnt, 0.10)
                 lra[idx[has]] = p95 - p10
-
-        # ---- true peak: non-overlapping coverage blocks, 4x FFT ----
-        ntp = np.maximum((ns + N - 1) // N, (ns > 0).astype(np.int64))
-        total_t = int(ntp.sum())
-        if total_t > 0:
-            hast = np.flatnonzero(ntp > 0)
-            repst = ntp[hast]
-            t_of = np.repeat(np.arange(len(hast)), repst)
-            t0 = np.zeros(len(hast), dtype=np.int64)
-            np.cumsum(repst[:-1], out=t0[1:])
-            kb = np.arange(total_t, dtype=np.int64) - t0[t_of]
-            M = N + 2 * _TP_PAD
-            rel = kb[:, None] * N - _TP_PAD + np.arange(M)[None, :]
-            absi = st0[hast][t_of][:, None] + rel
-            inside = (rel >= 0) & (rel < ns[hast][t_of][:, None])
-            gathered = pcm[np.clip(absi, 0, len(pcm) - 1)] * inside
-            X = np.fft.rfft(gathered, axis=1)
-            up = np.fft.irfft(X, n=_TP_OVER * M, axis=1) * _TP_OVER
-            interior = up[:, _TP_OVER * _TP_PAD : _TP_OVER * (_TP_PAD + N)]
-            blk_peak = np.abs(interior).max(axis=1)
-            clip_peak = np.maximum.reduceat(blk_peak, t0)
-            # never report below the sample-domain peak (reduceat is per
-            # clip of the WHOLE group; select this sr's clips after)
-            samp_peak = np.maximum.reduceat(np.abs(pcm), starts)[idx][hast]
-            peak = np.maximum(clip_peak, samp_peak)
-            tp[idx[hast]] = 20.0 * np.log10(np.maximum(peak, 1e-12))
 
     return n_blocks, lufs, lra, tp
 
