@@ -36,23 +36,74 @@ def _unwrapped(col: Column, struct_type: T.StructType) -> Column:
 
 
 def extract_new_record_state(
-    envelopes: DataFrame, *, drop_tombstones: bool = True
+    envelopes: DataFrame,
+    *,
+    drop_tombstones: bool = True,
+    delete_handling: str = "drop",
+    add_fields: tuple[str, ...] = (),
+    add_headers: tuple[str, ...] = (),
 ) -> DataFrame:
     """Envelope rows → flat new-state rows (one column per base column).
-    Cell structs are unwrapped; deletes → tombstone rows (all non-key
-    columns null) or dropped."""
+    Cell structs are unwrapped.
+
+    The underlying Debezium transform's standard options (the reference
+    calls `io.debezium.transforms.ExtractNewRecordState` underneath,
+    `transforms/ScyllaExtractNewRecordState.java:74-117`):
+
+    - `drop_tombstones` / `delete_handling` — what happens to op='d'
+      envelopes (one envelope here covers Debezium's delete-record +
+      tombstone pair): "drop" removes them, "none" keeps them as rows
+      with all non-key columns null, "rewrite" keeps them AND adds a
+      `__deleted` string column ("true"/"false" — Debezium's rewrite
+      marker is a string, not a boolean).
+    - `add_fields` — copy envelope metadata into the flat record as
+      `__`-prefixed columns: each entry is an envelope value field path
+      ("op", "ts_ms", "source.ts_ms") with an optional ":alias" rename
+      ("op:operation" -> column `__operation`); dots become underscores
+      (`__source_ts_ms`), exactly Debezium's naming.
+    - `add_headers` — same paths, but emitted as a Kafka `headers`
+      array<struct<key,value>> column (values stringified), composing
+      with kafka_records' header serialization.
+    """
+    if delete_handling not in ("drop", "none", "rewrite"):
+        raise ValueError(f"unknown delete_handling: {delete_handling!r}")
     after_t = None
     for f in envelopes.schema["value"].dataType.fields:
         if f.name == "after":
             after_t = f.dataType
+
+    def _meta(spec: str):
+        path, _, alias = spec.partition(":")
+        name = "__" + (alias or path.replace(".", "_"))
+        return F.col(f"value.{path}"), name
+
     out_cols = [F.col("topic"), F.col("key"), F.col("value.op").alias("op")]
     for f in after_t.fields:
         src = F.col(f"value.after.{f.name}")
         if _is_cell(f.dataType):
             src = src["value"]
         out_cols.append(src.alias(f.name))
+    out_cols += [col.alias(name) for col, name in map(_meta, add_fields)]
+    if add_headers:
+        out_cols.append(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("key"),
+                        col.cast("string").alias("value"),
+                    )
+                    for col, name in map(_meta, add_headers)
+                ]
+            ).alias("headers")
+        )
+    if delete_handling == "rewrite":
+        out_cols.append(
+            F.when(F.col("value.op") == "d", F.lit("true"))
+            .otherwise(F.lit("false"))
+            .alias("__deleted")
+        )
     out = envelopes.select(*out_cols)
-    if drop_tombstones:
+    if drop_tombstones and delete_handling == "drop":
         out = out.filter(F.col("op") != "d")
     return out.drop("op")
 

@@ -100,3 +100,80 @@ def test_routers_compose_with_extract_smt(spark):
     routed = route_topic_regex(flat, r"prefix\.ks\.(.*)", "train.$1")
     row = routed.collect()[0]
     assert row["topic"] == "train.clips" and row["clip_id"] == "a"
+
+
+def _env_with_delete(spark):
+    return spark.createDataFrame(
+        [
+            (
+                "t",
+                "k1",
+                {
+                    "op": "c",
+                    "ts_ms": 5,
+                    "source": {"ts_ms": 3},
+                    "after": {"clip_id": "a", "transcript": "hi"},
+                },
+            ),
+            (
+                "t",
+                "k2",
+                {
+                    "op": "d",
+                    "ts_ms": 9,
+                    "source": {"ts_ms": 7},
+                    "after": None,
+                },
+            ),
+        ],
+        "topic string, key string, value struct<op: string, ts_ms: long, "
+        "source: struct<ts_ms: long>, "
+        "after: struct<clip_id: string, transcript: string>>",
+    )
+
+
+def test_extract_delete_handling_modes(spark):
+    from scylla_cdc_source_connector_spark.operators.smt import (
+        extract_new_record_state,
+    )
+
+    env = _env_with_delete(spark)
+    # drop (default): delete rows removed
+    assert extract_new_record_state(env).count() == 1
+    # none: kept as null-filled rows, no marker column
+    kept = extract_new_record_state(env, delete_handling="none")
+    assert kept.count() == 2 and "__deleted" not in kept.columns
+    # rewrite: kept + Debezium's STRING __deleted marker
+    rw = {
+        r["key"]: r
+        for r in extract_new_record_state(
+            env, delete_handling="rewrite"
+        ).collect()
+    }
+    assert rw["k1"]["__deleted"] == "false" and rw["k1"]["clip_id"] == "a"
+    assert rw["k2"]["__deleted"] == "true" and rw["k2"]["clip_id"] is None
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        extract_new_record_state(env, delete_handling="bogus")
+
+
+def test_extract_add_fields_and_headers(spark):
+    from scylla_cdc_source_connector_spark.operators.smt import (
+        extract_new_record_state,
+    )
+
+    env = _env_with_delete(spark)
+    out = extract_new_record_state(
+        env,
+        add_fields=("op:operation", "ts_ms", "source.ts_ms"),
+        add_headers=("op",),
+        delete_handling="rewrite",
+    )
+    rows = {r["key"]: r for r in out.collect()}
+    r1 = rows["k1"]
+    # Debezium naming: __<alias>, dots -> underscores
+    assert r1["__operation"] == "c" and r1["__ts_ms"] == 5
+    assert r1["__source_ts_ms"] == 3
+    assert r1["headers"][0]["key"] == "__op" and r1["headers"][0]["value"] == "c"
+    assert rows["k2"]["__operation"] == "d" and rows["k2"]["__deleted"] == "true"
