@@ -488,3 +488,47 @@ def read_kafka_records(spark, cfg):
             "`cdc$batch_seq_no` int",
         )
     return spark.read.parquet(*paths)
+
+
+def heartbeat_kafka_records(spark, cfg) -> DataFrame:
+    """The engine's heartbeat records (streaming/sink.py `_heartbeat`
+    dirs) as wire-ready Kafka rows on Debezium's heartbeat topic —
+    `__debezium-heartbeat.<topic.prefix>` with the server name as the
+    JSON key and a `{ts_ms}` value (io.debezium.heartbeat.Heartbeat's
+    record shape; the reference inherits `heartbeat.interval.ms` from
+    Debezium, `ScyllaConnectorConfig.java:350-363`).  Extra progress
+    metadata (shard, generation, window_end_us, batch_id) rides Kafka
+    headers so a monitoring consumer needs no payload parse.  Pure
+    projection over the heartbeat parquet — zero exchange; same
+    at-least-once delivery class as Debezium's heartbeat topic."""
+    from scylla_cdc_source_connector_spark.streaming.sink import (
+        read_heartbeats,
+    )
+
+    hb = read_heartbeats(spark, cfg)
+    server = cfg.topic_prefix
+    key_json = F.to_json(F.struct(F.lit(server).alias("serverName")))
+    value_json = F.to_json(
+        F.struct(F.col("committed_at_ms").alias("ts_ms"))
+    )
+    headers = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("key"),
+                F.encode(F.col(src).cast("string"), "utf-8").alias("value"),
+            )
+            for name, src in (
+                ("shard_id", "shard_id"),
+                ("generation", "generation"),
+                ("window_end_us", "window_end_us"),
+                ("batch_id", "batch_id"),
+                ("n_records", "n_records"),
+            )
+        ]
+    )
+    return hb.select(
+        F.lit(f"__debezium-heartbeat.{server}").alias("topic"),
+        F.encode(key_json, "utf-8").alias("key"),
+        F.encode(value_json, "utf-8").alias("value"),
+        headers.alias("headers"),
+    )

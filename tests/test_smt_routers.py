@@ -177,3 +177,56 @@ def test_extract_add_fields_and_headers(spark):
     assert r1["__source_ts_ms"] == 3
     assert r1["headers"][0]["key"] == "__op" and r1["headers"][0]["value"] == "c"
     assert rows["k2"]["__operation"] == "d" and rows["k2"]["__deleted"] == "true"
+
+
+def test_heartbeat_kafka_records(spark, tmp_path):
+    """Heartbeat parquet -> Debezium heartbeat-topic wire rows: topic
+    __debezium-heartbeat.<prefix>, serverName key, {ts_ms} value,
+    progress metadata in headers."""
+    import json as _json
+    import os
+
+    from scylla_cdc_source_connector_spark.config import (
+        EngineConfig,
+        IncludeMode,
+    )
+    from scylla_cdc_source_connector_spark.operators.kafka_records import (
+        heartbeat_kafka_records,
+    )
+    from scylla_cdc_source_connector_spark.streaming.sink import (
+        HEARTBEAT_SCHEMA,
+    )
+
+    cfg = EngineConfig(
+        include_before=IncludeMode.FULL,
+        include_after=IncludeMode.FULL,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_dir=str(tmp_path / "out"),
+        lineage_dir=str(tmp_path / "lineage"),
+    )
+    hb_dir = os.path.join(cfg.output_dir, "_heartbeat", "batch_id=3")
+    spark.createDataFrame(
+        [("cdc.ks.clips", "s-1", 0, 123_456, 3, 42, 1_700_000_000_000)],
+        HEARTBEAT_SCHEMA,
+    ).write.mode("overwrite").parquet(hb_dir)
+    rows = heartbeat_kafka_records(spark, cfg).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["topic"] == "__debezium-heartbeat.cdc"
+    assert _json.loads(bytes(r["key"]).decode()) == {"serverName": "cdc"}
+    assert _json.loads(bytes(r["value"]).decode()) == {
+        "ts_ms": 1_700_000_000_000
+    }
+    hdrs = {h["key"]: bytes(h["value"]).decode() for h in r["headers"]}
+    assert hdrs["shard_id"] == "s-1" and hdrs["batch_id"] == "3"
+    # empty heartbeat dir: empty wire stream, stable schema
+    cfg2 = EngineConfig(
+        include_before=IncludeMode.FULL,
+        include_after=IncludeMode.FULL,
+        checkpoint_dir=str(tmp_path / "c2"),
+        output_dir=str(tmp_path / "o2"),
+        lineage_dir=str(tmp_path / "l2"),
+    )
+    empty = heartbeat_kafka_records(spark, cfg2)
+    assert empty.count() == 0
+    assert [c for c in empty.columns] == ["topic", "key", "value", "headers"]
