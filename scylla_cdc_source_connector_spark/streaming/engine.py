@@ -619,47 +619,6 @@ def run_initial_snapshot_then_stream(
     proc_ms = int(_time.time() * 1000)
     snapshot_chunks_run, snapshot_rows = [], 0
 
-    def _chunk_changelog(rows: DataFrame) -> DataFrame:
-        sub = F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(snapshot_streams))
-        meta_common = [
-            F.concat(F.lit("snapshot-"), sub.cast("string")).alias(
-                "cdc$stream_id"
-            ),
-            F.timestamp_micros(F.col("__ts_us")).alias("cdc$time"),
-            F.col("__ts_us").alias("cdc$time_us"),
-            F.lit(-1).cast("int").alias("generation"),
-        ]
-        base = [F.col(f.name) for f in table.base_fields()]
-        markers = [
-            F.lit(None).cast("boolean").alias(f"cdc$deleted_{c}")
-            for c in table.non_pk_columns
-        ] + [
-            F.lit(None)
-            .cast(table.deleted_elements_type(c))
-            .alias(f"cdc$deleted_elements_{c}")
-            for c in table.collection_columns()
-            if c in table.non_pk_columns
-        ]
-        delta = rows.select(
-            *meta_common,
-            F.lit(OP_ROW_INSERT).cast("int").alias("cdc$operation"),
-            F.lit(1).cast("int").alias("cdc$batch_seq_no"),
-            *base,
-            *markers,
-        )
-        post = rows.select(
-            *meta_common,
-            F.lit(OP_POST_IMAGE).cast("int").alias("cdc$operation"),
-            F.lit(2).cast("int").alias("cdc$batch_seq_no"),
-            *base,
-            *markers,
-        )
-        both = delta.unionByName(post)
-        # exact changelog schema order/nullability
-        return both.select(
-            *[F.col(f"`{f.name}`") for f in table.changelog_schema().fields]
-        )
-
     for k in range(n_chunks):
         batch_id = k - n_chunks
         if os.path.exists(lineage_path(cfg, batch_id)):
@@ -667,7 +626,7 @@ def run_initial_snapshot_then_stream(
         t0 = _time.time()
         chunk = state.where(chunk_expr == k)
         env = cdc_envelopes(
-            _chunk_changelog(chunk),
+            _snapshot_changelog_rows(chunk, table, snapshot_streams),
             cfg,
             processing_ts_ms=F.lit(proc_ms),
             table=table,
@@ -708,4 +667,193 @@ def run_initial_snapshot_then_stream(
         "snapshot_rows": snapshot_rows,
         **stream,
         "emitted_total": read_emitted(spark, cfg).count(),
+    }
+
+
+def _snapshot_changelog_rows(
+    rows: DataFrame,
+    table: TableModel,
+    snapshot_streams: int,
+    *,
+    stream_prefix: str = "snapshot",
+) -> DataFrame:
+    """Latest-state rows (pk cols + __ts_us + image cols) -> synthetic
+    changelog rows: one INSERT delta + one POST_IMAGE per key at the
+    ORIGINAL change time, spread across `snapshot_streams` synthetic
+    shards, in the exact changelog schema — complete under any include
+    mode (shared by the initial-snapshot bootstrap and the ad-hoc
+    re-snapshot)."""
+    from scylla_cdc_source_connector_spark.schemas import (
+        OP_POST_IMAGE,
+        OP_ROW_INSERT,
+    )
+
+    pk = table.pk_columns
+    sub = F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(snapshot_streams))
+    meta_common = [
+        F.concat(F.lit(stream_prefix + "-"), sub.cast("string")).alias(
+            "cdc$stream_id"
+        ),
+        F.timestamp_micros(F.col("__ts_us")).alias("cdc$time"),
+        F.col("__ts_us").alias("cdc$time_us"),
+        F.lit(-1).cast("int").alias("generation"),
+    ]
+    base = [F.col(f.name) for f in table.base_fields()]
+    markers = [
+        F.lit(None).cast("boolean").alias(f"cdc$deleted_{c}")
+        for c in table.non_pk_columns
+    ] + [
+        F.lit(None)
+        .cast(table.deleted_elements_type(c))
+        .alias(f"cdc$deleted_elements_{c}")
+        for c in table.collection_columns()
+        if c in table.non_pk_columns
+    ]
+    delta = rows.select(
+        *meta_common,
+        F.lit(OP_ROW_INSERT).cast("int").alias("cdc$operation"),
+        F.lit(1).cast("int").alias("cdc$batch_seq_no"),
+        *base,
+        *markers,
+    )
+    post = rows.select(
+        *meta_common,
+        F.lit(OP_POST_IMAGE).cast("int").alias("cdc$operation"),
+        F.lit(2).cast("int").alias("cdc$batch_seq_no"),
+        *base,
+        *markers,
+    )
+    # exact changelog schema order/nullability
+    return delta.unionByName(post).select(
+        *[F.col(f"`{f.name}`") for f in table.changelog_schema().fields]
+    )
+
+
+def run_adhoc_resnapshot(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    mirror_location: str,
+    request_id: str,
+    *,
+    table: TableModel = DEFAULT_TABLE,
+    keys: list[str] | None = None,
+    partition_ranges: dict[str, tuple] | None = None,
+    n_chunks: int = 4,
+    snapshot_streams: int = 8,
+) -> dict:
+    """Ad-hoc partial re-snapshot — Debezium's signal-table
+    `execute-snapshot` semantics (public signaling contract: an ad-hoc
+    snapshot request names a data collection + optional filter, and the
+    connector re-emits the CURRENT state of the matching rows as op='r'
+    READ records interleaved into the stream; consumers heal corrupted
+    or newly-bootstrapped downstream state without a full rebuild).
+
+    `request_id` plays the signal row's id: each request gets its own
+    idempotent batch-id block, allocated at first run and pinned in
+    `lineage_dir/_resnapshot_<request_id>.json` — re-running the same
+    request resumes/no-ops (exactly-once per request), a NEW request id
+    allocates the next block below every id already committed.  Batch
+    ids stay NEGATIVE so they never collide with changelog snapshot
+    sequence numbers, and blocks never overlap the initial-snapshot
+    chunks or each other.
+
+    Scope: `keys` (broadcast-sized isin on the first pk column — the
+    signal's additional-condition analog) and/or `partition_ranges`
+    (pruned at the mirror's manifest level, the reference's per-task
+    `cdc$stream_id IN (...)` shape).  Rows are re-emitted at their
+    ORIGINAL change time with stream ids `resnapshot-<k>` so downstream
+    last-writer-wins materialization is unaffected by replay order.
+
+    Returns {"request_id", "batch_ids", "chunks_run", "n_rows"}.
+    """
+    import json as _json
+    import time as _time
+
+    from scylla_cdc_source_connector_spark.plans.pipeline import cdc_envelopes
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta
+    from scylla_cdc_source_connector_spark.streaming.sink import (
+        _commit_lineage,
+        _write_batch,
+        committed_batch_ids,
+        lineage_path,
+    )
+
+    if n_chunks < 1:
+        raise ValueError("n_chunks must be >= 1")
+    os.makedirs(cfg.lineage_dir, exist_ok=True)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in request_id)
+    marker = os.path.join(cfg.lineage_dir, f"_resnapshot_{safe}.json")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            block = _json.load(fh)
+        if block["n_chunks"] != n_chunks:
+            raise ValueError(
+                f"resnapshot {request_id!r} was started with n_chunks="
+                f"{block['n_chunks']}; resuming with {n_chunks} would "
+                "re-chunk the key space"
+            )
+    else:
+        committed = committed_batch_ids(cfg)
+        floor = min([b for b in committed if b < 0], default=0)
+        block = {
+            "request_id": request_id,
+            "base": floor - n_chunks,
+            "n_chunks": n_chunks,
+        }
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(block, fh)
+        os.replace(tmp, marker)
+
+    pk = table.pk_columns
+    state = iceberg_meta.read_table(
+        spark, mirror_location, partition_ranges=partition_ranges
+    )
+    if keys is not None:
+        state = state.where(F.col(pk[0]).isin(list(keys)))
+    chunk_expr = F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(n_chunks))
+    proc_ms = int(_time.time() * 1000)
+    chunks_run, n_rows, batch_ids = [], 0, []
+    for k in range(n_chunks):
+        batch_id = block["base"] + k
+        batch_ids.append(batch_id)
+        if os.path.exists(lineage_path(cfg, batch_id)):
+            continue
+        t0 = _time.time()
+        env = cdc_envelopes(
+            _snapshot_changelog_rows(
+                state.where(chunk_expr == k),
+                table,
+                snapshot_streams,
+                stream_prefix="resnapshot",
+            ),
+            cfg,
+            processing_ts_ms=F.lit(proc_ms),
+            table=table,
+        ).withColumn("value", F.col("value").withField("op", F.lit("r")))
+        n, shards, n_quar, n_dups = _write_batch(env, batch_id, cfg, table)
+        _commit_lineage(
+            cfg,
+            batch_id,
+            {
+                "batch_id": batch_id,
+                "phase": "resnapshot",
+                "request_id": request_id,
+                "chunk": k,
+                "n_records": n,
+                "n_quarantined": n_quar,
+                "n_dup_pairs": n_dups,
+                "shards": shards,
+                "committed_at_ms": int(_time.time() * 1000),
+                "sink_seconds": round(_time.time() - t0, 3),
+            },
+        )
+        chunks_run.append(k)
+        n_rows += n
+    return {
+        "request_id": request_id,
+        "batch_ids": batch_ids,
+        "chunks_run": chunks_run,
+        "n_rows": n_rows,
     }

@@ -2821,3 +2821,66 @@ def test_initial_snapshot_retention_gap_refused(spark, tmp_root):
     os.makedirs(empty_mir, exist_ok=True)
     with pytest.raises(ValueError, match="no _applied markers"):
         run_initial_snapshot_then_stream(spark, cfg_c, empty_mir, loc)
+
+
+def test_adhoc_resnapshot(spark, tmp_root):
+    """Debezium execute-snapshot signal analog: selected keys re-emitted
+    as op='r' records from the mirror, exactly-once per request_id,
+    disjoint negative batch-id blocks per request, scope by keys and by
+    partition predicate."""
+    from scylla_cdc_source_connector_spark.streaming import apply as apply_mod
+    from scylla_cdc_source_connector_spark.streaming.engine import (
+        run_adhoc_resnapshot,
+    )
+
+    pdf = make_changelog(FixtureSpec(n_events=400, n_clips=80, n_shards=2))
+    loc, _ = _ice_table(tmp_root, pdf, "ice_resnap_src", n_snaps=2)
+    cfg = _cfg(tmp_root, "ice_resnap")
+    run_iceberg_meta_stream(spark, cfg, loc)
+    mir = f"{tmp_root}/ice_resnap_mirror"
+    im.maintain_latest_state_mirror(spark, cfg, mir)
+    live = {
+        r["clip_id"] for r in im.read_table(spark, mir).select("clip_id").collect()
+    }
+    targets = sorted(live)[:3]
+
+    res = run_adhoc_resnapshot(
+        spark, cfg, mir, "sig-1", keys=targets, n_chunks=2
+    )
+    assert res["n_rows"] == 3 and all(b < 0 for b in res["batch_ids"])
+    got = sink_mod.read_emitted(spark, cfg).where("value.op = 'r'")
+    assert {r["clip_id"] for r in got.select("clip_id").collect()} == set(targets)
+    assert all(
+        r["cdc$stream_id"].startswith("resnapshot-")
+        for r in got.select("`cdc$stream_id`").collect()
+    )
+    # 'r' rows carry the ORIGINAL change time -> latest-state unchanged
+    want = {
+        (r["clip_id"], r["__ts_us"])
+        for r in im.read_table(spark, mir)
+        .where(F.col("clip_id").isin(targets))
+        .select("clip_id", "__ts_us")
+        .collect()
+    }
+    have = {
+        (r["clip_id"], r["cdc$time_us"])
+        for r in got.select("clip_id", "`cdc$time_us`").collect()
+    }
+    assert have == want
+
+    # exactly-once per request: rerun is a no-op
+    res2 = run_adhoc_resnapshot(
+        spark, cfg, mir, "sig-1", keys=targets, n_chunks=2
+    )
+    assert res2["chunks_run"] == [] and res2["batch_ids"] == res["batch_ids"]
+    # a NEW request allocates the next disjoint block below the first
+    res3 = run_adhoc_resnapshot(
+        spark, cfg, mir, "sig-2", keys=targets[:1], n_chunks=2
+    )
+    assert set(res3["batch_ids"]).isdisjoint(res["batch_ids"])
+    assert res3["n_rows"] == 1
+    total_r = sink_mod.read_emitted(spark, cfg).where("value.op = 'r'").count()
+    assert total_r == 4  # 3 from sig-1 + 1 from sig-2, no dupes
+    # re-chunking a started request is refused
+    with pytest.raises(ValueError, match="n_chunks"):
+        run_adhoc_resnapshot(spark, cfg, mir, "sig-1", keys=targets, n_chunks=5)
