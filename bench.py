@@ -358,6 +358,32 @@ def run_bench(spark, sf_dir: str) -> dict:
         "iceberg_mirror_maintain", _mirror_maintain
     )
 
+    # initial-snapshot bootstrap: fresh consumer backfills op='r' envelopes
+    # from the mirror and hands off to the changelog stream at the mirror's
+    # applied hwm (run_initial_snapshot_then_stream; measures the whole
+    # backfill + handoff, fresh namespace per run)
+    def _bootstrap():
+        from scylla_cdc_source_connector_spark.streaming.engine import (
+            run_initial_snapshot_then_stream,
+        )
+
+        root = "/tmp/sccs_bench_stream_iceberg"
+        boot_root = "/tmp/sccs_bench_bootstrap"
+        shutil.rmtree(boot_root, ignore_errors=True)
+        bcfg = EngineConfig(
+            include_before=IncludeMode.FULL,
+            include_after=IncludeMode.FULL,
+            checkpoint_dir=f"{boot_root}/ck",
+            output_dir=f"{boot_root}/out",
+            lineage_dir=f"{boot_root}/lin",
+        )
+        res = run_initial_snapshot_then_stream(
+            spark, bcfg, f"{root}/mirror", f"{root}/table", n_chunks=8
+        )
+        return res["snapshot_rows"]
+
+    extra["bootstrap_r_rows"] = timed("iceberg_bootstrap", _bootstrap)
+
     # reference-shaped per-group state machine, capped input (it is the
     # slow path by construction; measured for the comparison record)
     stateful_rows = min(n_changelog_rows, 5000)
