@@ -246,3 +246,126 @@ def pack_duration_batches(
         F.col("__pack").alias("pack_key"),
         F.col("__slot").alias("slot"),
     )
+
+
+def temperature_budgets(
+    df: DataFrame,
+    strata_cols: list[str],
+    *,
+    total_budget: int,
+    alpha: float = 0.5,
+    weight_col: str | None = None,
+) -> dict[tuple, int]:
+    """Per-stratum budgets for temperature-based data mixing — the
+    standard multilingual/multi-source LLM recipe: sampling probability
+    q_s ∝ p_s^alpha where p_s is the stratum's share of the corpus
+    (alpha=1 keeps natural proportions, alpha=0 is uniform, alpha~0.3-0.7
+    upsamples the tail the way published multilingual recipes do).
+
+    A stratum's budget is capped at what it actually has; the surplus is
+    redistributed over the uncapped strata by renormalizing q (iterated
+    to a fixpoint — at most #strata rounds), so `sum(budgets) <=
+    total_budget` with equality whenever the corpus is large enough.
+
+    Driver-side math over ONE small aggregate (one row per stratum —
+    strata are (lang, source)-sized, ≪ corpus; same C≪N defensibility as
+    the IVF centroid collect).  Returns {stratum tuple: budget}."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if total_budget <= 0:
+        raise ValueError("total_budget must be positive")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    rows = (
+        df.groupBy(*strata_cols)
+        .agg(F.sum(w).alias("__w"))
+        .collect()
+    )
+    avail = {tuple(r[c] for c in strata_cols): float(r["__w"]) for r in rows}
+    if not avail:
+        return {}
+    total_w = sum(avail.values())
+    q = {s: (wv / total_w) ** alpha for s, wv in avail.items()}
+    budgets: dict[tuple, int] = {}
+    remaining = float(total_budget)
+    live = dict(q)
+    while live and remaining >= 1.0:
+        z = sum(live.values())
+        capped = False
+        for s in list(live):
+            want = remaining * live[s] / z
+            if want >= avail[s]:
+                budgets[s] = int(avail[s])
+                del live[s]
+                capped = True
+        if capped:
+            remaining = total_budget - sum(budgets.values())
+            continue
+        for s in live:
+            budgets[s] = budgets.get(s, 0) + int(remaining * live[s] / z)
+        break
+    return budgets
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_cols: list[str],
+    *,
+    total_budget: int,
+    alpha: float = 0.5,
+    weight_col: str | None = None,
+    id_cols: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-weighted mixture sample: `temperature_budgets` decides
+    each stratum's quota, then rows are kept deterministically (seeded
+    xxhash64 order, cumulative weight <= quota) — `stratified_sample`'s
+    selection with PER-STRATUM budgets broadcast-joined in.
+
+    Scale shape: one slim agg for the budgets (one row per stratum), one
+    window over the slim (id, stratum, weight, hash) projection, a
+    broadcast join of the tiny budget table, and a key-only semi-join
+    back to the full rows — the document/audio payload never enters the
+    sort."""
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    ids = id_cols if id_cols is not None else [
+        c for c in df.columns if c not in strata_cols
+    ][:1]
+    if not ids:
+        raise ValueError("need id_cols (or at least one non-stratum column)")
+    budgets = temperature_budgets(
+        df,
+        strata_cols,
+        total_budget=total_budget,
+        alpha=alpha,
+        weight_col=weight_col,
+    )
+    if not budgets:
+        return df.limit(0)
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        [(*s, b) for s, b in budgets.items()],
+        df.select(*strata_cols).schema.add("__budget", "long"),
+    )
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    slim = df.select(
+        *strata_cols,
+        *ids,
+        w.alias("__w"),
+        F.xxhash64(*[F.col(c) for c in ids], F.lit(seed)).alias("__h"),
+    ).join(F.broadcast(bdf), on=strata_cols)
+    win = Window.partitionBy(*strata_cols).orderBy("__h", *ids)
+    picked = (
+        slim.withColumn("__cum", F.sum("__w").over(win))
+        .where(F.col("__cum") <= F.col("__budget"))
+        .select(*ids)
+    )
+    return df.join(picked, on=ids, how="left_semi")

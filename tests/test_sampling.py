@@ -289,3 +289,95 @@ def test_pack_matches_sql_oracle(spark):
         FROM clips WHERE dur_ms IS NULL OR dur_ms <= 0 OR dur_ms > {budget}
     """).fetchall()
     assert got == sorted(oracle)
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing
+# ---------------------------------------------------------------------------
+
+def _mix_fixture(spark):
+    # three langs with 8:3:1 natural proportions (by token weight)
+    rows = []
+    for lang, n, w in (("en", 800, 10), ("de", 300, 10), ("yo", 100, 10)):
+        rows += [(f"{lang}{i:04d}", lang, w) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id string, lang string, n_tokens int")
+
+
+def test_temperature_budgets_math(spark):
+    from scylla_cdc_source_connector_spark.plans.sampling import (
+        temperature_budgets,
+    )
+
+    df = _mix_fixture(spark)
+    # alpha=1: natural proportions
+    b1 = temperature_budgets(
+        df, ["lang"], total_budget=6000, alpha=1.0, weight_col="n_tokens"
+    )
+    assert b1[("en",)] == 4000 and b1[("de",)] == 1500 and b1[("yo",)] == 500
+    # alpha=0: uniform -> tail stratum capped at its 1000 available,
+    # surplus redistributed over the others
+    b0 = temperature_budgets(
+        df, ["lang"], total_budget=6000, alpha=0.0, weight_col="n_tokens"
+    )
+    assert b0[("yo",)] == 1000
+    assert b0[("en",)] == b0[("de",)] == 2500
+    assert sum(b0.values()) == 6000
+    # 0<alpha<1 upsamples the tail vs natural, never past availability
+    bt = temperature_budgets(
+        df, ["lang"], total_budget=6000, alpha=0.5, weight_col="n_tokens"
+    )
+    assert bt[("yo",)] > 500 and bt[("yo",)] <= 1000
+    assert bt[("en",)] < 4300
+    assert sum(bt.values()) <= 6000
+    # budget bigger than the corpus: everything, capped at availability
+    ball = temperature_budgets(
+        df, ["lang"], total_budget=1_000_000, alpha=0.5, weight_col="n_tokens"
+    )
+    assert ball == {("en",): 8000, ("de",): 3000, ("yo",): 1000}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        temperature_budgets(df, ["lang"], total_budget=0)
+
+
+def test_temperature_mix_selection(spark):
+    from scylla_cdc_source_connector_spark.plans.sampling import (
+        temperature_budgets,
+        temperature_mix,
+    )
+
+    df = _mix_fixture(spark)
+    out = temperature_mix(
+        df,
+        ["lang"],
+        total_budget=6000,
+        alpha=0.5,
+        weight_col="n_tokens",
+        id_cols=["doc_id"],
+    )
+    budgets = temperature_budgets(
+        df, ["lang"], total_budget=6000, alpha=0.5, weight_col="n_tokens"
+    )
+    got = {
+        r["lang"]: r["w"]
+        for r in out.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("w"))
+        .collect()
+    }
+    # each stratum fills its budget to within one row's weight
+    for (lang,), b in budgets.items():
+        assert b - 10 < got[lang] <= b, (lang, got[lang], b)
+    # deterministic
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mix(
+            df,
+            ["lang"],
+            total_budget=6000,
+            alpha=0.5,
+            weight_col="n_tokens",
+            id_cols=["doc_id"],
+        ).select("doc_id").collect()
+    )
+    assert a == b
