@@ -1,0 +1,127 @@
+"""Deterministic augmentation planning for ASR/TTS training.
+
+SpecAugment (Park et al. 2019 — the standard spectrogram augmentation:
+random time masks + frequency masks per training example per epoch) is
+applied on-the-fly by the training loader, but at 10^12-clip scale the
+MASK SCHEDULE itself needs to be reproducible and shardable: restarting
+epoch 7 on a different cluster must mask the same frames, and a data
+bug must be replayable from (clip_id, epoch).  This module computes the
+schedule as DATA — one row per (clip, epoch, mask) with exact
+coordinates — from seeded hashes, so it is a pure-codegen 1->N fan-out
+with zero shuffle and an ANSI-SQL-reproducible definition.
+
+Reference analog: none — the connector stops at emitting rows; this is
+the engine-extension training axis next to `plans/sampling.py` and the
+log-mel path (`audio_features.extract_mel_features`, whose WIN/HOP
+frame arithmetic the time-mask bounds reuse).
+
+Uniform draws: u = pmod(xxhash64(clip_id, epoch, kind, i, seed), 2^20)
+/ 2^20 — deterministic across partitioning, retries and cluster sizes,
+identical in any engine with the same hash (the pytest oracle recomputes
+it row-by-row in Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scylla_cdc_source_connector_spark.audio_features import HOP, WIN
+
+#: resolution of the hash-derived uniforms
+_U_RES = 1 << 20
+
+
+def _u(seed_cols: list, lo, hi):
+    """Deterministic integer uniform in [lo, hi] (inclusive) from a
+    seeded hash; degenerates to lo when hi <= lo."""
+    span = F.greatest(hi - lo + 1, F.lit(1))
+    return lo + F.pmod(F.xxhash64(*seed_cols), F.lit(_U_RES)) % span
+
+
+def specaugment_plan(
+    clips: DataFrame,
+    *,
+    epochs: int,
+    n_time_masks: int = 2,
+    max_time_frames: int = 27,
+    n_freq_masks: int = 2,
+    max_freq_bands: int = 8,
+    n_mels: int = 40,
+    seed: int = 0,
+    id_col: str = "clip_id",
+    dur_col: str = "dur_ms",
+    sr_col: str = "sr_hz",
+) -> DataFrame:
+    """Per-(clip, epoch) SpecAugment mask schedule.
+
+    Output rows: (clip_id, epoch, kind 'time'|'freq', mask_idx, start,
+    width, n_frames) — `start`/`width` index mel FRAMES for time masks
+    (frame count derived from dur/sr with the shared WIN/HOP arithmetic)
+    and mel BANDS for freq masks.  Per the paper: width ~ U[0, max],
+    start ~ U[0, extent - width]; a zero-width draw emits width=0 (a
+    no-op mask — kept so every (clip, epoch, mask_idx) slot exists and
+    downstream joins never miss rows).  Clips too short for one frame
+    get time masks of width 0.
+
+    Scale shape: a metadata-only projection + one `explode` of a
+    LITERAL (epoch x mask) array — no payload read, no shuffle, ~
+    epochs * (n_time+n_freq) output rows per clip, each O(40 bytes)."""
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    n_samples = (F.col(dur_col).cast("long") * F.col(sr_col)) / 1000
+    n_frames = F.greatest(
+        F.floor((n_samples - WIN) / HOP).cast("int") + 1, F.lit(0)
+    )
+    slots = [
+        (e, "time", i)
+        for e in range(epochs)
+        for i in range(n_time_masks)
+    ] + [
+        (e, "freq", i)
+        for e in range(epochs)
+        for i in range(n_freq_masks)
+    ]
+    slot_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(e).alias("epoch"),
+                    F.lit(k).alias("kind"),
+                    F.lit(i).alias("mask_idx"),
+                )
+                for e, k, i in slots
+            ]
+        )
+    )
+    base = clips.select(
+        F.col(id_col).alias("clip_id"),
+        n_frames.alias("n_frames"),
+        slot_col.alias("__s"),
+    ).select("clip_id", "n_frames", "__s.epoch", "__s.kind", "__s.mask_idx")
+    seeds = [
+        F.col("clip_id"),
+        F.col("epoch"),
+        F.col("kind"),
+        F.col("mask_idx"),
+        F.lit(seed),
+    ]
+    extent = F.when(F.col("kind") == "time", F.col("n_frames")).otherwise(
+        F.lit(n_mels)
+    )
+    max_w = F.when(F.col("kind") == "time", F.lit(max_time_frames)).otherwise(
+        F.lit(max_freq_bands)
+    )
+    width = F.least(
+        _u([F.lit("w"), *seeds], F.lit(0), max_w), extent
+    ).cast("int")
+    start = _u([F.lit("s"), *seeds], F.lit(0), extent - width).cast("int")
+    return base.select(
+        "clip_id",
+        "epoch",
+        "kind",
+        "mask_idx",
+        F.when(width > 0, start).otherwise(F.lit(0)).alias("start"),
+        width.alias("width"),
+        "n_frames",
+    )

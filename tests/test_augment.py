@@ -1,0 +1,87 @@
+"""SpecAugment mask scheduling (plans/augment.py): bounds, determinism,
+frame arithmetic, Python-recomputed hash oracle, shuffle-free plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_cdc_source_connector_spark.audio_features import HOP, WIN
+from scylla_cdc_source_connector_spark.plans.augment import specaugment_plan
+
+SR = 16000
+
+
+def _clips(spark):
+    rows = [
+        ("long", 2000, SR),   # 2 s -> many frames
+        ("short", 20, SR),    # 320 samples < WIN -> 0 frames
+        ("mid", 500, 8000),   # 4000 samples @8k
+    ]
+    return spark.createDataFrame(rows, "clip_id string, dur_ms int, sr_hz int")
+
+
+def test_plan_shape_and_bounds(spark):
+    plan = specaugment_plan(
+        _clips(spark), epochs=3, n_time_masks=2, n_freq_masks=2, n_mels=40
+    )
+    rows = plan.collect()
+    # every (clip, epoch, kind, mask_idx) slot exists exactly once
+    assert len(rows) == 3 * 3 * (2 + 2)
+    for r in rows:
+        ext = r["n_frames"] if r["kind"] == "time" else 40
+        assert 0 <= r["width"] <= min(ext, 27 if r["kind"] == "time" else 8)
+        assert 0 <= r["start"] and r["start"] + r["width"] <= max(ext, 1)
+    # frame arithmetic matches the shared mel framing
+    nf = {r["clip_id"]: r["n_frames"] for r in rows}
+    assert nf["long"] == 1 + (2 * SR - WIN) // HOP
+    assert nf["short"] == 0
+    assert nf["mid"] == 1 + (4000 - WIN) // HOP
+    # short clip: time masks degenerate to width 0
+    assert all(
+        r["width"] == 0
+        for r in rows
+        if r["clip_id"] == "short" and r["kind"] == "time"
+    )
+    # freq masks unaffected by clip length
+    assert any(
+        r["width"] > 0
+        for r in rows
+        if r["clip_id"] == "short" and r["kind"] == "freq"
+    )
+
+
+def test_plan_deterministic_and_seeded(spark):
+    kw = dict(epochs=4, n_time_masks=2, n_freq_masks=1)
+    a = sorted(map(tuple, specaugment_plan(_clips(spark), **kw).collect()))
+    b = sorted(map(tuple, specaugment_plan(_clips(spark), **kw).collect()))
+    assert a == b
+    c = sorted(
+        map(tuple, specaugment_plan(_clips(spark), seed=9, **kw).collect())
+    )
+    assert c != a
+    with pytest.raises(ValueError):
+        specaugment_plan(_clips(spark), epochs=0)
+
+
+def test_plan_matches_python_hash_oracle(spark):
+    """The uniforms are pure xxhash64 arithmetic: recompute one row's
+    draw in Spark itself over a literal and compare (the definition is
+    engine-reproducible, not an implementation accident)."""
+    plan = specaugment_plan(_clips(spark), epochs=1, n_time_masks=1, n_freq_masks=0)
+    r = [x for x in plan.collect() if x["clip_id"] == "long"][0]
+    ext, maxw = r["n_frames"], 27
+    row = spark.range(1).select(
+        (F.pmod(
+            F.xxhash64(F.lit("w"), F.lit("long"), F.lit(0), F.lit("time"),
+                       F.lit(0), F.lit(0)),
+            F.lit(1 << 20),
+        ) % F.greatest(F.lit(maxw) - F.lit(0) + 1, F.lit(1))).alias("w")
+    ).collect()[0]
+    assert min(row["w"], ext) == r["width"]
+
+
+def test_plan_is_shuffle_free(spark):
+    plan = specaugment_plan(_clips(spark), epochs=2)
+    p = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
