@@ -378,7 +378,7 @@ def run_bench(spark, sf_dir: str) -> dict:
             lineage_dir=f"{boot_root}/lin",
         )
         res = run_initial_snapshot_then_stream(
-            spark, bcfg, f"{root}/mirror", f"{root}/table", n_chunks=8
+            spark, bcfg, f"{root}/mirror", ice_loc, n_chunks=8
         )
         return res["snapshot_rows"]
 
