@@ -843,6 +843,36 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["duration_packs"] = timed("pack_duration_batches", _pack)
 
+    def _mix():
+        from scylla_cdc_source_connector_spark.plans.sampling import (
+            temperature_mix,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return temperature_mix(
+            docs,
+            ["lang"],
+            total_budget=500_000,
+            alpha=0.5,
+            weight_col="n_chars",
+            id_cols=["doc_id"],
+        ).count()
+
+    extra["temperature_mix_rows"] = timed("temperature_mix", _mix)
+
+    def _specaug():
+        from scylla_cdc_source_connector_spark.plans.augment import (
+            specaugment_plan,
+        )
+
+        post = changelog.where("`cdc$operation` = 9").select(
+            "clip_id", "dur_ms", "sr_hz"
+        )
+        plan = specaugment_plan(post, epochs=3)
+        return plan.where("width > 0").count()
+
+    extra["specaugment_masks"] = timed("specaugment_plan", _specaug)
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "cdc change-events/sec + operator suite wall time",
