@@ -289,6 +289,73 @@ def main() -> None:
     )
     assert "transcript" not in r11["read_schemas"][0]
 
+    # round-5 final-session operators: the corpus-composition and
+    # augmentation planners' documented scale shapes
+    from scylla_cdc_source_connector_spark.plans.augment import (
+        specaugment_plan,
+    )
+    from scylla_cdc_source_connector_spark.plans.sampling import (
+        pack_duration_batches,
+        stratified_sample,
+        temperature_mix,
+    )
+
+    post = cl.where("`cdc$operation` = 9").select("clip_id", "dur_ms", "sr_hz")
+    r12 = audit(
+        specaugment_plan(post, epochs=2),
+        "specaugment plan (metadata 1->N fan-out)",
+    )
+    assert r12["exchanges"] == 0, (
+        "specaugment_plan is a literal-array explode — zero shuffle"
+    )
+    assert "bytes" not in (r12["read_schemas"] or [""])[0], (
+        "mask scheduling must never read the payload"
+    )
+
+    r13 = audit(
+        pack_duration_batches(
+            post.select("clip_id", "dur_ms"), budget_ms=30_000, n_shards=4
+        ),
+        "duration-bucketed batch packing",
+    )
+    assert r13["exchanges"] == 1, (
+        "pack_duration_batches = ONE window shuffle over the slim "
+        "(id, dur) projection"
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            "documents.parquet",
+        )
+    )
+    r14 = audit(
+        stratified_sample(
+            docs, ["lang"], budget_per_stratum=100_000,
+            weight_col="n_chars", id_cols=["doc_id"],
+        ),
+        "stratified token-budget sample (slim window + semi-join)",
+    )
+    txt14 = _capture(
+        stratified_sample(
+            docs, ["lang"], budget_per_stratum=100_000,
+            weight_col="n_chars", id_cols=["doc_id"],
+        )
+    )
+    assert "text" not in " ".join(
+        re.findall(r"Sort \[.*?\]", txt14)
+    ), "document text must never enter the window sort"
+
+    txt15 = _capture(
+        temperature_mix(
+            docs, ["lang"], total_budget=200_000,
+            weight_col="n_chars", id_cols=["doc_id"],
+        )
+    )
+    assert "BroadcastHashJoin" in txt15 or "BroadcastExchange" in txt15, (
+        "the per-stratum budget table must broadcast"
+    )
+
     print("ALL PLAN INVARIANTS HOLD")
     spark.stop()
 
