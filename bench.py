@@ -873,6 +873,29 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["specaugment_masks"] = timed("specaugment_plan", _specaug)
 
+    def _noisemix():
+        from scylla_cdc_source_connector_spark.plans.augment import (
+            noise_mix_plan,
+        )
+
+        post = changelog.where("`cdc$operation` = 9").select(
+            "clip_id", "dur_ms"
+        )
+        noises = (
+            post.orderBy("clip_id")
+            .limit(500)
+            .select(F.col("clip_id").alias("noise_id"), "dur_ms")
+        )
+        return (
+            noise_mix_plan(
+                post, noises, epochs=3, snr_db_range=(0.0, 20.0), p_apply=0.8
+            )
+            .where("applied")
+            .count()
+        )
+
+    extra["noise_mix_applied"] = timed("noise_mix_plan", _noisemix)
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "cdc change-events/sec + operator suite wall time",

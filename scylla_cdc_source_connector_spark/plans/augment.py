@@ -23,7 +23,7 @@ it row-by-row in Python).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scylla_cdc_source_connector_spark.audio_features import HOP, WIN
@@ -124,4 +124,102 @@ def specaugment_plan(
         F.when(width > 0, start).otherwise(F.lit(0)).alias("start"),
         width.alias("width"),
         "n_frames",
+    )
+
+
+def noise_mix_plan(
+    clips: DataFrame,
+    noises: DataFrame,
+    *,
+    epochs: int,
+    snr_db_range: tuple[float, float] = (0.0, 20.0),
+    p_apply: float = 1.0,
+    seed: int = 0,
+    id_col: str = "clip_id",
+    dur_col: str = "dur_ms",
+    noise_id_col: str = "noise_id",
+    noise_dur_col: str = "dur_ms",
+) -> DataFrame:
+    """Per-(clip, epoch) additive-noise augmentation schedule — the other
+    standard ASR augmentation next to SpecAugment: each training example
+    is mixed with a noise clip at a scheduled SNR.  Like
+    `specaugment_plan`, the SCHEDULE is computed as reproducible data
+    (seeded-hash draws), so epoch 7 restarted on a different cluster
+    mixes the same noise at the same SNR and offset.
+
+    Output rows: (clip_id, epoch, applied, noise_id, noise_dur_ms,
+    snr_db_x10, offset_ms).  Draws, all deterministic in
+    (clip_id, epoch, seed):
+
+      * applied   — u < p_apply (a skipped epoch still emits its row
+        with applied=false, so every (clip, epoch) slot exists);
+      * noise_id  — uniform over the noise table (by a dense 0..n-1
+        rank computed on the SMALL noise side);
+      * snr_db_x10 — uniform integer over [lo*10, hi*10] (x10 keeps the
+        column exactly representable and oracle-hashable);
+      * offset_ms — uniform over [0, noise_dur - clip_dur] when the
+        noise outlasts the clip, else 0 (the loader tiles short noise).
+
+    Scale shape: the big side is a metadata-only projection exploded
+    against a LITERAL epoch array — zero shuffle — then a BROADCAST
+    join against the noise table's (rank, id, dur) triple; the only
+    exchange anywhere is the rank window over the noise side (noise
+    corpus ≪ clip corpus, same C≪N defensibility as the IVF centroid
+    collect).  Audio bytes are never read on either side.
+    """
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    if not 0.0 <= p_apply <= 1.0:
+        raise ValueError("p_apply must be in [0, 1]")
+    lo10, hi10 = (int(round(x * 10)) for x in snr_db_range)
+    if hi10 < lo10:
+        raise ValueError("snr_db_range must be (lo, hi) with lo <= hi")
+    n_noises = noises.count()
+    if n_noises == 0:
+        raise ValueError("noise table is empty")
+    noise_slim = noises.select(
+        (
+            F.row_number().over(Window.orderBy(noise_id_col)) - 1
+        ).alias("__nidx"),
+        F.col(noise_id_col).alias("noise_id"),
+        F.col(noise_dur_col).cast("int").alias("noise_dur_ms"),
+    )
+    base = clips.select(
+        F.col(id_col).alias("clip_id"),
+        F.col(dur_col).cast("int").alias("__dur"),
+        F.explode(F.array(*[F.lit(e) for e in range(epochs)])).alias("epoch"),
+    )
+    seeds = [F.col("clip_id"), F.col("epoch"), F.lit(seed)]
+    applied = (
+        F.pmod(F.xxhash64(F.lit("a"), *seeds), F.lit(_U_RES))
+        < F.lit(int(round(p_apply * _U_RES)))
+    )
+    drawn = base.select(
+        "clip_id",
+        "epoch",
+        "__dur",
+        applied.alias("applied"),
+        F.pmod(F.xxhash64(F.lit("n"), *seeds), F.lit(n_noises)).alias(
+            "__nidx"
+        ),
+        (
+            F.lit(lo10)
+            + F.pmod(
+                F.xxhash64(F.lit("s"), *seeds), F.lit(hi10 - lo10 + 1)
+            )
+        ).cast("int").alias("snr_db_x10"),
+    )
+    joined = drawn.join(F.broadcast(noise_slim), on="__nidx")
+    offset = F.pmod(
+        F.xxhash64(F.lit("o"), F.col("clip_id"), F.col("epoch"), F.lit(seed)),
+        F.greatest(F.col("noise_dur_ms") - F.col("__dur") + 1, F.lit(1)),
+    ).cast("int")
+    return joined.select(
+        "clip_id",
+        "epoch",
+        "applied",
+        "noise_id",
+        "noise_dur_ms",
+        "snr_db_x10",
+        offset.alias("offset_ms"),
     )

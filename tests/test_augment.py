@@ -85,3 +85,80 @@ def test_plan_is_shuffle_free(spark):
     plan = specaugment_plan(_clips(spark), epochs=2)
     p = plan._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
+
+
+# ---------------------------------------------------------------- noise mix
+
+
+from scylla_cdc_source_connector_spark.plans.augment import noise_mix_plan
+
+
+def _noises(spark):
+    rows = [("n-a", 5000), ("n-b", 100), ("n-c", 60000)]
+    return spark.createDataFrame(rows, "noise_id string, dur_ms int")
+
+
+def test_noise_mix_shape_and_bounds(spark):
+    plan = noise_mix_plan(
+        _clips(spark), _noises(spark), epochs=4, snr_db_range=(5.0, 15.0)
+    )
+    rows = plan.collect()
+    # every (clip, epoch) slot exists exactly once
+    assert len(rows) == 3 * 4
+    assert len({(r["clip_id"], r["epoch"]) for r in rows}) == 12
+    noise_durs = {"n-a": 5000, "n-b": 100, "n-c": 60000}
+    clip_durs = {"long": 2000, "short": 20, "mid": 500}
+    for r in rows:
+        assert r["noise_id"] in noise_durs
+        assert r["noise_dur_ms"] == noise_durs[r["noise_id"]]
+        assert 50 <= r["snr_db_x10"] <= 150
+        head = max(noise_durs[r["noise_id"]] - clip_durs[r["clip_id"]], 0)
+        assert 0 <= r["offset_ms"] <= head
+        assert r["applied"] is True  # p_apply defaults to 1.0
+
+
+def test_noise_mix_deterministic_seeded_and_papply(spark):
+    kw = dict(epochs=3, snr_db_range=(0.0, 20.0))
+    a = sorted(map(tuple, noise_mix_plan(_clips(spark), _noises(spark), **kw).collect()))
+    b = sorted(map(tuple, noise_mix_plan(_clips(spark), _noises(spark), **kw).collect()))
+    assert a == b
+    c = sorted(
+        map(
+            tuple,
+            noise_mix_plan(_clips(spark), _noises(spark), seed=7, **kw).collect(),
+        )
+    )
+    assert c != a
+    # p_apply=0 keeps every slot but applies none
+    none = noise_mix_plan(
+        _clips(spark), _noises(spark), epochs=3, p_apply=0.0
+    ).collect()
+    assert len(none) == 9 and not any(r["applied"] for r in none)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        noise_mix_plan(_clips(spark), _noises(spark), epochs=0)
+    with _pytest.raises(ValueError):
+        noise_mix_plan(
+            _clips(spark), _noises(spark).limit(0), epochs=1
+        )
+
+
+def test_noise_mix_draw_matches_expression_oracle(spark):
+    """noise_id choice is pure xxhash64 arithmetic over (clip, epoch,
+    seed) — recompute one row's index draw and rank join by hand."""
+    plan = noise_mix_plan(_clips(spark), _noises(spark), epochs=1)
+    r = [x for x in plan.collect() if x["clip_id"] == "long"][0]
+    idx = spark.range(1).select(
+        F.pmod(
+            F.xxhash64(F.lit("n"), F.lit("long"), F.lit(0), F.lit(0)),
+            F.lit(3),
+        ).alias("i")
+    ).collect()[0]["i"]
+    assert ["n-a", "n-b", "n-c"][idx] == r["noise_id"]
+
+
+def test_noise_mix_broadcasts_the_noise_side(spark):
+    plan = noise_mix_plan(_clips(spark), _noises(spark), epochs=2)
+    p = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
