@@ -896,6 +896,31 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["noise_mix_applied"] = timed("noise_mix_plan", _noisemix)
 
+    def _wer():
+        from scylla_cdc_source_connector_spark.functions.asr_eval import (
+            wer_scores,
+        )
+
+        post = changelog.where("`cdc$operation` = 9").select(
+            "clip_id", "transcript"
+        )
+        # deterministic JVM-side "model output": drop every 4-letter word
+        pert = post.withColumn(
+            "hypothesis",
+            F.regexp_replace("transcript", r"\b\w{4}\b", ""),
+        )
+        row = (
+            wer_scores(pert)
+            .agg(
+                F.sum("word_edits").alias("e"),
+                F.avg("wer_x10000").alias("w"),
+            )
+            .collect()[0]
+        )
+        return int(row["e"])
+
+    extra["wer_total_edits"] = timed("asr_wer", _wer)
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "cdc change-events/sec + operator suite wall time",
