@@ -223,3 +223,58 @@ def noise_mix_plan(
         "snr_db_x10",
         offset.alias("offset_ms"),
     )
+
+
+def speed_perturb_plan(
+    clips: DataFrame,
+    *,
+    epochs: int,
+    factors: tuple[float, ...] = (0.9, 1.0, 1.1),
+    seed: int = 0,
+    id_col: str = "clip_id",
+    dur_col: str = "dur_ms",
+) -> DataFrame:
+    """Per-(clip, epoch) speed-perturbation schedule — the third leg of
+    the standard ASR augmentation triple (speed perturb + additive noise
+    + SpecAugment, the Kaldi/ESPnet recipe): each epoch resamples the
+    clip by a factor drawn uniformly from `factors`.
+
+    Output rows: (clip_id, epoch, factor_x100, new_dur_ms) —
+    factor_x100 keeps the draw exactly representable (0.9 -> 90);
+    new_dur_ms = floor(dur * 100 / factor_x100) (speeding UP shortens
+    the clip).  Deterministic in (clip_id, epoch, seed), like the
+    sibling planners, so a restarted epoch perturbs identically.
+
+    Scale shape: metadata-only projection + literal epoch explode +
+    `element_at` on a LITERAL factor array — zero shuffle, zero joins,
+    no payload read."""
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    if not factors:
+        raise ValueError("factors must be non-empty")
+    fx100 = [int(round(f * 100)) for f in factors]
+    if any(f <= 0 for f in fx100):
+        raise ValueError("factors must be positive")
+    base = clips.select(
+        F.col(id_col).alias("clip_id"),
+        F.col(dur_col).cast("long").alias("__dur"),
+        F.explode(F.array(*[F.lit(e) for e in range(epochs)])).alias("epoch"),
+    )
+    pick = F.element_at(
+        F.array(*[F.lit(v) for v in fx100]),
+        (
+            F.pmod(
+                F.xxhash64(
+                    F.lit("v"), F.col("clip_id"), F.col("epoch"), F.lit(seed)
+                ),
+                F.lit(len(fx100)),
+            )
+            + 1
+        ).cast("int"),
+    )
+    return base.select(
+        "clip_id",
+        "epoch",
+        pick.cast("int").alias("factor_x100"),
+        F.floor(F.col("__dur") * 100 / pick).cast("long").alias("new_dur_ms"),
+    )

@@ -162,3 +162,40 @@ def test_noise_mix_broadcasts_the_noise_side(spark):
     plan = noise_mix_plan(_clips(spark), _noises(spark), epochs=2)
     p = plan._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+# ------------------------------------------------------------ speed perturb
+
+
+from scylla_cdc_source_connector_spark.plans.augment import speed_perturb_plan
+
+
+def test_speed_perturb_shape_and_arithmetic(spark):
+    plan = speed_perturb_plan(_clips(spark), epochs=5)
+    rows = plan.collect()
+    assert len(rows) == 3 * 5
+    durs = {"long": 2000, "short": 20, "mid": 500}
+    for r in rows:
+        assert r["factor_x100"] in (90, 100, 110)
+        assert r["new_dur_ms"] == durs[r["clip_id"]] * 100 // r["factor_x100"]
+    # all three factors appear somewhere over 15 draws
+    assert {r["factor_x100"] for r in rows} == {90, 100, 110}
+
+
+def test_speed_perturb_deterministic_and_shuffle_free(spark):
+    a = sorted(map(tuple, speed_perturb_plan(_clips(spark), epochs=4).collect()))
+    b = sorted(map(tuple, speed_perturb_plan(_clips(spark), epochs=4).collect()))
+    assert a == b
+    c = sorted(
+        map(tuple, speed_perturb_plan(_clips(spark), epochs=4, seed=3).collect())
+    )
+    assert c != a
+    p = (
+        speed_perturb_plan(_clips(spark), epochs=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p
+    with pytest.raises(ValueError):
+        speed_perturb_plan(_clips(spark), epochs=1, factors=())
