@@ -19,12 +19,11 @@ Design for 10^12 rows:
     integers (exact, oracle-hashable).
   * `wer_scores` needs WORD-level edit distance, which Spark lacks; it
     runs as an Arrow-batched iterator kernel (`mapInPandas`) with a
-    per-row O(m*n) uint32 DP — transcripts are tens of words, so the
-    DP is cache-resident; the batch loop is the same per-row-numpy
-    shape as the true-peak kernel (`audio_loudness.py`), chosen over a
-    padded cross-row vectorization that would cube the memory for no
-    win at these lengths.  Only the two string columns enter the
-    kernel; payloads never do.
+    per-row O(m*n) two-row list DP — transcripts are tens of words, so
+    the DP is cache-resident (plain ints beat per-cell numpy scalar
+    boxing at these lengths), chosen over a padded cross-row
+    vectorization that would cube the memory for no win.  Only the two
+    string columns enter the kernel; payloads never do.
 
 Determinism: every output is an integer (counts / x10000 fixed-point),
 so results hash identically across partitionings and clusters.
@@ -39,8 +38,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: strip everything that is not a word character, apostrophe or space
-_PUNCT_RE = r"[^\w' ]"
+#: strip everything that is not a letter, digit, apostrophe or space.
+#: Unicode property classes, NOT \w: Java's \w is ASCII-only, which
+#: would shred every non-English transcript ('café' -> 'caf', CJK ->
+#: empty) — \p{L}\p{N} behave identically in Java regex and RE2/DuckDB,
+#: so the pytest oracle pins the same semantics in both engines.
+_PUNCT_RE = r"[^\p{L}\p{N}' ]"
 
 
 def normalize_transcript(col: Column | str) -> Column:
@@ -61,7 +64,9 @@ def cer_expr(ref: Column | str, hyp: Column | str) -> Column:
     hypothesis length (all insertions, the standard convention)."""
     r = F.col(ref) if isinstance(ref, str) else ref
     h = F.col(hyp) if isinstance(hyp, str) else hyp
-    dist = F.levenshtein(r, h)
+    # widen BEFORE the x10000 scale: int32 would overflow (or raise
+    # under ANSI mode) past ~214k edit distance on pathological rows
+    dist = F.levenshtein(r, h).cast("long")
     denom = F.greatest(F.length(r), F.lit(1))
     return F.floor(dist * 10000 / denom).cast("long")
 
@@ -78,27 +83,26 @@ WER_SCHEMA = T.StructType(
 
 
 def _word_edit_distance(ref_words: list, hyp_words: list) -> int:
-    """Classic uint DP over the shorter dimension; O(m*n) time,
-    O(min(m,n)) space."""
-    import numpy as np
-
+    """Classic two-row DP over the shorter dimension; O(m*n) time,
+    O(min(m,n)) space.  Plain Python ints on purpose: per-cell numpy
+    scalar indexing boxes/unboxes every access and measures ~5-10x
+    slower than list arithmetic at transcript lengths (tens of words)."""
     a, b = ref_words, hyp_words
     if len(b) < len(a):
         a, b = b, a
     if not a:
         return len(b)
-    prev = np.arange(len(a) + 1, dtype=np.uint32)
-    cur = np.empty_like(prev)
+    prev = list(range(len(a) + 1))
     for j, bw in enumerate(b, start=1):
-        cur[0] = j
+        cur = [j] + [0] * len(a)
         for i, aw in enumerate(a, start=1):
             cur[i] = min(
                 prev[i] + 1,
                 cur[i - 1] + 1,
                 prev[i - 1] + (aw != bw),
             )
-        prev, cur = cur, prev
-    return int(prev[len(a)])
+        prev = cur
+    return prev[len(a)]
 
 
 def wer_scores(

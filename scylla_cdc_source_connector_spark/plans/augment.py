@@ -34,9 +34,21 @@ _U_RES = 1 << 20
 
 def _u(seed_cols: list, lo, hi):
     """Deterministic integer uniform in [lo, hi] (inclusive) from a
-    seeded hash; degenerates to lo when hi <= lo."""
+    seeded hash; degenerates to lo when hi <= lo.  Used when the span
+    is itself a column (SpecAugment's extent-dependent bounds): the hash
+    is first folded to [0, 2^20) so the `% span` stays well-defined for
+    any runtime span."""
     span = F.greatest(hi - lo + 1, F.lit(1))
     return lo + F.pmod(F.xxhash64(*seed_cols), F.lit(_U_RES)) % span
+
+
+def _u_mod(seed_cols: list, span):
+    """Deterministic integer uniform in [0, span) — the direct-mod
+    convention for draws whose span is known (a literal or a simple
+    column expression).  Distinct from `_u` (which folds through 2^20
+    first); every draw in this module uses exactly one of these two
+    helpers so the convention is visible at the call site."""
+    return F.pmod(F.xxhash64(*seed_cols), span)
 
 
 def specaugment_plan(
@@ -174,9 +186,17 @@ def noise_mix_plan(
     lo10, hi10 = (int(round(x * 10)) for x in snr_db_range)
     if hi10 < lo10:
         raise ValueError("snr_db_range must be (lo, hi) with lo <= hi")
-    n_noises = noises.count()
+    counts = noises.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(noise_id_col).alias("d"),
+    ).first()
+    n_noises = int(counts["n"])
     if n_noises == 0:
         raise ValueError("noise table is empty")
+    if int(counts["d"]) != n_noises:
+        # the 0..n-1 rank below tie-breaks nondeterministically on
+        # duplicate ids, which would break the reproducibility contract
+        raise ValueError("noise_id values must be unique")
     noise_slim = noises.select(
         (
             F.row_number().over(Window.orderBy(noise_id_col)) - 1
@@ -191,7 +211,7 @@ def noise_mix_plan(
     )
     seeds = [F.col("clip_id"), F.col("epoch"), F.lit(seed)]
     applied = (
-        F.pmod(F.xxhash64(F.lit("a"), *seeds), F.lit(_U_RES))
+        _u_mod([F.lit("a"), *seeds], F.lit(_U_RES))
         < F.lit(int(round(p_apply * _U_RES)))
     )
     drawn = base.select(
@@ -199,19 +219,15 @@ def noise_mix_plan(
         "epoch",
         "__dur",
         applied.alias("applied"),
-        F.pmod(F.xxhash64(F.lit("n"), *seeds), F.lit(n_noises)).alias(
-            "__nidx"
-        ),
+        _u_mod([F.lit("n"), *seeds], F.lit(n_noises)).alias("__nidx"),
         (
             F.lit(lo10)
-            + F.pmod(
-                F.xxhash64(F.lit("s"), *seeds), F.lit(hi10 - lo10 + 1)
-            )
+            + _u_mod([F.lit("s"), *seeds], F.lit(hi10 - lo10 + 1))
         ).cast("int").alias("snr_db_x10"),
     )
     joined = drawn.join(F.broadcast(noise_slim), on="__nidx")
-    offset = F.pmod(
-        F.xxhash64(F.lit("o"), F.col("clip_id"), F.col("epoch"), F.lit(seed)),
+    offset = _u_mod(
+        [F.lit("o"), *seeds],
         F.greatest(F.col("noise_dur_ms") - F.col("__dur") + 1, F.lit(1)),
     ).cast("int")
     return joined.select(
@@ -263,10 +279,8 @@ def speed_perturb_plan(
     pick = F.element_at(
         F.array(*[F.lit(v) for v in fx100]),
         (
-            F.pmod(
-                F.xxhash64(
-                    F.lit("v"), F.col("clip_id"), F.col("epoch"), F.lit(seed)
-                ),
+            _u_mod(
+                [F.lit("v"), F.col("clip_id"), F.col("epoch"), F.lit(seed)],
                 F.lit(len(fx100)),
             )
             + 1

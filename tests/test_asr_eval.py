@@ -39,15 +39,16 @@ def test_normalize_matches_duckdb(spark):
     con = duckdb.connect()
     for cid, text, _ in rows:
         want = con.execute(
-            """SELECT trim(regexp_replace(regexp_replace(lower($1),
-                 '[^\\w'' ]', ' ', 'g'), ' +', ' ', 'g'))""",
+            r"""SELECT trim(regexp_replace(regexp_replace(lower($1),
+                 '[^\p{L}\p{N}'' ]', ' ', 'g'), ' +', ' ', 'g'))""",
             [text],
         ).fetchone()[0]
         if text is None:
             want = None
         assert got[cid] == want, (cid, got[cid], want)
-    # \t and \n are punctuation-class (not \w, ', or space): they become
-    # spaces and collapse — pinned:
+    # Unicode letters SURVIVE (\p{L}, not ASCII \w) — pinned:
+    assert got["c"] == "ümlauts über alles"
+    # \t and \n are punctuation-class: they become spaces and collapse:
     assert got["f"] == "tabs and newlines stay"
 
 

@@ -199,3 +199,11 @@ def test_speed_perturb_deterministic_and_shuffle_free(spark):
     assert "Exchange" not in p
     with pytest.raises(ValueError):
         speed_perturb_plan(_clips(spark), epochs=1, factors=())
+
+
+def test_noise_mix_rejects_duplicate_noise_ids(spark):
+    dup = spark.createDataFrame(
+        [("n-a", 5000), ("n-a", 100)], "noise_id string, dur_ms int"
+    )
+    with pytest.raises(ValueError, match="unique"):
+        noise_mix_plan(_clips(spark), dup, epochs=1)
