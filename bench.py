@@ -881,8 +881,12 @@ def run_bench(spark, sf_dir: str) -> dict:
         post = changelog.where("`cdc$operation` = 9").select(
             "clip_id", "dur_ms"
         )
+        # a clip updated N times has N postimages: reduce to one
+        # deterministic (id, dur) per clip before the uniqueness gate
         noises = (
-            post.orderBy("clip_id")
+            post.groupBy("clip_id")
+            .agg(F.max("dur_ms").alias("dur_ms"))
+            .orderBy("clip_id")
             .limit(500)
             .select(F.col("clip_id").alias("noise_id"), "dur_ms")
         )

@@ -134,7 +134,9 @@ def wer_scores(
             for r, h in zip(refs, hyps):
                 rw = r.split() if r else []
                 hw = h.split() if h else []
-                e = _word_edit_distance(rw, hw)
+                # correct transcriptions dominate real eval sets: equal
+                # strings are 0 edits without running the DP
+                e = 0 if r == h else _word_edit_distance(rw, hw)
                 n_ref.append(len(rw))
                 n_hyp.append(len(hw))
                 edits.append(e)
