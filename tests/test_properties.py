@@ -313,3 +313,49 @@ def test_backward_compat_nullable_add_ok_others_rejected(schema, extra_t):
         "fields": [{"name": f0["name"], "type": flipped_t}] + schema["fields"][1:],
     }
     assert not backward_compatible(schema, flipped)[0]
+
+
+# ------------------------------------------------------- WER edit distance
+
+
+words = st.lists(
+    st.sampled_from(["a", "b", "cat", "dog", "the", "x"]), max_size=10
+)
+
+
+@given(words, words)
+@settings(max_examples=200, deadline=None)
+def test_word_edit_distance_matches_matrix_dp(a, b):
+    from scylla_cdc_source_connector_spark.functions.asr_eval import (
+        _word_edit_distance,
+    )
+
+    m, n = len(a), len(b)
+    d = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m + 1):
+        d[i][0] = i
+    for j in range(n + 1):
+        d[0][j] = j
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            d[i][j] = min(
+                d[i - 1][j] + 1,
+                d[i][j - 1] + 1,
+                d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    assert _word_edit_distance(a, b) == d[m][n]
+
+
+@given(words, words, words)
+@settings(max_examples=100, deadline=None)
+def test_word_edit_distance_is_a_metric(a, b, c):
+    from scylla_cdc_source_connector_spark.functions.asr_eval import (
+        _word_edit_distance,
+    )
+
+    dab = _word_edit_distance(a, b)
+    # identity of indiscernibles + symmetry + bounds + triangle
+    assert (dab == 0) == (a == b)
+    assert dab == _word_edit_distance(b, a)
+    assert abs(len(a) - len(b)) <= dab <= max(len(a), len(b))
+    assert _word_edit_distance(a, c) <= dab + _word_edit_distance(b, c)
