@@ -391,14 +391,48 @@ def q_iceberg_latest_state_mirror(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     # pass 1: first snapshot only -> pure-append mirror pass
     run_iceberg_meta_stream(spark, cfg, loc)
-    iceberg_meta.maintain_latest_state_mirror(spark, cfg, mir)
+    c1 = iceberg_meta.maintain_latest_state_mirror(spark, cfg, mir)
+    s1 = iceberg_meta.current_metadata(mir)["current-snapshot-id"]
     # pass 2: second snapshot arrives -> overwrite pass (position deletes)
     if len(iceberg_meta.snapshots(loc)) == 1:
         iceberg_meta.append_files(
             loc, [os.path.join(loc, "data", "c1.parquet")], timestamp_ms=2
         )
     run_iceberg_meta_stream(spark, cfg, loc)
-    iceberg_meta.maintain_latest_state_mirror(spark, cfg, mir)
+    c2 = iceberg_meta.maintain_latest_state_mirror(spark, cfg, mir)
+    if c1 == 1 and c2 == 1:
+        # round-5 changelog leg (fresh runs — cached reruns have expired
+        # history): the mirror serves row-level changes BACK to
+        # downstream consumers; applying its own changelog over pass-1
+        # state must reproduce pass-2 state exactly (CDC in == CDC out)
+        cl = iceberg_meta.read_changelog(
+            spark, mir, after_snapshot_id=s1, identifier_columns=["clip_id"]
+        ).select("clip_id", "__ts_us", "_change_type")
+        agg = {
+            r["_change_type"]: r["n"]
+            for r in cl.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+        }
+        if agg.get("UPDATE_BEFORE", 0) != agg.get("UPDATE_AFTER", 0):
+            raise AssertionError(f"unpaired mirror changelog updates: {agg}")
+        key = lambda df: {  # noqa: E731
+            (r["clip_id"], r["__ts_us"])
+            for r in df.select("clip_id", "__ts_us").collect()
+        }
+        base = key(iceberg_meta.read_table(spark, mir, snapshot_id=s1))
+        now = key(iceberg_meta.read_table(spark, mir))
+        rows = cl.collect()
+        removed = {
+            (r["clip_id"], r["__ts_us"])
+            for r in rows
+            if r["_change_type"] in ("DELETE", "UPDATE_BEFORE")
+        }
+        added = {
+            (r["clip_id"], r["__ts_us"])
+            for r in rows
+            if r["_change_type"] in ("INSERT", "UPDATE_AFTER")
+        }
+        if (base - removed) | added != now:
+            raise AssertionError("mirror changelog does not replay to current state")
     # round-5 maintenance pair: fold the overwrite pass's delete files
     # into the data (replace snapshot) and reclaim everything only the
     # expired snapshots referenced — the result must be unchanged

@@ -983,6 +983,7 @@ def _commit_snapshot(
     timestamp_ms: int = 0,
     summary_extra: dict[str, str] | None = None,
     carry_prior: bool = True,
+    carry_content: str = "all",
     set_sort_order: list[str] | None = None,
     branch: str | None = None,
 ) -> int:
@@ -1170,6 +1171,10 @@ def _commit_snapshot(
             s for s in md["snapshots"] if s["snapshot-id"] == base_snap_id
         )
         _, _, prior = avro.read_container(cur["manifest-list"])
+        if carry_content == "data":
+            # delete-file rewrite shape: prior DATA manifests stay live,
+            # prior DELETE manifests are superseded by this commit's
+            prior = [m for m in prior if m["content"] == CONTENT_DATA]
     list_path = os.path.join(mdir, f"snap-{snap_id:020d}-{token}.avro")
     avro.write_container(
         list_path,
@@ -1943,6 +1948,378 @@ def read_changes(
         F.regexp_replace(F.col("_metadata.file_path"), _FILE_URI_RE, "/"),
     )
     return data.join(F.broadcast(fmap), "__fp").drop("__fp")
+
+
+_CHANGELOG_COLS = (
+    "_change_type",
+    "_change_ordinal",
+    "_commit_snapshot_id",
+    "_sequence_number",
+    "_commit_timestamp_ms",
+)
+
+
+def _changelog_batches(
+    location: str,
+    *,
+    after_snapshot_id: int | None = None,
+    from_timestamp_ms: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> list[dict]:
+    """Per-snapshot changelog manifest resolution over MAIN's ancestry:
+    for each snapshot in the (exclusive after / inclusive to] range, the
+    data files and position-delete files it ADDED plus a count of added
+    equality-delete files.  Unlike `added_files` (streaming delivery:
+    append snapshots only), delete/overwrite snapshots contribute here —
+    their deletes ARE the logical change.  "replace" snapshots (compaction,
+    manifest rewrites, delete-file rewrites) contribute nothing: rewritten
+    content is not a change."""
+    md = current_metadata(location)
+    snaps = snapshots(location)
+    after_seq = None
+    if after_snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == after_snapshot_id:
+                after_seq = s["sequence-number"]
+                break
+        else:
+            raise ValueError(
+                f"start snapshot {after_snapshot_id} not in table history "
+                "(expired?); re-run with from_timestamp_ms"
+            )
+    until_seq = None
+    if to_snapshot_id is not None:
+        until_seq = _resolve_snapshot(md, snapshot_id=to_snapshot_id)[
+            "sequence-number"
+        ]
+    main_line = _ancestors_of(md, md["current-snapshot-id"])
+    out = []
+    for s in snaps:
+        if s["snapshot-id"] not in main_line:
+            continue
+        if after_seq is not None and s["sequence-number"] <= after_seq:
+            continue
+        if until_seq is not None and s["sequence-number"] > until_seq:
+            continue
+        if (
+            from_timestamp_ms is not None
+            and s["timestamp-ms"] < from_timestamp_ms
+        ):
+            continue
+        op = s.get("summary", {}).get("operation", "append")
+        data_files: list[str] = []
+        pos_delete_files: list[str] = []
+        n_eq = 0
+        if op != "replace":
+            _, _, manifests = avro.read_container(s["manifest-list"])
+            for mf in manifests:
+                if mf["added_snapshot_id"] != s["snapshot-id"]:
+                    continue
+                _, _, entries = avro.read_container(mf["manifest_path"])
+                for e in entries:
+                    if e["status"] != ST_ADDED:
+                        continue
+                    df_ = e["data_file"]
+                    if df_["content"] == CONTENT_DATA:
+                        data_files.append(df_["file_path"])
+                    elif df_["content"] == CONTENT_POSITION_DELETES:
+                        pos_delete_files.append(df_["file_path"])
+                    elif df_["content"] == CONTENT_EQUALITY_DELETES:
+                        n_eq += 1
+        out.append(
+            {
+                "snapshot_id": s["snapshot-id"],
+                "sequence_number": s["sequence-number"],
+                "timestamp_ms": s["timestamp-ms"],
+                "operation": op,
+                "data_files": data_files,
+                "pos_delete_files": pos_delete_files,
+                "eq_delete_files": n_eq,
+            }
+        )
+    return out
+
+
+def read_changelog(
+    spark,
+    location: str,
+    *,
+    after_snapshot_id: int | None = None,
+    from_timestamp_ms: int | None = None,
+    to_snapshot_id: int | None = None,
+    identifier_columns: list[str] | None = None,
+    net_changes: bool = False,
+):
+    """Row-level CDC changelog BETWEEN snapshots — the jar path's
+    `create_changelog_view` procedure: every logical change the table
+    underwent in the (after, to] range as rows stamped `_change_type` ∈
+    {INSERT, DELETE, UPDATE_BEFORE, UPDATE_AFTER}, `_change_ordinal`
+    (dense per-commit index within the result), `_commit_snapshot_id`,
+    plus `_sequence_number`/`_commit_timestamp_ms` provenance.  This
+    closes the CDC loop: the engine consumes a changelog, mirrors
+    latest state as Iceberg (maintain_latest_state_mirror), and the
+    mirror itself now serves row-level change streams to downstream
+    consumers.
+
+    Semantics (matching Iceberg's changelog scan + ChangelogIterator):
+    - append snapshots → their added rows as INSERT;
+    - delete/overwrite snapshots → rows named by their position-delete
+      files as DELETE (content read back from the targeted data files),
+      their added rows as INSERT;
+    - replace snapshots (compaction/rewrites) → nothing: rewritten
+      content is not a logical change;
+    - equality-delete snapshots are REFUSED (same limitation as the
+      jar's changelog scan: the deleted-row content is not named
+      positionally, so producing it would need full per-commit state
+      reconstruction);
+    - `identifier_columns=[pk...]` computes updates: within one commit,
+      carry-overs (identical full row deleted and re-inserted) are
+      removed, then a DELETE+INSERT pair on the same key becomes
+      UPDATE_BEFORE/UPDATE_AFTER.  Multiple rows per (key, commit) on
+      a pairing side raise (ambiguous — same as Iceberg's
+      `computeUpdates` precondition);
+    - `net_changes=True` collapses the whole range per identical full
+      row: n_inserts - n_deletes > 0 emits the surplus as INSERT
+      (last insert commit's provenance), < 0 as DELETE (last delete
+      commit's), == 0 vanishes.  Mutually exclusive with
+      identifier_columns (Iceberg's procedure has the same rule).
+
+    Scale shape: ONE parquet scan for all INSERT rows + a broadcast
+    file→commit map (never a union of per-snapshot plans); ONE
+    positionally-annotated scan over the union of delete-targeted data
+    files inner-joined (broadcast — churn ≪ data) with the delete rows;
+    update pairing adds one hash-agg exchange (carry-over removal) and
+    one window exchange on (key, ordinal); net_changes is a single
+    full-row hash-agg."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if identifier_columns and net_changes:
+        raise ValueError(
+            "identifier_columns and net_changes are mutually exclusive"
+        )
+    batches = _changelog_batches(
+        location,
+        after_snapshot_id=after_snapshot_id,
+        from_timestamp_ms=from_timestamp_ms,
+        to_snapshot_id=to_snapshot_id,
+    )
+    bad = [b["snapshot_id"] for b in batches if b["eq_delete_files"]]
+    if bad:
+        raise ValueError(
+            "changelog read does not support equality-delete snapshots "
+            f"(snapshots {bad}): deleted-row content is not named "
+            "positionally; compact the table first or use a "
+            "position-delete mirror (delete_mode='position')"
+        )
+    contributing = [
+        b for b in batches if b["data_files"] or b["pos_delete_files"]
+    ]
+    ordinal = {
+        b["snapshot_id"]: i for i, b in enumerate(contributing)
+    }
+    sch = current_spark_schema(location)
+    data_cols = [f.name for f in sch.fields]
+    out_schema = StructType(
+        list(sch.fields)
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_change_ordinal", IntegerType()),
+            StructField("_commit_snapshot_id", LongType()),
+            StructField("_sequence_number", LongType()),
+            StructField("_commit_timestamp_ms", LongType()),
+        ]
+    )
+    if not contributing:
+        return spark.createDataFrame([], out_schema)
+
+    def _prov(b):
+        return (
+            ordinal[b["snapshot_id"]],
+            b["snapshot_id"],
+            b["sequence_number"],
+            b["timestamp_ms"],
+        )
+
+    prov_schema = (
+        "_change_ordinal int, _commit_snapshot_id long, "
+        "_sequence_number long, _commit_timestamp_ms long"
+    )
+    parts = []
+    ins_rows = [
+        (f, *_prov(b)) for b in contributing for f in b["data_files"]
+    ]
+    if ins_rows:
+        fmap = spark.createDataFrame(
+            ins_rows, "__fp string, " + prov_schema
+        )
+        ins = (
+            spark.read.parquet(*[r[0] for r in ins_rows])
+            .withColumn(
+                "__fp",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), _FILE_URI_RE, "/"
+                ),
+            )
+            .join(F.broadcast(fmap), "__fp")
+            .drop("__fp")
+            .withColumn("_change_type", F.lit("INSERT"))
+        )
+        parts.append(ins.select(*data_cols, *_CHANGELOG_COLS))
+    del_rows = [
+        (f, *_prov(b)) for b in contributing for f in b["pos_delete_files"]
+    ]
+    if del_rows:
+        # delete files are metadata-scale (churn, not data): resolve the
+        # targeted data files driver-side from their file_path column
+        targets: set[str] = set()
+        for f, *_ in del_rows:
+            targets.update(
+                pq.read_table(f, columns=["file_path"])
+                .column("file_path")
+                .to_pylist()
+            )
+        missing = [t for t in sorted(targets) if not os.path.exists(t)]
+        if missing:
+            raise ValueError(
+                "changelog delete targets no longer on disk (expired or "
+                f"orphan-reclaimed): {missing[:3]}... — narrow the range "
+                "past the expiry horizon"
+            )
+        dmap = spark.createDataFrame(
+            del_rows, "__dfp string, " + prov_schema
+        )
+        dels = (
+            spark.read.parquet(*[r[0] for r in del_rows])
+            .withColumn(
+                "__dfp",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), _FILE_URI_RE, "/"
+                ),
+            )
+            .join(F.broadcast(dmap), "__dfp")
+            .select(
+                F.col("file_path").alias("__fp"),
+                F.col("pos").alias("__pos"),
+                *_CHANGELOG_COLS[1:],
+            )
+        )
+        deleted = (
+            _with_file_pos(spark, sorted(targets))
+            .join(F.broadcast(dels), ["__fp", "__pos"])
+            .withColumn("_change_type", F.lit("DELETE"))
+        )
+        parts.append(deleted.select(*data_cols, *_CHANGELOG_COLS))
+    import functools
+
+    out = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    if identifier_columns:
+        missing_keys = [c for c in identifier_columns if c not in data_cols]
+        if missing_keys:
+            raise ValueError(f"identifier columns not in schema: {missing_keys}")
+        out = _changelog_compute_updates(out, data_cols, identifier_columns)
+    elif net_changes:
+        out = _changelog_net_changes(out, data_cols)
+    return out
+
+
+def _changelog_survivors(grouped):
+    """Expand a (…, __ni, __nd) count aggregate back to |__ni-__nd|
+    changelog rows of the surviving type — the shared tail of carry-over
+    removal and net-changes collapse."""
+    from pyspark.sql import functions as F
+
+    return (
+        grouped.withColumn("__n", F.abs(F.col("__ni") - F.col("__nd")))
+        .where(F.col("__n") > 0)
+        .withColumn(
+            "_change_type",
+            F.when(F.col("__ni") > F.col("__nd"), F.lit("INSERT")).otherwise(
+                F.lit("DELETE")
+            ),
+        )
+        .withColumn("__i", F.explode(F.expr("sequence(1, __n)")))
+        .drop("__ni", "__nd", "__n", "__i")
+    )
+
+
+def _changelog_compute_updates(out, data_cols, identifier_columns):
+    """ChangelogIterator semantics: (1) carry-over removal — within one
+    commit, min(n_insert, n_delete) identical full rows cancel (a row
+    rewritten to the same content is not a change); (2) update pairing —
+    a surviving DELETE+INSERT on the same key within one commit becomes
+    UPDATE_BEFORE/UPDATE_AFTER.  >1 row on a pairing side per (key,
+    commit) raises in-plan (raise_error — no extra validation job)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    prov = list(_CHANGELOG_COLS[1:])
+    g = out.groupBy(*data_cols, *prov).agg(
+        F.count(F.when(F.col("_change_type") == "INSERT", 1)).alias("__ni"),
+        F.count(F.when(F.col("_change_type") == "DELETE", 1)).alias("__nd"),
+    )
+    surv = _changelog_survivors(g)
+    w = Window.partitionBy(*identifier_columns, "_change_ordinal")
+    ni = F.count(F.when(F.col("_change_type") == "INSERT", 1)).over(w)
+    nd = F.count(F.when(F.col("_change_type") == "DELETE", 1)).over(w)
+    paired = (ni >= 1) & (nd >= 1)
+    relabel = (
+        F.when(
+            paired & ((ni > 1) | (nd > 1)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "cannot compute updates: multiple rows for one "
+                        "identifier within commit ordinal "
+                    ),
+                    F.col("_change_ordinal").cast("string"),
+                )
+            ),
+        )
+        .when(paired & (F.col("_change_type") == "DELETE"), F.lit("UPDATE_BEFORE"))
+        .when(paired & (F.col("_change_type") == "INSERT"), F.lit("UPDATE_AFTER"))
+        .otherwise(F.col("_change_type"))
+    )
+    return surv.withColumn("_change_type", relabel).select(
+        *data_cols, *_CHANGELOG_COLS
+    )
+
+
+def _changelog_net_changes(out, data_cols):
+    """Net effect of the whole range per identical full row: surplus
+    inserts emit INSERT with the LAST insert commit's provenance, surplus
+    deletes DELETE with the last delete commit's; balanced rows vanish
+    (the cross-commit generalization of carry-over removal)."""
+    from pyspark.sql import functions as F
+
+    prov = list(_CHANGELOG_COLS[1:])
+    pstruct = F.struct(*[F.col(c) for c in prov])
+    g = out.groupBy(*data_cols).agg(
+        F.count(F.when(F.col("_change_type") == "INSERT", 1)).alias("__ni"),
+        F.count(F.when(F.col("_change_type") == "DELETE", 1)).alias("__nd"),
+        F.max(
+            F.when(F.col("_change_type") == "INSERT", pstruct)
+        ).alias("__pi"),
+        F.max(
+            F.when(F.col("_change_type") == "DELETE", pstruct)
+        ).alias("__pd"),
+    )
+    surv = _changelog_survivors(g)
+    keep = F.when(F.col("_change_type") == "INSERT", F.col("__pi")).otherwise(
+        F.col("__pd")
+    )
+    return (
+        surv.withColumn("__p", keep)
+        .select(*data_cols, "_change_type", "__p.*")
+        .select(*data_cols, *_CHANGELOG_COLS)
+    )
 
 
 def write_position_deletes(
@@ -3143,6 +3520,95 @@ def rewrite_manifests(
     return stats
 
 
+def rewrite_position_delete_files(
+    spark,
+    location: str,
+    *,
+    min_files: int = 2,
+    timestamp_ms: int = 0,
+) -> dict:
+    """Delete-file maintenance — the jar's `rewrite_position_delete_files`
+    procedure: merge ALL live position-delete files into ONE sorted file
+    and drop DANGLING delete rows (rows whose target data file is no
+    longer in the live data set), committed as one "replace" snapshot
+    that carries the prior DATA manifests untouched (carry_content=
+    "data").  This keeps merge-on-read viable without the full data
+    rewrite compact_table does: a mirror that ran 10^4 upsert passes has
+    10^4 tiny delete files, every one of which every read must open and
+    broadcast — after the rewrite, reads pay ONE.
+
+    Logical no-op by construction (same rows hidden before and after), so
+    the streaming path sees the snapshot as a heartbeat and `read_changelog`
+    skips it (replace).  Refuses tables with live equality deletes:
+    re-committing an equality file would move it to a NEWER sequence
+    number and wrongly widen its strictly-older applicability window —
+    compact_table is the right tool there (same restriction as the jar
+    procedure, which handles position deletes only).
+
+    Returns {rewritten, dangling_dropped, delete_rows, snapshot_id}
+    (snapshot_id None when below min_files — nothing to gain)."""
+    from pyspark.sql import functions as F
+
+    plan = scan_files(location)
+    if plan["equality_deletes"]:
+        raise ValueError(
+            "table has live equality-delete files: rewriting would widen "
+            "their sequence-number applicability; use compact_table"
+        )
+    old = plan["delete_files"]
+    if len(old) < min_files:
+        return {
+            "rewritten": 0,
+            "dangling_dropped": 0,
+            "delete_rows": 0,
+            "snapshot_id": None,
+        }
+    live = spark.createDataFrame(
+        [(f,) for f in plan["files"]], "file_path string"
+    )
+    dels = spark.read.parquet(*old).select("file_path", "pos").distinct()
+    kept = dels.join(F.broadcast(live), "file_path", "left_semi")
+    n_before = dels.count()
+    md = current_metadata(location)
+    seq = md["last-sequence-number"] + 1
+    out_dir = os.path.join(
+        location, "data", f"deletes-rw-{seq:020d}-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        kept.repartition(1)
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    new_files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    import pyarrow.parquet as pq
+
+    n_after = sum(pq.read_metadata(f).num_rows for f in new_files)
+    snap_id = _commit_snapshot(
+        location,
+        [],
+        new_files,
+        operation="replace",
+        timestamp_ms=timestamp_ms,
+        carry_content="data",
+        summary_extra={
+            "rewrite": "position-deletes",
+            "removed-delete-files": str(len(old)),
+            "dangling-deletes-dropped": str(n_before - n_after),
+        },
+    )
+    return {
+        "rewritten": len(old),
+        "dangling_dropped": n_before - n_after,
+        "delete_rows": n_after,
+        "snapshot_id": snap_id,
+    }
+
+
 # ---------------------------------------------------------------------------
 # sink side: the emitted record stream as a real Iceberg table
 # ---------------------------------------------------------------------------
@@ -3282,6 +3748,7 @@ def maintain_latest_state_mirror(
     expire_keep_last: int | None = None,
     compact_sort_by: list[str] | None = None,
     remove_orphans_older_than_ms: int | None = None,
+    rewrite_deletes_at: int | None = None,
 ) -> int:
     """COMPACTED latest-state Iceberg mirror: one live row per primary
     key, maintained with ROW-LEVEL ops — new/updated keys append, stale
@@ -3325,7 +3792,11 @@ def maintain_latest_state_mirror(
     away, reads return to a plain scan) and — if `expire_keep_last=K` —
     expire_snapshots(keep_last=K), bounding BOTH the per-read MoR cost
     and the table's metadata/storage growth without a separate
-    maintenance scheduler.  `compact_sort_by=["clip_id"]` clusters each
+    maintenance scheduler.  `rewrite_deletes_at=N` is the lighter lever:
+    once N per-pass position-delete files accumulate they fold into ONE
+    via rewrite_position_delete_files (replace snapshot, data files
+    untouched) — bounding per-read MoR cost between full compactions.
+    `compact_sort_by=["clip_id"]` clusters each
     compaction pass on the key so the mirror's files carry disjoint key
     bounds — a point lookup of one clip's current state then opens O(1)
     of the mirror's files via column_ranges (the 10^12-clip current-state
@@ -3484,6 +3955,17 @@ def maintain_latest_state_mirror(
             [bid],
             0,
             extra={"expired": True} if bid in expired else None,
+        )
+    if (
+        rewrite_deletes_at is not None
+        and delete_mode == "position"
+        and os.path.exists(_version_hint(location))
+    ):
+        # lighter cadence than compact_every: once the mirror has
+        # accumulated N per-pass delete files, fold them into one (reads
+        # then broadcast ONE delete set, data files untouched)
+        rewrite_position_delete_files(
+            spark, location, min_files=rewrite_deletes_at
         )
     if compact_every is not None and os.path.exists(_version_hint(location)):
         snaps = snapshots(location)

@@ -2884,3 +2884,306 @@ def test_adhoc_resnapshot(spark, tmp_root):
     # re-chunking a started request is refused
     with pytest.raises(ValueError, match="n_chunks"):
         run_adhoc_resnapshot(spark, cfg, mir, "sig-1", keys=targets, n_chunks=5)
+
+
+# ---------------------------------------------------------------------------
+# round 5 (final session): row-level changelog reads + delete-file rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_read_changelog_inserts_and_deletes(spark, tmp_root):
+    """read_changelog emits INSERT rows per append commit and DELETE rows
+    (with the deleted row's CONTENT read back positionally) per delete
+    commit, with dense per-commit ordinals; bounds behave like
+    read_changes; replace snapshots are invisible."""
+    loc = _kv_table(tmp_root, "ice_cl_basic", n_files=2, rows_per=5)
+    im.delete_where(spark, loc, "v IN (1, 6)", timestamp_ms=5)  # snap 3
+
+    cl = im.read_changelog(spark, loc)
+    got = {
+        (r["v"], r["_change_type"], r["_change_ordinal"], r["_commit_snapshot_id"])
+        for r in cl.collect()
+    }
+    want = (
+        {(v, "INSERT", 0, 1) for v in range(5)}
+        | {(v, "INSERT", 1, 2) for v in range(5, 10)}
+        | {(1, "DELETE", 2, 3), (6, "DELETE", 2, 3)}
+    )
+    assert got == want
+    # the DELETE rows carry full row content (k read back from the file)
+    ks = {
+        r["k"] for r in cl.where("_change_type = 'DELETE'").collect()
+    }
+    assert ks == {"k1", "k6"}
+
+    # bounds: (after, to] — only the second append
+    mid = im.read_changelog(spark, loc, after_snapshot_id=1, to_snapshot_id=2)
+    assert {(r["v"], r["_change_type"]) for r in mid.collect()} == {
+        (v, "INSERT") for v in range(5, 10)
+    }
+    # compaction is not a logical change
+    assert im.compact_table(spark, loc) != -1
+    tail = im.read_changelog(spark, loc, after_snapshot_id=3)
+    assert tail.count() == 0
+    assert [f.name for f in tail.schema.fields][-5:] == [
+        "_change_type",
+        "_change_ordinal",
+        "_commit_snapshot_id",
+        "_sequence_number",
+        "_commit_timestamp_ms",
+    ]
+
+
+def test_read_changelog_update_pairing_and_carryover(spark, tmp_root):
+    """identifier_columns: within one overwrite commit a DELETE+INSERT on
+    the same key becomes UPDATE_BEFORE/UPDATE_AFTER; a row rewritten to
+    IDENTICAL content is a carry-over and vanishes; ambiguous pairings
+    (two inserts for one key in one commit) raise in-plan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = _kv_table(tmp_root, "ice_cl_upd", n_files=1, rows_per=4)
+    df0 = im.live_files(loc)[0]
+    # overwrite: k1 -> 100 (real update), k2 -> 2 (identical: carry-over)
+    newf = f"{loc}/data/upd.parquet"
+    pq.write_table(pa.table({"k": ["k1", "k2"], "v": [100, 2]}), newf)
+    dels = spark.createDataFrame(
+        [(df0, 1), (df0, 2)], "file_path string, pos long"
+    )
+    im.write_position_deletes(
+        spark, loc, dels, data_files=[newf], operation="overwrite",
+        timestamp_ms=10,
+    )
+
+    raw = im.read_changelog(spark, loc, after_snapshot_id=1)
+    assert {
+        (r["k"], r["v"], r["_change_type"]) for r in raw.collect()
+    } == {
+        ("k1", 1, "DELETE"),
+        ("k2", 2, "DELETE"),
+        ("k1", 100, "INSERT"),
+        ("k2", 2, "INSERT"),
+    }
+    upd = im.read_changelog(
+        spark, loc, after_snapshot_id=1, identifier_columns=["k"]
+    )
+    assert {
+        (r["k"], r["v"], r["_change_type"]) for r in upd.collect()
+    } == {
+        ("k1", 1, "UPDATE_BEFORE"),
+        ("k1", 100, "UPDATE_AFTER"),
+    }
+    # full-range: k1's original insert stays INSERT (different commit)
+    full = im.read_changelog(spark, loc, identifier_columns=["k"])
+    assert full.where("k = 'k1'").count() == 3
+
+    # ambiguity: two inserts for one key in one commit
+    dupf = f"{loc}/data/dup.parquet"
+    pq.write_table(pa.table({"k": ["k3", "k3"], "v": [7, 8]}), dupf)
+    dels2 = spark.createDataFrame([(df0, 3)], "file_path string, pos long")
+    sid = im.write_position_deletes(
+        spark, loc, dels2, data_files=[dupf], operation="overwrite",
+        timestamp_ms=11,
+    )
+    with pytest.raises(Exception, match="multiple rows"):
+        im.read_changelog(
+            spark, loc, after_snapshot_id=2, identifier_columns=["k"]
+        ).collect()
+    # without pairing the same range reads fine
+    assert (
+        im.read_changelog(spark, loc, after_snapshot_id=2).count() == 3
+    )
+    assert sid > 0
+
+
+def test_read_changelog_net_changes(spark, tmp_root):
+    """net_changes collapses insert+delete of the same row across
+    commits; surviving changes carry the LAST relevant commit's
+    provenance; mutually exclusive with identifier_columns."""
+    loc = _kv_table(tmp_root, "ice_cl_net", n_files=1, rows_per=4)
+    im.delete_where(spark, loc, "k = 'k1'", timestamp_ms=5)  # snap 2
+
+    net = im.read_changelog(spark, loc, net_changes=True)
+    got = {(r["k"], r["_change_type"], r["_commit_snapshot_id"]) for r in net.collect()}
+    assert got == {
+        ("k0", "INSERT", 1),
+        ("k2", "INSERT", 1),
+        ("k3", "INSERT", 1),
+    }
+    # range starting past the insert: the delete survives as net DELETE
+    tail = im.read_changelog(
+        spark, loc, after_snapshot_id=1, net_changes=True
+    )
+    assert {(r["k"], r["_change_type"]) for r in tail.collect()} == {
+        ("k1", "DELETE")
+    }
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        im.read_changelog(
+            spark, loc, identifier_columns=["k"], net_changes=True
+        )
+
+
+def test_read_changelog_refuses_equality_deletes(spark, tmp_root):
+    loc = _kv_table(tmp_root, "ice_cl_eq", n_files=1, rows_per=4)
+    im.write_equality_deletes(
+        spark,
+        loc,
+        spark.createDataFrame([("k1",)], "k string"),
+        ["k"],
+        timestamp_ms=5,
+    )
+    with pytest.raises(ValueError, match="equality-delete"):
+        im.read_changelog(spark, loc)
+    # a range excluding the equality commit still reads
+    assert (
+        im.read_changelog(spark, loc, to_snapshot_id=1).count() == 4
+    )
+
+
+def test_mirror_changelog_roundtrip(spark, tmp_root, ice_pdf):
+    """The CDC loop closes: changelog -> sink -> latest-state mirror ->
+    read_changelog serves row-level changes BACK to downstream consumers.
+    Applying the mirror's changelog over its pass-1 state reproduces its
+    pass-2 state exactly, and every UPDATE_BEFORE pairs with exactly one
+    UPDATE_AFTER on the same key."""
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    loc, _sids = _ice_table(tmp_root, ice_pdf, "ice_clrt_src", n_snaps=2)
+    cfg = _cfg(tmp_root, "ice_clrt")
+    run_iceberg_meta_stream(spark, cfg, loc)
+    mir = f"{tmp_root}/ice_clrt_mirror"
+    assert im.maintain_latest_state_mirror(spark, cfg, mir) == 1
+    s1 = im.current_metadata(mir)["current-snapshot-id"]
+
+    extra = ice_pdf.iloc[:200].copy()
+    extra["cdc$time"] = extra["cdc$time"] + pd.Timedelta(hours=2)
+    extra["cdc$time_us"] = extra["cdc$time_us"] + 7_200_000_000
+    p = f"{loc}/data/extra.parquet"
+    write_changelog_chunk(extra, p)
+    im.append_files(loc, [p], timestamp_ms=9000)
+    run_iceberg_meta_stream(spark, cfg, loc)
+    assert im.maintain_latest_state_mirror(spark, cfg, mir) == 1
+
+    key = lambda df: {  # noqa: E731
+        (r["clip_id"], r["__ts_us"]) for r in df.select("clip_id", "__ts_us").collect()
+    }
+    base = key(im.read_table(spark, mir, snapshot_id=s1))
+    now = key(im.read_table(spark, mir))
+    cl = im.read_changelog(
+        spark, mir, after_snapshot_id=s1, identifier_columns=["clip_id"]
+    )
+    rows = cl.select("clip_id", "__ts_us", "_change_type").collect()
+    removed = {
+        (r["clip_id"], r["__ts_us"])
+        for r in rows
+        if r["_change_type"] in ("DELETE", "UPDATE_BEFORE")
+    }
+    added = {
+        (r["clip_id"], r["__ts_us"])
+        for r in rows
+        if r["_change_type"] in ("INSERT", "UPDATE_AFTER")
+    }
+    assert (base - removed) | added == now
+    assert removed <= base and added.isdisjoint(base)
+    # pairing is exact: one BEFORE per AFTER per key
+    befores = sorted(
+        r["clip_id"] for r in rows if r["_change_type"] == "UPDATE_BEFORE"
+    )
+    afters = sorted(
+        r["clip_id"] for r in rows if r["_change_type"] == "UPDATE_AFTER"
+    )
+    assert befores == afters and len(befores) > 0
+
+
+def test_rewrite_position_delete_files(spark, tmp_root):
+    """Delete-file maintenance: N per-commit delete files fold into ONE
+    sorted file, dangling rows (targets no longer live) drop, read_table
+    parity holds, the replace snapshot is a stream heartbeat and invisible
+    to read_changelog; below min_files it is a no-op; equality deletes
+    refuse."""
+    loc = _kv_table(tmp_root, "ice_rwdel", n_files=3, rows_per=10)
+    im.delete_where(spark, loc, "v % 2 = 0", timestamp_ms=5)
+    im.delete_where(spark, loc, "v = 1", timestamp_ms=6)
+    im.delete_where(spark, loc, "v = 3", timestamp_ms=7)
+    # a dangling delete: its target file is not in the live data set
+    im.write_position_deletes(
+        spark,
+        loc,
+        spark.createDataFrame(
+            [(f"{loc}/data/ghost.parquet", 0)], "file_path string, pos long"
+        ),
+        timestamp_ms=8,
+    )
+    before = {(r["k"], r["v"]) for r in im.read_table(spark, loc).collect()}
+    assert len(im.scan_files(loc)["delete_files"]) == 4
+
+    stats = im.rewrite_position_delete_files(spark, loc, timestamp_ms=9)
+    assert stats["rewritten"] == 4
+    assert stats["dangling_dropped"] == 1
+    assert stats["delete_rows"] == 17  # 15 evens + v=1 + v=3
+    plan = im.scan_files(loc)
+    assert len(plan["delete_files"]) == 1
+    after = {(r["k"], r["v"]) for r in im.read_table(spark, loc).collect()}
+    assert after == before
+    # merged file is sorted as the spec requires
+    pairs = [
+        (r["file_path"], r["pos"])
+        for r in spark.read.parquet(*plan["delete_files"]).collect()
+    ]
+    assert pairs == sorted(pairs)
+    # replace snapshot: stream heartbeat, changelog-invisible
+    last = im.current_metadata(loc)["current-snapshot-id"]
+    assert im.added_files(loc)[-1] == im.added_files(loc)[-1]  # shape only
+    assert im.added_files(loc)[-1]["files"] == []
+    assert (
+        im.read_changelog(spark, loc, after_snapshot_id=8).count() == 0
+    )
+    assert last == stats["snapshot_id"]
+    # idempotence: one file left -> below min_files -> no-op
+    again = im.rewrite_position_delete_files(spark, loc)
+    assert again["snapshot_id"] is None
+    # equality deletes refuse
+    loc2 = _kv_table(tmp_root, "ice_rwdel_eq", n_files=1, rows_per=4)
+    im.write_equality_deletes(
+        spark,
+        loc2,
+        spark.createDataFrame([("k0",)], "k string"),
+        ["k"],
+        timestamp_ms=5,
+    )
+    im.delete_where(spark, loc2, "v = 3", timestamp_ms=6)
+    with pytest.raises(ValueError, match="equality"):
+        im.rewrite_position_delete_files(spark, loc2, min_files=1)
+
+
+def test_mirror_rewrite_deletes_cadence(spark, tmp_root, ice_pdf):
+    """rewrite_deletes_at on the mirror folds accumulated per-pass delete
+    files without touching data files or re-delivering rows."""
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    loc, _sids = _ice_table(tmp_root, ice_pdf, "ice_rwc_src", n_snaps=1)
+    cfg = _cfg(tmp_root, "ice_rwc")
+    run_iceberg_meta_stream(spark, cfg, loc)
+    mir = f"{tmp_root}/ice_rwc_mirror"
+    assert im.maintain_latest_state_mirror(spark, cfg, mir) == 1
+
+    # three update waves -> three overwrite passes, one delete file each
+    for i in range(1, 4):
+        extra = ice_pdf.iloc[: 100 * i].copy()
+        extra["cdc$time"] = extra["cdc$time"] + pd.Timedelta(hours=i)
+        extra["cdc$time_us"] = extra["cdc$time_us"] + i * 3_600_000_000
+        p = f"{loc}/data/wave{i}.parquet"
+        write_changelog_chunk(extra, p)
+        im.append_files(loc, [p], timestamp_ms=9000 + i)
+        run_iceberg_meta_stream(spark, cfg, loc)
+        im.maintain_latest_state_mirror(
+            spark, cfg, mir, rewrite_deletes_at=3
+        )
+    plan = im.scan_files(mir)
+    assert len(plan["delete_files"]) == 1  # folded at the third pass
+    want = im.read_table(spark, mir).count()
+    assert want == im.read_table(spark, mir).select("clip_id").distinct().count()
