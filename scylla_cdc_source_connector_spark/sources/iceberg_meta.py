@@ -455,6 +455,17 @@ def _commit_via_catalog(binding, location: str, new_md: dict, version: int):
             updates.append(
                 {"action": "remove-snapshot-ref", "ref-name": rname}
             )
+    old_stats = {e["snapshot-id"]: e for e in old.get("statistics", [])}
+    new_stats = {
+        e["snapshot-id"]: e for e in new_md.get("statistics", [])
+    }
+    for sid, e in sorted(new_stats.items()):
+        if old_stats.get(sid) != e:
+            updates.append(
+                {"action": "set-statistics", "snapshot-id": sid, "statistics": e}
+            )
+    for sid in sorted(set(old_stats) - set(new_stats)):
+        updates.append({"action": "remove-statistics", "snapshot-id": sid})
     base_cur = old["current-snapshot-id"]
     client.commit_table(
         ns,
@@ -2464,6 +2475,7 @@ _METADATA_TABLE_KINDS = (
     "files",
     "partitions",
     "refs",
+    "statistics",
 )
 
 
@@ -2485,6 +2497,8 @@ def metadata_table(spark, location: str, kind: str):
                    (data AND delete files)
       partitions — per live partition tuple: record_count, file_count
       refs       — name/type/snapshot_id (main branch)
+      statistics — registered Puffin stats files: snapshot_id, path,
+                   size, blob_count, ndv map (column -> estimate)
 
     Metadata-scale rows built on the driver (same cost class as scan
     planning itself) and returned as a DataFrame so they compose with
@@ -2561,6 +2575,37 @@ def metadata_table(spark, location: str, kind: str):
             (name, r["type"], r["snapshot-id"])
             for name, r in sorted(list_refs(location).items())
         ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "statistics":
+        schema = S(
+            [
+                F_("snapshot_id", LongType()),
+                F_("statistics_path", StringType()),
+                F_("file_size_in_bytes", LongType()),
+                F_("blob_count", IntegerType()),
+                F_("ndv", MapType(StringType(), LongType())),
+            ]
+        )
+        cur_schema = md["schemas"][md["current-schema-id"]]
+        by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
+        rows = []
+        for e in md.get("statistics", []):
+            ndv = {}
+            for b in e.get("blob-metadata", []):
+                p = b.get("properties", {})
+                if "ndv" in p and len(b.get("fields", [])) == 1:
+                    name = by_id.get(b["fields"][0])
+                    if name is not None:
+                        ndv[name] = int(p["ndv"])
+            rows.append(
+                (
+                    e["snapshot-id"],
+                    e["statistics-path"],
+                    e["file-size-in-bytes"],
+                    len(e.get("blob-metadata", [])),
+                    ndv,
+                )
+            )
         return spark.createDataFrame(rows, schema)
 
     # manifest-list-backed kinds

@@ -171,6 +171,24 @@ def _apply_updates(md: dict, updates: list[dict]) -> dict:
             md["default-sort-order-id"] = oid
         elif action == "set-properties":
             md.setdefault("properties", {}).update(u["updates"])
+        elif action == "set-statistics":
+            # spec: one statistics-file entry per snapshot; setting
+            # replaces that snapshot's entry
+            entry = u["statistics"]
+            sid = u.get("snapshot-id", entry["snapshot-id"])
+            stats = [
+                e
+                for e in md.get("statistics", [])
+                if e["snapshot-id"] != sid
+            ]
+            stats.append(entry)
+            md["statistics"] = stats
+        elif action == "remove-statistics":
+            md["statistics"] = [
+                e
+                for e in md.get("statistics", [])
+                if e["snapshot-id"] != u["snapshot-id"]
+            ]
         else:
             raise ValueError(f"unsupported update action {action!r}")
     return md

@@ -3187,3 +3187,193 @@ def test_mirror_rewrite_deletes_cadence(spark, tmp_root, ice_pdf):
     assert len(plan["delete_files"]) == 1  # folded at the third pass
     want = im.read_table(spark, mir).count()
     assert want == im.read_table(spark, mir).select("clip_id").distinct().count()
+
+
+def test_puffin_container_roundtrip(tmp_root):
+    """Puffin file structure per spec: leading magic, blobs, footer =
+    magic + JSON payload + size + flags + magic; blob metadata and
+    payload bytes round-trip; corrupt frames are refused."""
+    from scylla_cdc_source_connector_spark.sources import puffin as pf
+
+    p = f"{tmp_root}/stats.puffin"
+    blobs = [
+        {
+            "type": pf.BLOB_TYPE_KMV,
+            "fields": [1],
+            "snapshot_id": 7,
+            "sequence_number": 7,
+            "payload": b"\x01\x02\x03",
+            "properties": {"ndv": "3"},
+        },
+        {
+            "type": pf.BLOB_TYPE_KMV,
+            "fields": [2],
+            "snapshot_id": 7,
+            "sequence_number": 7,
+            "payload": b"\xff" * 16,
+            "properties": {"ndv": "2"},
+        },
+    ]
+    sizes = pf.write_puffin(p, blobs, properties={"created-by": "sccs"})
+    assert sizes["file_size"] == os.path.getsize(p)
+    raw = open(p, "rb").read()
+    assert raw[:4] == pf.MAGIC and raw[-4:] == pf.MAGIC
+    back = pf.read_puffin(p)
+    assert back["properties"] == {"created-by": "sccs"}
+    assert [b["payload"] for b in back["blobs"]] == [b"\x01\x02\x03", b"\xff" * 16]
+    assert back["blobs"][0]["fields"] == [1]
+    assert back["blobs"][1]["properties"]["ndv"] == "2"
+    # corrupt: flip a footer byte
+    bad = f"{tmp_root}/bad.puffin"
+    open(bad, "wb").write(raw[:-5] + b"X" + raw[-4:])
+    with pytest.raises(ValueError):
+        pf.read_puffin(bad)
+
+
+def test_kmv_estimator_properties():
+    """KMV math: exhaustive sketches are exact; estimates over K distinct
+    values land within a few relative standard errors (RSE ~ 1/sqrt(K));
+    merging partition sketches equals one global sketch."""
+    import numpy as np
+
+    from scylla_cdc_source_connector_spark.sources import puffin as pf
+
+    rng = np.random.RandomState(7)
+    k = 256
+    # exhaustive: n < k -> exact
+    small = np.sort(rng.randint(0, 1 << 62, size=100).astype(np.uint64))
+    assert pf.kmv_estimate(np.unique(small)[:k], k) == len(np.unique(small))
+    # large: ~50k distinct uniform hashes, estimate within 4 RSE
+    h = np.unique(
+        rng.randint(0, 1 << 63, size=50_000).astype(np.uint64) * 2
+    )
+    n = len(h)  # collisions at 2^64 are negligible; n ~= 50k
+    sk = np.sort(h)[:k]
+    est = pf.kmv_estimate(sk, k)
+    rse = 1.0 / np.sqrt(k - 2)
+    assert abs(est - n) < 4 * rse * n
+    # merge == global
+    parts = np.array_split(rng.permutation(h), 7)
+    blobs = [np.sort(p.astype(np.uint64))[:k].astype("<u8").tobytes() for p in parts]
+    merged = pf.kmv_merge(blobs, k)
+    assert np.array_equal(merged, np.sort(h)[:k])
+
+
+def test_compute_table_stats_and_ndv(spark, tmp_root):
+    """compute_table_stats: one no-shuffle pass writes a Puffin file and
+    registers it in table metadata; ndv_estimates reads the footer
+    properties back; NULLs are excluded; MoR deletes are respected (stats
+    run over read_table); staleness is surfaced and strict-refused."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    from scylla_cdc_source_connector_spark.sources import puffin as pf
+
+    loc = f"{tmp_root}/ice_stats"
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(f"{loc}/data")
+    im.create_table(
+        loc,
+        T.StructType(
+            [
+                T.StructField("k", T.StringType(), False),
+                T.StructField("v", T.LongType(), True),
+                T.StructField("grp", T.StringType(), True),
+            ]
+        ),
+    )
+    n = 500
+    pq.write_table(
+        pa.table(
+            {
+                "k": [f"k{i}" for i in range(n)],
+                # 100 distinct non-null values + nulls (excluded from NDV)
+                "v": [i % 100 if i % 5 else None for i in range(n)],
+                "grp": [f"g{i % 7}" for i in range(n)],
+            }
+        ),
+        f"{loc}/data/f0.parquet",
+    )
+    im.append_files(loc, [f"{loc}/data/f0.parquet"], timestamp_ms=1)
+    res = pf.compute_table_stats(spark, loc)
+    assert set(res["ndv"]) == {"k", "v", "grp"}
+    assert res["ndv"]["k"] == n  # exhaustive below K -> exact
+    assert res["ndv"]["grp"] == 7
+    # nulls excluded: 99 distinct non-null values (i%100 with i%5!=0
+    # never hits 0 mod 100? it does at i=100*m where m%5!=0 -> i%5==0
+    # only when m%5... compute directly:
+    want_v = len({i % 100 for i in range(n) if i % 5})
+    assert res["ndv"]["v"] == want_v
+
+    back = pf.ndv_estimates(loc)
+    assert back["stale"] is False and back["ndv"] == res["ndv"]
+    # metadata entry carries spec fields
+    entry = im.current_metadata(loc)["statistics"][0]
+    assert entry["snapshot-id"] == res["snapshot_id"]
+    assert os.path.getsize(entry["statistics-path"]) == entry["file-size-in-bytes"]
+    assert entry["blob-metadata"][0]["type"] == pf.BLOB_TYPE_KMV
+
+    # MoR respected: delete rows, recompute -> grp g0 vanishes only if
+    # all its rows deleted; delete v is even -> half the values drop
+    im.delete_where(spark, loc, "k = 'k0'", timestamp_ms=2)
+    stale = pf.ndv_estimates(loc)
+    assert stale["stale"] is True
+    with pytest.raises(ValueError, match="stale"):
+        pf.ndv_estimates(loc, strict=True)
+    res2 = pf.compute_table_stats(spark, loc, columns=["k"])
+    assert res2["ndv"]["k"] == n - 1
+    fresh = pf.ndv_estimates(loc)
+    assert fresh["stale"] is False and fresh["ndv"] == {"k": n - 1}
+    # $statistics metadata table composes with SQL
+    st = im.metadata_table(spark, loc, "statistics").orderBy("snapshot_id")
+    rows = st.collect()
+    assert [r["snapshot_id"] for r in rows] == [1, 2]
+    assert rows[-1]["ndv"] == {"k": n - 1}
+    assert rows[0]["blob_count"] == 3
+
+
+def test_compute_table_stats_accuracy_and_catalog(spark, tmp_root):
+    """Above-K cardinalities estimate within the KMV error bound through
+    the full Spark path, and stats commits route through a bound REST
+    catalog as set-statistics actions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    from scylla_cdc_source_connector_spark.sources import puffin as pf
+    from scylla_cdc_source_connector_spark.sources.iceberg_rest_catalog import (
+        RestCatalog,
+        StubRestCatalog,
+    )
+
+    loc = f"{tmp_root}/ice_stats_big"
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(f"{loc}/data")
+    im.create_table(
+        loc, T.StructType([T.StructField("id", T.LongType(), False)])
+    )
+    n = 40_000
+    pq.write_table(
+        pa.table({"id": list(range(n))}), f"{loc}/data/f0.parquet"
+    )
+    im.append_files(loc, [f"{loc}/data/f0.parquet"], timestamp_ms=1)
+
+    stub = StubRestCatalog()
+    try:
+        client = RestCatalog(stub.url)
+        im.bind_catalog(loc, client, "ns", "stats_big")
+        res = pf.compute_table_stats(spark, loc, k=512)
+        est = res["ndv"]["id"]
+        assert abs(est - n) < 4 * n / (512 - 2) ** 0.5
+        # the catalog holds the statistics entry too (set-statistics
+        # applied server-side), and loadTable returns it
+        srv = client.load_table("ns", "stats_big")["metadata"]
+        assert srv["statistics"][0]["snapshot-id"] == res["snapshot_id"]
+        assert (
+            srv["statistics"][0]["blob-metadata"][0]["properties"]["ndv"]
+            == str(est)
+        )
+    finally:
+        im.unbind_catalog(loc)
+        stub.close()
