@@ -384,6 +384,31 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["bootstrap_r_rows"] = timed("iceberg_bootstrap", _bootstrap)
 
+    # round-5 final session: row-level changelog read over the bench
+    # changelog table (ONE scan + broadcast file->commit provenance map)
+    # and the no-shuffle KMV NDV stats pass over its metadata columns
+    # (payload bytes never read — columns pruned at the scan)
+    def _changelog_read():
+        from scylla_cdc_source_connector_spark.sources import iceberg_meta
+
+        return iceberg_meta.read_changelog(spark, ice_loc).count()
+
+    extra["iceberg_changelog_rows"] = timed(
+        "iceberg_changelog", _changelog_read
+    )
+
+    def _table_stats():
+        from scylla_cdc_source_connector_spark.sources import puffin
+
+        res = puffin.compute_table_stats(
+            spark,
+            ice_loc,
+            columns=["clip_id", "cdc$operation", "sr_hz", "codec"],
+        )
+        return res["ndv"]["clip_id"]
+
+    extra["iceberg_stats_ndv_clips"] = timed("iceberg_stats", _table_stats)
+
     # reference-shaped per-group state machine, capped input (it is the
     # slow path by construction; measured for the comparison record)
     stateful_rows = min(n_changelog_rows, 5000)

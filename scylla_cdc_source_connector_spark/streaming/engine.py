@@ -371,6 +371,13 @@ def run_generations(
     return emitted
 
 
+#: sub-batch id stride for snapshot-splitting backpressure: batch_id =
+#: sequence_number * stride + chunk_index.  Fixed (not derived from the
+#: chunk count) so resume recomputes identical ids; a snapshot needing
+#: >= stride chunks refuses loudly instead of colliding.
+_SPLIT_STRIDE = 1_000_000
+
+
 def run_iceberg_meta_stream(
     spark: SparkSession,
     cfg: EngineConfig,
@@ -382,6 +389,7 @@ def run_iceberg_meta_stream(
     partition_ranges: dict[str, tuple] | None = None,
     from_sequence: int | None = None,
     source_identity: str | None = None,
+    max_files_per_batch: int | None = None,
 ) -> dict:
     """Drain an Iceberg changelog table WITHOUT the runtime jar.
 
@@ -419,6 +427,18 @@ def run_iceberg_meta_stream(
     `source_identity` overrides the lineage-namespace stamp for callers
     that compose this drain into a larger stream (same refusal rule).
 
+    `max_files_per_batch=N` is snapshot-splitting backpressure — the jar
+    source's `streaming-max-files-per-micro-batch`: a snapshot whose
+    file list exceeds N drains as ceil(files/N) deterministic
+    sub-batches (sorted file order, batch_id = sequence_number * 10^6 +
+    chunk index), each an independently committed exactly-once unit, so
+    ONE giant backlog snapshot (a bulk import, a resumed week of
+    changes) can never force a micro-batch past executor memory.  A
+    crash between sub-batches resumes at the first uncommitted chunk.
+    The split factor is part of the stream identity (stamped in
+    lineage): changing it mid-stream would re-chunk committed snapshots
+    and is refused.
+
     Returns {"consumed": [snapshot ids run this call],
              "skipped": [snapshot ids already committed],
              "emitted_total": rows in the exactly-once view afterwards,
@@ -432,11 +452,15 @@ def run_iceberg_meta_stream(
         stamp_source,
     )
 
+    if max_files_per_batch is not None and max_files_per_batch < 1:
+        raise ValueError("max_files_per_batch must be >= 1")
     scope = ""
     if partition_ranges:
         scope = ":" + ",".join(
             f"{k}=[{lo},{hi}]" for k, (lo, hi) in sorted(partition_ranges.items())
         )
+    if max_files_per_batch is not None:
+        scope += f":split={max_files_per_batch}"
     stamp_source(
         cfg,
         source_identity
@@ -463,23 +487,59 @@ def run_iceberg_meta_stream(
         from_timestamp_ms=lookback,
         partition_ranges=partition_ranges,
     ):
-        bid = b["sequence_number"]
-        if from_sequence is not None and bid <= from_sequence:
+        seq = b["sequence_number"]
+        if from_sequence is not None and seq <= from_sequence:
             skipped.append(b["snapshot_id"])
             continue
-        if bid in committed:
-            skipped.append(b["snapshot_id"])
+        if max_files_per_batch is None:
+            if seq in committed:
+                skipped.append(b["snapshot_id"])
+                continue
+            manifests_skipped += b["manifests_skipped"]
+            files_skipped += b["files_skipped"]
+            if b["files"]:
+                df = spark.read.schema(table.changelog_schema()).parquet(
+                    *b["files"]
+                )
+            else:
+                # empty snapshot = the heartbeat case: run the sink anyway
+                # so lineage/offsets advance exactly like an empty CDC
+                # window (K4)
+                df = spark.createDataFrame([], table.changelog_schema())
+            sink_fn(df, seq)
+            consumed.append(b["snapshot_id"])
             continue
-        manifests_skipped += b["manifests_skipped"]
-        files_skipped += b["files_skipped"]
-        if b["files"]:
-            df = spark.read.schema(table.changelog_schema()).parquet(*b["files"])
+        # split mode: deterministic sorted-file chunks, each its own
+        # exactly-once sub-batch (bid = seq * stride + chunk index)
+        files = sorted(b["files"])
+        chunks = [
+            files[i : i + max_files_per_batch]
+            for i in range(0, len(files), max_files_per_batch)
+        ] or [[]]
+        if len(chunks) >= _SPLIT_STRIDE:
+            raise ValueError(
+                f"snapshot {b['snapshot_id']} splits into {len(chunks)} "
+                f"sub-batches (>= {_SPLIT_STRIDE}); raise max_files_per_batch"
+            )
+        ran = False
+        for ci, chunk in enumerate(chunks):
+            bid = seq * _SPLIT_STRIDE + ci
+            if bid in committed:
+                continue
+            if chunk:
+                df = spark.read.schema(table.changelog_schema()).parquet(
+                    *chunk
+                )
+            else:
+                df = spark.createDataFrame([], table.changelog_schema())
+            sink_fn(df, bid)
+            ran = True
+        if ran:
+            manifests_skipped += b["manifests_skipped"]
+            files_skipped += b["files_skipped"]
+            consumed.append(b["snapshot_id"])
         else:
-            # empty snapshot = the heartbeat case: run the sink anyway so
-            # lineage/offsets advance exactly like an empty CDC window (K4)
-            df = spark.createDataFrame([], table.changelog_schema())
-        sink_fn(df, bid)
-        consumed.append(b["snapshot_id"])
+            skipped.append(b["snapshot_id"])
     return {
         "consumed": consumed,
         "skipped": skipped,

@@ -3377,3 +3377,72 @@ def test_compute_table_stats_accuracy_and_catalog(spark, tmp_root):
     finally:
         im.unbind_catalog(loc)
         stub.close()
+
+
+def test_iceberg_stream_split_backpressure(spark, tmp_root, ice_pdf):
+    """max_files_per_batch: a multi-file snapshot drains as deterministic
+    sub-batches with exact parity vs the unsplit drain; a crash between
+    sub-batches resumes at the first uncommitted chunk; changing the
+    split factor on an existing lineage is refused."""
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+    from scylla_cdc_source_connector_spark.streaming.engine import _SPLIT_STRIDE
+
+    # one snapshot carrying FOUR files (the bulk-import shape)
+    loc = f"{tmp_root}/ice_split_src"
+    shutil.rmtree(loc, ignore_errors=True)
+    im.create_table(loc, DEFAULT_TABLE.changelog_schema(), created_ms=0)
+    size = (len(ice_pdf) + 3) // 4
+    paths = []
+    for i in range(4):
+        p = f"{loc}/data/bulk-{i}.parquet"
+        write_changelog_chunk(ice_pdf.iloc[i * size : (i + 1) * size], p)
+        paths.append(p)
+    sid = im.append_files(loc, paths, timestamp_ms=1000)
+
+    cfg = _cfg(tmp_root, "ice_split")
+    res = run_iceberg_meta_stream(spark, cfg, loc, max_files_per_batch=2)
+    assert res["consumed"] == [sid]
+    bids = sink_mod.committed_batch_ids(cfg)
+    assert bids == [sid * _SPLIT_STRIDE, sid * _SPLIT_STRIDE + 1]
+
+    # parity vs the unsplit drain of the same table
+    ctrl = _cfg(tmp_root, "ice_split_ctrl")
+    run_iceberg_meta_stream(spark, ctrl, loc)
+    key = lambda c: {  # noqa: E731
+        (r["clip_id"], r["cdc$time_us"], r["op"])
+        for r in sink_mod.read_emitted(spark, c)
+        .select("clip_id", "`cdc$time_us`", F.col("value.op").alias("op"))
+        .collect()
+    }
+    assert key(cfg) == key(ctrl)
+
+    # idempotent rerun
+    res2 = run_iceberg_meta_stream(spark, cfg, loc, max_files_per_batch=2)
+    assert res2["consumed"] == [] and res2["skipped"] == [sid]
+
+    # changing the split factor re-chunks committed snapshots -> refused
+    with pytest.raises(ValueError, match="source"):
+        run_iceberg_meta_stream(spark, cfg, loc, max_files_per_batch=3)
+
+    # crash BETWEEN sub-batches: second snapshot, chunk 2's file hidden
+    paths2 = []
+    for i in range(4):
+        p = f"{loc}/data/bulk2-{i}.parquet"
+        sl = ice_pdf.iloc[i * size // 2 : (i + 1) * size // 2].copy()
+        sl["clip_id"] = sl["clip_id"] + "-w2"
+        sl["cdc$time_us"] = sl["cdc$time_us"] + 3_600_000_000
+        write_changelog_chunk(sl, p)
+        paths2.append(p)
+    sid2 = im.append_files(loc, paths2, timestamp_ms=2000)
+    hide = sorted(paths2)[2]
+    os.rename(hide, hide + ".hidden")
+    with pytest.raises(Exception):
+        run_iceberg_meta_stream(spark, cfg, loc, max_files_per_batch=2)
+    # first sub-batch of snapshot 2 committed, second not
+    assert sid2 * _SPLIT_STRIDE in sink_mod.committed_batch_ids(cfg)
+    assert sid2 * _SPLIT_STRIDE + 1 not in sink_mod.committed_batch_ids(cfg)
+    os.rename(hide + ".hidden", hide)
+    res3 = run_iceberg_meta_stream(spark, cfg, loc, max_files_per_batch=2)
+    assert res3["consumed"] == [sid2]
+    run_iceberg_meta_stream(spark, ctrl, loc)
+    assert key(cfg) == key(ctrl)
