@@ -1976,6 +1976,7 @@ def _changelog_batches(
     after_snapshot_id: int | None = None,
     from_timestamp_ms: int | None = None,
     to_snapshot_id: int | None = None,
+    partition_ranges: dict[str, tuple] | None = None,
 ) -> list[dict]:
     """Per-snapshot changelog manifest resolution over MAIN's ancestry:
     for each snapshot in the (exclusive after / inclusive to] range, the
@@ -1984,8 +1985,16 @@ def _changelog_batches(
     append snapshots only), delete/overwrite snapshots contribute here —
     their deletes ARE the logical change.  "replace" snapshots (compaction,
     manifest rewrites, delete-file rewrites) contribute nothing: rewritten
-    content is not a change."""
+    content is not a change.  `partition_ranges` prunes DATA manifests/
+    entries the same two metadata levels the other readers prune (skip
+    counters per batch); delete files carry no partition tuples in this
+    writer, so the delete side never prunes (a non-matching delete file
+    only costs its metadata-scale read)."""
     md = current_metadata(location)
+    ranges = partition_ranges or {}
+    specs = _specs_ctx(md) if ranges else {}
+    if ranges:
+        _check_ranges(ranges, specs)
     snaps = snapshots(location)
     after_seq = None
     if after_snapshot_id is not None:
@@ -2021,10 +2030,18 @@ def _changelog_batches(
         data_files: list[str] = []
         pos_delete_files: list[str] = []
         n_eq = 0
+        manifests_skipped = files_skipped = 0
         if op != "replace":
             _, _, manifests = avro.read_container(s["manifest-list"])
             for mf in manifests:
                 if mf["added_snapshot_id"] != s["snapshot-id"]:
+                    continue
+                if (
+                    ranges
+                    and mf["content"] == CONTENT_DATA
+                    and _manifest_pruned(mf, specs, ranges)
+                ):
+                    manifests_skipped += 1
                     continue
                 _, _, entries = avro.read_container(mf["manifest_path"])
                 for e in entries:
@@ -2032,6 +2049,11 @@ def _changelog_batches(
                         continue
                     df_ = e["data_file"]
                     if df_["content"] == CONTENT_DATA:
+                        if ranges and _entry_pruned(
+                            df_.get("partition") or {}, ranges
+                        ):
+                            files_skipped += 1
+                            continue
                         data_files.append(df_["file_path"])
                     elif df_["content"] == CONTENT_POSITION_DELETES:
                         pos_delete_files.append(df_["file_path"])
@@ -2046,6 +2068,8 @@ def _changelog_batches(
                 "data_files": data_files,
                 "pos_delete_files": pos_delete_files,
                 "eq_delete_files": n_eq,
+                "manifests_skipped": manifests_skipped,
+                "files_skipped": files_skipped,
             }
         )
     return out
@@ -2060,6 +2084,7 @@ def read_changelog(
     to_snapshot_id: int | None = None,
     identifier_columns: list[str] | None = None,
     net_changes: bool = False,
+    partition_ranges: dict[str, tuple] | None = None,
 ):
     """Row-level CDC changelog BETWEEN snapshots — the jar path's
     `create_changelog_view` procedure: every logical change the table
@@ -2101,7 +2126,16 @@ def read_changelog(
     files inner-joined (broadcast — churn ≪ data) with the delete rows;
     update pairing adds one hash-agg exchange (carry-over removal) and
     one window exchange on (key, ordinal); net_changes is a single
-    full-row hash-agg."""
+    full-row hash-agg.
+
+    `partition_ranges` scopes the replay (e.g. one hot key's bucket via
+    partition_filter_for): the INSERT side prunes at both metadata
+    levels exactly like every other reader (files are partition-pure, so
+    file-level pruning is row-exact); delete files carry no partition
+    tuples in this writer, so the DELETE side reads them all and then
+    applies the SAME transform row-level to the deleted rows' content —
+    scoped results stay consistent for update pairing (an out-of-scope
+    key never surfaces a spurious unpaired DELETE)."""
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
@@ -2121,6 +2155,7 @@ def read_changelog(
         after_snapshot_id=after_snapshot_id,
         from_timestamp_ms=from_timestamp_ms,
         to_snapshot_id=to_snapshot_id,
+        partition_ranges=partition_ranges,
     )
     bad = [b["snapshot_id"] for b in batches if b["eq_delete_files"]]
     if bad:
@@ -2227,6 +2262,24 @@ def read_changelog(
             .join(F.broadcast(dels), ["__fp", "__pos"])
             .withColumn("_change_type", F.lit("DELETE"))
         )
+        if partition_ranges:
+            # row-level scope filter on the deleted rows' content, same
+            # transforms the commit-time derivation uses (delete files
+            # themselves are unpruned — see docstring)
+            md = current_metadata(location)
+            sch_dict = md["schemas"][md["current-schema-id"]]
+            for fld in _all_spec_fields(md):
+                if fld["name"] in partition_ranges:
+                    lo, hi = partition_ranges[fld["name"]]
+                    tcol = _transform_column(fld, sch_dict, deleted)
+                    deleted = (
+                        deleted.withColumn("__pv", tcol)
+                        .where(
+                            (F.col("__pv") >= F.lit(lo))
+                            & (F.col("__pv") <= F.lit(hi))
+                        )
+                        .drop("__pv")
+                    )
         parts.append(deleted.select(*data_cols, *_CHANGELOG_COLS))
     import functools
 
