@@ -2029,7 +2029,7 @@ def _changelog_batches(
         op = s.get("summary", {}).get("operation", "append")
         data_files: list[str] = []
         pos_delete_files: list[str] = []
-        n_eq = 0
+        eq_delete_files: list[dict] = []
         manifests_skipped = files_skipped = 0
         if op != "replace":
             _, _, manifests = avro.read_container(s["manifest-list"])
@@ -2058,7 +2058,14 @@ def _changelog_batches(
                     elif df_["content"] == CONTENT_POSITION_DELETES:
                         pos_delete_files.append(df_["file_path"])
                     elif df_["content"] == CONTENT_EQUALITY_DELETES:
-                        n_eq += 1
+                        eq_delete_files.append(
+                            {
+                                "path": df_["file_path"],
+                                "equality_ids": list(
+                                    df_.get("equality_ids") or []
+                                ),
+                            }
+                        )
         out.append(
             {
                 "snapshot_id": s["snapshot-id"],
@@ -2067,7 +2074,7 @@ def _changelog_batches(
                 "operation": op,
                 "data_files": data_files,
                 "pos_delete_files": pos_delete_files,
-                "eq_delete_files": n_eq,
+                "eq_delete_files": eq_delete_files,
                 "manifests_skipped": manifests_skipped,
                 "files_skipped": files_skipped,
             }
@@ -2104,10 +2111,12 @@ def read_changelog(
       their added rows as INSERT;
     - replace snapshots (compaction/rewrites) → nothing: rewritten
       content is not a logical change;
-    - equality-delete snapshots are REFUSED (same limitation as the
-      jar's changelog scan: the deleted-row content is not named
-      positionally, so producing it would need full per-commit state
-      reconstruction);
+    - equality-delete snapshots are SUPPORTED — beyond the jar's
+      changelog scan, which refuses them: every data row in bounded
+      history is attributed its EARLIEST kill (spec strictly-older
+      sequence rule per row) via sorted per-key delete arrays, so the
+      Flink-upsert-shaped mirror (delete_mode="equality") serves
+      changelogs too (see _changelog_eq_kills for the cost model);
     - `identifier_columns=[pk...]` computes updates: within one commit,
       carry-overs (identical full row deleted and re-inserted) are
       removed, then a DELETE+INSERT pair on the same key becomes
@@ -2157,16 +2166,10 @@ def read_changelog(
         to_snapshot_id=to_snapshot_id,
         partition_ranges=partition_ranges,
     )
-    bad = [b["snapshot_id"] for b in batches if b["eq_delete_files"]]
-    if bad:
-        raise ValueError(
-            "changelog read does not support equality-delete snapshots "
-            f"(snapshots {bad}): deleted-row content is not named "
-            "positionally; compact the table first or use a "
-            "position-delete mirror (delete_mode='position')"
-        )
     contributing = [
-        b for b in batches if b["data_files"] or b["pos_delete_files"]
+        b
+        for b in batches
+        if b["data_files"] or b["pos_delete_files"] or b["eq_delete_files"]
     ]
     ordinal = {
         b["snapshot_id"]: i for i, b in enumerate(contributing)
@@ -2219,9 +2222,32 @@ def read_changelog(
             .withColumn("_change_type", F.lit("INSERT"))
         )
         parts.append(ins.select(*data_cols, *_CHANGELOG_COLS))
-    del_rows = [
-        (f, *_prov(b)) for b in contributing for f in b["pos_delete_files"]
-    ]
+    # kill attribution needs history BEFORE the range start too: a row
+    # already dead before the range must not be re-killed by a later
+    # in-range equality delete.  The bounded-history walk is only taken
+    # when equality deletes exist; the common position-only case keeps
+    # the cheap range-scoped path (a (file, pos) can die only once).
+    hist = _changelog_batches(
+        location,
+        to_snapshot_id=to_snapshot_id,
+        partition_ranges=partition_ranges,
+    )
+    has_eq = any(b["eq_delete_files"] for b in hist)
+    if has_eq:
+        parts.extend(
+            _changelog_eq_kills(
+                spark, location, hist, contributing, _prov, data_cols
+            )
+        )
+    del_rows = (
+        []
+        if has_eq
+        else [
+            (f, *_prov(b))
+            for b in contributing
+            for f in b["pos_delete_files"]
+        ]
+    )
     if del_rows:
         # delete files are metadata-scale (churn, not data): resolve the
         # targeted data files driver-side from their file_path column
@@ -2292,6 +2318,156 @@ def read_changelog(
     elif net_changes:
         out = _changelog_net_changes(out, data_cols)
     return out
+
+
+def _changelog_eq_kills(
+    spark, location, hist, contributing, prov_fn, data_cols
+):
+    """Unified kill attribution for changelog ranges that contain
+    equality deletes — BEYOND the jar's changelog scan (which refuses
+    them): every data row in bounded history is matched against every
+    kill mechanism and dies at its EARLIEST kill; only kills landing on
+    an in-range commit are emitted as DELETE rows.
+
+    Spec rule honoured per row (not per file): an equality delete
+    applies to rows whose commit sequence is strictly OLDER than the
+    delete's.  Per equality-column group the delete commits collapse to
+    ONE sorted (seq, snapshot) array per key (a churn-scale hash agg),
+    broadcast against the candidate scan, and the first element greater
+    than the row's own sequence is found with an array expression — so
+    a hot key with 10^4 upserts costs one array probe per image, never
+    an images x deletes pair blow-up.  Position deletes in the same
+    history join by exact (file, pos).  One final hash agg keyes the
+    earliest kill per row; everything else is broadcast.
+
+    The candidate scan covers all data files up to the range end — the
+    price of non-positional deletes (the deleted CONTENT lives in
+    arbitrary older files).  Compaction resets this cost: replace
+    snapshots contribute nothing and post-compaction ranges walk only
+    the rewritten history."""
+    import functools
+
+    import pyarrow.parquet as pq  # noqa: F401  (parity with caller env)
+    from pyspark.sql import functions as F
+
+    md = current_metadata(location)
+    schema = md["schemas"][md["current-schema-id"]]
+    id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    cand_rows = [
+        (f, b["sequence_number"]) for b in hist for f in b["data_files"]
+    ]
+    if not cand_rows:
+        return []
+    missing = [f for f, _ in cand_rows if not os.path.exists(f)]
+    if missing:
+        raise ValueError(
+            "changelog kill attribution needs historical data files no "
+            f"longer on disk: {missing[:3]}... — compact or narrow the range"
+        )
+    seq_map = spark.createDataFrame(cand_rows, "__fp string, __dseq long")
+    cand = _with_file_pos(spark, sorted({f for f, _ in cand_rows})).join(
+        F.broadcast(seq_map), "__fp"
+    )
+    events = []
+    pos_files = [
+        (p, b["sequence_number"], b["snapshot_id"])
+        for b in hist
+        for p in b["pos_delete_files"]
+    ]
+    if pos_files:
+        pmap = spark.createDataFrame(
+            pos_files, "__dfp string, __kseq long, __ksnap long"
+        )
+        events.append(
+            spark.read.parquet(*[p for p, _, _ in pos_files])
+            .withColumn(
+                "__dfp",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), _FILE_URI_RE, "/"
+                ),
+            )
+            .join(F.broadcast(pmap), "__dfp")
+            .select(
+                F.col("file_path").alias("__fp"),
+                F.col("pos").alias("__pos"),
+                "__kseq",
+                "__ksnap",
+            )
+        )
+    groups: dict[tuple, list[tuple]] = {}
+    for b in hist:
+        for d in b["eq_delete_files"]:
+            ids = tuple(d["equality_ids"])
+            if not ids:
+                raise ValueError(
+                    "equality-delete file without equality_ids cannot be "
+                    "attributed to rows"
+                )
+            groups.setdefault(ids, []).append(
+                (d["path"], b["sequence_number"], b["snapshot_id"])
+            )
+    for ids, specs in groups.items():
+        cols = [id_to_name[i] for i in ids]
+        key_aliases = [f"__eq_{ci}" for ci in range(len(cols))]
+        parts_ = [
+            spark.read.parquet(p)
+            .select(
+                *[
+                    F.col(f"`{c}`").alias(a)
+                    for c, a in zip(cols, key_aliases)
+                ]
+            )
+            .withColumn("__kseq", F.lit(seqv).cast("long"))
+            .withColumn("__ksnap", F.lit(snapv).cast("long"))
+            for p, seqv, snapv in specs
+        ]
+        eq = functools.reduce(lambda a, b2: a.unionByName(b2), parts_)
+        perkey = eq.groupBy(*key_aliases).agg(
+            F.sort_array(
+                F.collect_list(F.struct("__kseq", "__ksnap"))
+            ).alias("__dels")
+        )
+        cond = functools.reduce(
+            lambda a, b2: a & b2,
+            [
+                cand[f"`{c}`"].eqNullSafe(F.col(a))
+                for c, a in zip(cols, key_aliases)
+            ],
+        )
+        first = F.array_min(
+            F.filter(
+                F.col("__dels"), lambda x: x["__kseq"] > F.col("__dseq")
+            )
+        )
+        events.append(
+            cand.join(F.broadcast(perkey), cond, "inner")
+            .select("__fp", "__pos", first.alias("__k"))
+            .where(F.col("__k").isNotNull())
+            .select(
+                "__fp",
+                "__pos",
+                F.col("__k.__kseq").alias("__kseq"),
+                F.col("__k.__ksnap").alias("__ksnap"),
+            )
+        )
+    if not events:
+        return []
+    ev = functools.reduce(lambda a, b2: a.unionByName(b2), events)
+    firstkill = ev.groupBy("__fp", "__pos").agg(
+        F.min(F.struct("__kseq", "__ksnap")).alias("__k")
+    )
+    provmap = spark.createDataFrame(
+        [(b["snapshot_id"], *prov_fn(b)) for b in contributing],
+        "__ksnap long, _change_ordinal int, _commit_snapshot_id long, "
+        "_sequence_number long, _commit_timestamp_ms long",
+    )
+    killed = (
+        cand.join(firstkill, ["__fp", "__pos"])
+        .withColumn("__ksnap", F.col("__k.__ksnap"))
+        .join(F.broadcast(provmap), "__ksnap")
+        .withColumn("_change_type", F.lit("DELETE"))
+    )
+    return [killed.select(*data_cols, *_CHANGELOG_COLS)]
 
 
 def _changelog_survivors(grouped):

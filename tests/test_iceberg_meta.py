@@ -3023,7 +3023,15 @@ def test_read_changelog_net_changes(spark, tmp_root):
         )
 
 
-def test_read_changelog_refuses_equality_deletes(spark, tmp_root):
+def test_read_changelog_equality_deletes(spark, tmp_root):
+    """Equality-delete commits emit DELETE rows with the killed row's
+    content — beyond the jar's changelog scan: each row dies at its
+    EARLIEST kill (strictly-older sequence rule), an already-dead row is
+    never re-killed by a later delete of the same key, and update
+    pairing works across an equality upsert commit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     loc = _kv_table(tmp_root, "ice_cl_eq", n_files=1, rows_per=4)
     im.write_equality_deletes(
         spark,
@@ -3031,13 +3039,53 @@ def test_read_changelog_refuses_equality_deletes(spark, tmp_root):
         spark.createDataFrame([("k1",)], "k string"),
         ["k"],
         timestamp_ms=5,
+    )  # snap 2: kill k1
+    cl = im.read_changelog(spark, loc)
+    got = {(r["k"], r["v"], r["_change_type"], r["_change_ordinal"]) for r in cl.collect()}
+    assert got == {
+        ("k0", 0, "INSERT", 0),
+        ("k1", 1, "INSERT", 0),
+        ("k2", 2, "INSERT", 0),
+        ("k3", 3, "INSERT", 0),
+        ("k1", 1, "DELETE", 1),
+    }
+    # a range excluding the equality commit shows only the inserts
+    assert im.read_changelog(spark, loc, to_snapshot_id=1).count() == 4
+
+    # upsert shape: eq-delete k2 + re-insert k2 in ONE commit -> the new
+    # image survives (strictly-older rule) and pairing yields an UPDATE
+    newf = f"{loc}/data/up.parquet"
+    pq.write_table(pa.table({"k": ["k2"], "v": [200]}), newf)
+    im.write_equality_deletes(
+        spark,
+        loc,
+        spark.createDataFrame([("k2",)], "k string"),
+        ["k"],
+        data_files=[newf],
+        operation="overwrite",
+        timestamp_ms=6,
+    )  # snap 3
+    upd = im.read_changelog(
+        spark, loc, after_snapshot_id=2, identifier_columns=["k"]
     )
-    with pytest.raises(ValueError, match="equality-delete"):
-        im.read_changelog(spark, loc)
-    # a range excluding the equality commit still reads
-    assert (
-        im.read_changelog(spark, loc, to_snapshot_id=1).count() == 4
-    )
+    assert {(r["k"], r["v"], r["_change_type"]) for r in upd.collect()} == {
+        ("k2", 2, "UPDATE_BEFORE"),
+        ("k2", 200, "UPDATE_AFTER"),
+    }
+    # a LATER delete of k1 (already dead at snap 2) must not re-kill it
+    im.write_equality_deletes(
+        spark,
+        loc,
+        spark.createDataFrame([("k1",)], "k string"),
+        ["k"],
+        timestamp_ms=7,
+    )  # snap 4
+    tail = im.read_changelog(spark, loc, after_snapshot_id=3)
+    assert tail.count() == 0
+    # full read: k1 died exactly once, at ordinal 1
+    full = im.read_changelog(spark, loc)
+    k1_deaths = full.where("k = 'k1' and _change_type = 'DELETE'").collect()
+    assert len(k1_deaths) == 1 and k1_deaths[0]["_change_ordinal"] == 1
 
 
 def test_mirror_changelog_roundtrip(spark, tmp_root, ice_pdf):
@@ -3528,3 +3576,61 @@ def test_read_changelog_partition_scoped(spark, tmp_root):
     # pruning is observable at the metadata level
     batches = im._changelog_batches(loc, partition_ranges=ra)
     assert sum(b["files_skipped"] + b["manifests_skipped"] for b in batches) > 0
+
+
+def test_mirror_changelog_roundtrip_equality_mode(spark, tmp_root, ice_pdf):
+    """The Flink-upsert-shaped mirror (delete_mode='equality') serves
+    row-level changelogs too: applying its changelog over pass-1 state
+    reproduces pass-2 state, updates pair exactly."""
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+
+    loc, _sids = _ice_table(tmp_root, ice_pdf, "ice_clrt_eq_src", n_snaps=2)
+    cfg = _cfg(tmp_root, "ice_clrt_eq")
+    run_iceberg_meta_stream(spark, cfg, loc)
+    mir = f"{tmp_root}/ice_clrt_eq_mirror"
+    assert im.maintain_latest_state_mirror(
+        spark, cfg, mir, delete_mode="equality"
+    ) == 1
+    s1 = im.current_metadata(mir)["current-snapshot-id"]
+
+    extra = ice_pdf.iloc[:150].copy()
+    extra["cdc$time"] = extra["cdc$time"] + pd.Timedelta(hours=2)
+    extra["cdc$time_us"] = extra["cdc$time_us"] + 7_200_000_000
+    p = f"{loc}/data/extra.parquet"
+    write_changelog_chunk(extra, p)
+    im.append_files(loc, [p], timestamp_ms=9000)
+    run_iceberg_meta_stream(spark, cfg, loc)
+    assert im.maintain_latest_state_mirror(
+        spark, cfg, mir, delete_mode="equality"
+    ) == 1
+
+    key = lambda df: {  # noqa: E731
+        (r["clip_id"], r["__ts_us"]) for r in df.select("clip_id", "__ts_us").collect()
+    }
+    base = key(im.read_table(spark, mir, snapshot_id=s1))
+    now = key(im.read_table(spark, mir))
+    cl = im.read_changelog(
+        spark, mir, after_snapshot_id=s1, identifier_columns=["clip_id"]
+    )
+    rows = cl.select("clip_id", "__ts_us", "_change_type").collect()
+    removed = {
+        (r["clip_id"], r["__ts_us"])
+        for r in rows
+        if r["_change_type"] in ("DELETE", "UPDATE_BEFORE")
+    }
+    added = {
+        (r["clip_id"], r["__ts_us"])
+        for r in rows
+        if r["_change_type"] in ("INSERT", "UPDATE_AFTER")
+    }
+    assert (base - removed) | added == now
+    assert removed <= base and added.isdisjoint(base)
+    befores = sorted(
+        r["clip_id"] for r in rows if r["_change_type"] == "UPDATE_BEFORE"
+    )
+    afters = sorted(
+        r["clip_id"] for r in rows if r["_change_type"] == "UPDATE_AFTER"
+    )
+    assert befores == afters and len(befores) > 0
