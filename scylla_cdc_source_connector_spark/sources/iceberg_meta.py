@@ -4261,6 +4261,122 @@ def maintain_latest_state_mirror(
     return committed
 
 
+_FEED_STATE = "_feed_state.json"
+
+
+def maintain_changelog_feed(
+    spark,
+    location: str,
+    feed_dir: str,
+    *,
+    identifier_columns: list[str] | None = None,
+    partition_ranges: dict[str, tuple] | None = None,
+) -> dict:
+    """Incremental EXACTLY-ONCE materialization of a table's row-level
+    changelog — the downstream-consumer loop that turns `read_changelog`
+    from a query into a feed: each maintenance pass reads only the
+    snapshots committed since the last pass and lands them under
+    `feed_dir/batch=<snapshot_id>/` as plain parquet any engine can tail
+    (the "CDC out" analog of the sink's Kafka-records surface, for
+    consumers that want files, not wire records).
+
+    Exactly-once without a transaction log: each new snapshot's rows are
+    written by idempotent per-directory overwrite (rerunning a crashed
+    pass rewrites the same directories byte-for-byte — provenance columns
+    are deterministic), and the consumed high-water mark commits LAST via
+    an atomic rename of `_feed_state.json`.  A crash anywhere between
+    replays at most one pass, never duplicates or skips a snapshot.
+    Replace snapshots (compaction, delete-file rewrites) advance the hwm
+    without emitting rows, so table maintenance never disturbs consumers.
+    If the hwm snapshot has been EXPIRED from table history the feed
+    refuses loudly (the retention-gap rule every consumer here follows)
+    — size expire_snapshots' keep_last/protect to the feed's cadence.
+
+    `identifier_columns`/`partition_ranges` pass through to
+    read_changelog (update pairing / scoped feeds).  NOTE: `_change_
+    ordinal` restarts per pass; cross-pass ordering is `_sequence_number`
+    (monotone by construction).  Returns {"consumed": [snapshot ids],
+    "rows": rows written this pass, "hwm": new high-water mark}."""
+    import json as _json
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    md = current_metadata(location)
+    head = md["current-snapshot-id"]
+    state_path = os.path.join(feed_dir, _FEED_STATE)
+    last = None
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            st = _json.load(fh)
+        if st.get("table") != os.path.abspath(location) or st.get(
+            "scope"
+        ) != (sorted(partition_ranges.items()) if partition_ranges else None):
+            raise ValueError(
+                "feed_dir belongs to a different table or scope; one feed "
+                "directory serves one (table, scope) stream"
+            )
+        last = st["hwm"]
+    if head == -1 or head == last:
+        return {"consumed": [], "rows": 0, "hwm": last}
+    cl = read_changelog(
+        spark,
+        location,
+        after_snapshot_id=last,
+        to_snapshot_id=head,
+        identifier_columns=identifier_columns,
+        partition_ranges=partition_ranges,
+    )
+    new_snaps = [
+        s["snapshot-id"]
+        for s in snapshots(location)
+        if s["snapshot-id"] in _ancestors_of(md, head)
+        and (last is None or s["sequence-number"] > next(
+            x["sequence-number"]
+            for x in md["snapshots"]
+            if x["snapshot-id"] == last
+        ))
+    ]
+    os.makedirs(feed_dir, exist_ok=True)
+    n = 0
+    if new_snaps:
+        # ONE job: dynamic-partition overwrite keyed by the commit —
+        # reruns of a crashed pass rewrite the same batch dirs
+        with_batch = cl.withColumn(
+            "batch", F.col("_commit_snapshot_id")
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        with_batch.persist()
+        try:
+            with_batch.write.mode("overwrite").partitionBy("batch").parquet(
+                feed_dir
+            )
+            n = with_batch.count()
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            with_batch.unpersist()
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(
+            {
+                "table": os.path.abspath(location),
+                "scope": sorted(partition_ranges.items())
+                if partition_ranges
+                else None,
+                "hwm": head,
+            },
+            fh,
+        )
+    os.replace(tmp, state_path)
+    return {"consumed": new_snaps, "rows": n, "hwm": head}
+
+
+def read_changelog_feed(spark, feed_dir: str):
+    """The feed's reader: every materialized changelog row with its
+    provenance columns (`batch` = the committing snapshot id)."""
+    return spark.read.parquet(feed_dir)
+
+
 # ---------------------------------------------------------------------------
 # schema evolution through table metadata (ALTER TABLE dynamism, jarless)
 # ---------------------------------------------------------------------------

@@ -3634,3 +3634,86 @@ def test_mirror_changelog_roundtrip_equality_mode(spark, tmp_root, ice_pdf):
         r["clip_id"] for r in rows if r["_change_type"] == "UPDATE_AFTER"
     )
     assert befores == afters and len(befores) > 0
+
+
+def test_changelog_feed_incremental_exactly_once(spark, tmp_root):
+    """maintain_changelog_feed: incremental passes land each commit's
+    changes under batch=<snapshot>/ exactly once; a crash between the
+    write and the hwm commit replays idempotently; replace snapshots
+    advance the hwm rowlessly; the feed equals a one-shot read_changelog
+    on (snapshot, type, content); wrong-table reuse refuses."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = _kv_table(tmp_root, "ice_feed_src", n_files=2, rows_per=5)
+    feed = f"{tmp_root}/ice_feed"
+    shutil.rmtree(feed, ignore_errors=True)
+
+    r1 = im.maintain_changelog_feed(spark, loc, feed)
+    assert r1["consumed"] == [1, 2] and r1["rows"] == 10
+    # no new commits -> no-op
+    assert im.maintain_changelog_feed(spark, loc, feed)["consumed"] == []
+
+    # update one key + delete one key, then a compaction (replace)
+    newf = f"{loc}/data/u.parquet"
+    pq.write_table(pa.table({"k": ["k1"], "v": [100]}), newf)
+    df0 = sorted(im.live_files(loc))[0]
+    im.write_position_deletes(
+        spark,
+        loc,
+        spark.createDataFrame([(df0, 1)], "file_path string, pos long"),
+        data_files=[newf],
+        operation="overwrite",
+        timestamp_ms=3,
+    )
+    im.delete_where(spark, loc, "v = 5", timestamp_ms=4)
+    r2 = im.maintain_changelog_feed(
+        spark, loc, feed, identifier_columns=["k"]
+    )
+    assert r2["consumed"] == [3, 4] and r2["rows"] == 3  # UB + UA + DELETE
+    got = {
+        (r["batch"], r["k"], r["v"], r["_change_type"])
+        for r in im.read_changelog_feed(spark, feed)
+        .where("batch >= 3")
+        .collect()
+    }
+    assert got == {
+        (3, "k1", 1, "UPDATE_BEFORE"),
+        (3, "k1", 100, "UPDATE_AFTER"),
+        (4, "k5", 5, "DELETE"),
+    }
+
+    im.compact_table(spark, loc, timestamp_ms=5)
+    r3 = im.maintain_changelog_feed(spark, loc, feed)
+    assert r3["rows"] == 0 and r3["consumed"] != []
+
+    # whole feed == one-shot changelog on (snapshot, type, content)
+    feed_rows = {
+        (r["_commit_snapshot_id"], r["k"], r["v"], r["_change_type"])
+        for r in im.read_changelog_feed(spark, feed).collect()
+    }
+    # one-shot with pairing applies per full range; compare piecewise:
+    # inserts from commits 1-2 (no pairing possible there)
+    oneshot = {
+        (r["_commit_snapshot_id"], r["k"], r["v"], r["_change_type"])
+        for r in im.read_changelog(
+            spark, loc, to_snapshot_id=2
+        ).collect()
+    } | got
+    assert feed_rows == oneshot
+
+    # crash window: hwm file lost after a pass -> rerun rewrites the same
+    # batch dirs, no duplicates
+    st = os.path.join(feed, "_feed_state.json")
+    os.remove(st)
+    r4 = im.maintain_changelog_feed(spark, loc, feed, identifier_columns=["k"])
+    assert r4["hwm"] == r3["hwm"]
+    assert {
+        (r["_commit_snapshot_id"], r["k"], r["v"], r["_change_type"])
+        for r in im.read_changelog_feed(spark, feed).collect()
+    } == feed_rows
+
+    # a different table cannot reuse the feed dir
+    loc2 = _kv_table(tmp_root, "ice_feed_other", n_files=1, rows_per=2)
+    with pytest.raises(ValueError, match="different table"):
+        im.maintain_changelog_feed(spark, loc2, feed)
