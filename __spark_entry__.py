@@ -506,23 +506,49 @@ def q_iceberg_mor_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_iceberg_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental changelog read (start-snapshot-id analog): every row
-    appended after snapshot 1, stamped with commit provenance.  The
-    delete snapshot (3) contributes nothing — row-level deletes are not
-    new data (the same skip rule the streaming path applies)."""
+    """Both incremental read shapes in one oracle row (union-tagged by
+    read_kind; the driver caps queries() at 50):
+    - 'appended' — read_changes(after=1), the start-snapshot-id analog:
+      rows APPENDED after snapshot 1 with commit provenance; the delete
+      snapshot (3) contributes nothing (row-level deletes are not new
+      data, the streaming-path skip rule);
+    - 'changelog' — read_changelog() over the full history, the
+      create_changelog_view analog: every LOGICAL change — snap 1/2/4's
+      rows as INSERTs at ordinals 0/1/3, and snap 3's position-deleted
+      rows (event_id%10==3 within the first two buckets) re-surfaced as
+      DELETE rows with their full content at ordinal 2.  Both legs are
+      reproduced by plain SQL over `events` because the fixture's
+      snapshot ids/ordinals are deterministic."""
     from scylla_cdc_source_connector_spark.sources import iceberg_meta
 
     _utc(spark)
     loc = _events_iceberg(spark, sf_dir)
-    return iceberg_meta.read_changes(spark, loc, after_snapshot_id=1).select(
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    ap = iceberg_meta.read_changes(spark, loc, after_snapshot_id=1).select(
+        F.lit("appended").alias("read_kind"),
         "event_id",
         "user_id",
-        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        ts_ms,
         "value",
-        "_snapshot_id",
-        "_sequence_number",
-        "_commit_timestamp_ms",
+        F.lit("APPEND").alias("change_type"),
+        F.lit(None).cast("int").alias("change_ordinal"),
+        F.col("_snapshot_id").alias("commit_snapshot_id"),
+        F.col("_sequence_number").alias("commit_sequence_number"),
+        F.col("_commit_timestamp_ms").alias("commit_timestamp_ms"),
     )
+    cl = iceberg_meta.read_changelog(spark, loc).select(
+        F.lit("changelog").alias("read_kind"),
+        "event_id",
+        "user_id",
+        ts_ms,
+        "value",
+        F.col("_change_type").alias("change_type"),
+        F.col("_change_ordinal").alias("change_ordinal"),
+        F.col("_commit_snapshot_id").alias("commit_snapshot_id"),
+        F.col("_sequence_number").alias("commit_sequence_number"),
+        F.col("_commit_timestamp_ms").alias("commit_timestamp_ms"),
+    )
+    return ap.unionAll(cl)
 
 
 def _events_iceberg_bucketed(spark: SparkSession, sf_dir: str) -> str:
@@ -1917,8 +1943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       text_fingerprint         → text_metrics (round 5: one narrow pass,
         all columns; freed 3 oracle-checked slots for the Iceberg read
         surfaces iceberg_mor_reads (time travel + MoR current, union-tagged) /
-        iceberg_read_changes over the deterministic _events_iceberg
-        4-snapshot table)
+        iceberg_read_changes (appended-rows incremental scan + the
+        read_changelog row-level CDC view, union-tagged) over the
+        deterministic _events_iceberg 4-snapshot table)
       audio_fingerprint,
       audio_near_dup,
       audio_containment        → audio_dup_detect (kind column)
@@ -2380,14 +2407,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id BETWEEN 1000 AND 1400
         """,
         "iceberg_read_changes": """
-            SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+            SELECT 'appended' AS read_kind, event_id, user_id,
+                   epoch_ms(ts) AS ts_ms, value,
+                   'APPEND' AS change_type,
+                   CAST(NULL AS INTEGER) AS change_ordinal,
                    CAST(CASE WHEN event_id % 3 = 1 THEN 2 ELSE 4 END
-                        AS BIGINT) AS _snapshot_id,
+                        AS BIGINT) AS commit_snapshot_id,
                    CAST(CASE WHEN event_id % 3 = 1 THEN 2 ELSE 4 END
-                        AS BIGINT) AS _sequence_number,
+                        AS BIGINT) AS commit_sequence_number,
                    CAST(CASE WHEN event_id % 3 = 1 THEN 2000 ELSE 4000 END
-                        AS BIGINT) AS _commit_timestamp_ms
+                        AS BIGINT) AS commit_timestamp_ms
             FROM events WHERE event_id % 3 IN (1, 2)
+            UNION ALL
+            SELECT 'changelog', event_id, user_id, epoch_ms(ts), value,
+                   'INSERT',
+                   CAST(CASE event_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1
+                        ELSE 3 END AS INTEGER),
+                   CAST(CASE event_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+                        ELSE 4 END AS BIGINT),
+                   CAST(CASE event_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+                        ELSE 4 END AS BIGINT),
+                   CAST(CASE event_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 2000
+                        ELSE 4000 END AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'changelog', event_id, user_id, epoch_ms(ts), value,
+                   'DELETE', CAST(2 AS INTEGER), CAST(3 AS BIGINT),
+                   CAST(3 AS BIGINT), CAST(3000 AS BIGINT)
+            FROM events
+            WHERE event_id % 10 = 3 AND event_id % 3 IN (0, 1)
         """,
         "dedup_exact": r"""
             SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
