@@ -1664,11 +1664,36 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lufs_integrated", 2).alias("lufs_integrated"),
         F.round("true_peak_dbtp", 2).alias("true_peak_dbtp"),
     )
+    # round-5 final-session legs: utterance splitting (span count +
+    # speech duration per clip; zero-span clips kept via left join) and
+    # loudness normalization to -23 LUFS / -1 dBTP (gain + cap metadata)
+    from scylla_cdc_source_connector_spark.audio_loudness import (
+        normalize_loudness,
+    )
+    from scylla_cdc_source_connector_spark.audio_vad import split_speech_spans
+
+    spans = (
+        split_speech_spans(df)
+        .where("span_idx >= 0")
+        .groupBy("clip_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(
+                F.col("span_end_ms") - F.col("span_start_ms")
+            ).alias("span_speech_ms"),
+        )
+    )
+    norm = normalize_loudness(df).select(
+        "clip_id",
+        F.round("gain_db", 2).alias("norm_gain_db"),
+        F.col("peak_limited").alias("norm_peak_limited"),
+    )
     return (
         out.select(
             "clip_id",
             "decode_ok",
             F.round("speech_ratio", 4).alias("speech_ratio"),
+            F.round("snr_db", 2).alias("vad_snr_db"),
             "trim_start_ms",
             "trim_end_ms",
             F.octet_length("bytes").alias("trimmed_bytes"),
@@ -1677,6 +1702,12 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(res, "clip_id")
         .join(feats, "clip_id")
         .join(loud, "clip_id")
+        .join(spans, "clip_id", "left")
+        .join(norm, "clip_id")
+        .withColumn("n_spans", F.coalesce("n_spans", F.lit(0)))
+        .withColumn(
+            "span_speech_ms", F.coalesce("span_speech_ms", F.lit(0))
+        )
         .orderBy("clip_id")
     )
 

@@ -560,6 +560,32 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     extra["audio_loudness_rows"] = timed_audio("audio_loudness", _loudness)
 
+    # 3b5. loudness NORMALIZATION over the same postimages (one decode:
+    # meter + capped gain + pcm16 re-emit in one Arrow pass; counts rows
+    # the true-peak ceiling limited)
+    def _normalize():
+        from pyspark.sql import functions as F
+
+        from scylla_cdc_source_connector_spark.audio_loudness import (
+            normalize_loudness,
+        )
+
+        post = changelog.where("`cdc$operation` = 9").select(
+            "clip_id", "bytes", "codec", "sr_hz"
+        )
+        row = (
+            normalize_loudness(post)
+            .where("decode_ok")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("peak_limited").cast("long")).alias("lim"),
+            )
+            .collect()[0]
+        )
+        return {"rows": row["n"], "peak_limited": row["lim"]}
+
+    extra["audio_normalize"] = timed_audio("audio_normalize", _normalize)
+
     # 3c. VAD/silence segmentation over the same postimages (frame-energy
     # cumsum + segmented reductions; see audio_vad.py)
     def _vad():
@@ -698,6 +724,7 @@ def run_bench(spark, sf_dir: str) -> dict:
             "audio_containment",
             "audio_trim",
             "audio_align",
+            "audio_normalize",
         )
         if name in timings
     }

@@ -438,3 +438,109 @@ def extract_loudness(df):
     return df.select("clip_id", "bytes", "codec", "sr_hz").mapInPandas(
         audio_loudness_batches, AUDIO_LOUDNESS_SCHEMA
     )
+
+
+#: output of normalize_loudness: measurement + the gain-applied payload
+NORMALIZE_SCHEMA = (
+    "clip_id string, decode_ok boolean, lufs_in double, gain_db double, "
+    "peak_limited boolean, true_peak_in_dbtp double, "
+    "bytes binary, codec string, sr_hz int"
+)
+
+
+def normalize_loudness_batches(
+    target_lufs: float = -23.0, ceiling_dbtp: float = -1.0
+):
+    """mapInPandas body factory for loudness normalization — the op every
+    speech-data spec writes down ("normalize to -23 LUFS, never above
+    -1 dBTP"): per clip, gain_db = target - integrated LUFS, CAPPED so
+    the known true peak plus the gain stays under the ceiling
+    (peak_limited=True when the cap engaged; a linear gain shifts dBTP
+    exactly, so no second peak pass is needed).  ONE decode per clip:
+    the same concatenated-group kernel measures R128 loudness and true
+    peak, the gain applies as one vectorized multiply over the
+    concatenated PCM (np.repeat of per-clip factors), and the payload
+    re-emits as mono pcm_s16le at the clip's effective rate (WAV rows
+    come back unwrapped/downmixed — the _resolve_effective policy).
+
+    Clips the R128 gate leaves unmeasured (all below the -70 LUFS
+    absolute gate) pass through at unit gain with lufs_in NaN;
+    undecodable rows pass their original payload through untouched
+    (decode_ok False), the pipeline's quarantine convention."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            lufs_in = np.full(n, np.nan)
+            gain_db = np.full(n, np.nan)
+            limited = np.zeros(n, dtype=bool)
+            tp_in = np.full(n, np.nan)
+            out_bytes: list = [None] * n
+            out_codec: list = list(
+                np.asarray(pdf["codec"].values, dtype=object)
+            )
+            eff_raw, eff_codec, eff_sr, valid = _resolve_effective(pdf)
+            raws = pdf["bytes"].values
+            for i in np.flatnonzero(~valid):
+                out_bytes[i] = (
+                    bytes(raws[i]) if raws[i] is not None else None
+                )
+            for codec in _RAW_CODECS:
+                sel = valid & (eff_codec == codec)
+                if not sel.any():
+                    continue
+                pos = np.flatnonzero(sel)
+                pcm, lens = _decode_concat(
+                    [bytes(eff_raw[i]) for i in pos], codec
+                )
+                _nb, lu, _lr, t = _group_loudness(pcm, lens, eff_sr[pos])
+                g = target_lufs - lu
+                cap = ceiling_dbtp - t
+                lim = g > cap
+                g = np.where(lim, cap, g)
+                g = np.where(np.isnan(g), 0.0, g)  # unmeasured: unit gain
+                lim = np.where(np.isnan(lu), False, lim)
+                factors = np.power(10.0, g / 20.0)
+                scaled = pcm * np.repeat(
+                    factors.astype(np.float32), lens
+                )
+                pcm16 = np.clip(
+                    np.rint(scaled * 32768.0), -32768, 32767
+                ).astype("<i2")
+                offs = np.zeros(len(pos) + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                buf = pcm16.tobytes()
+                for j, i in enumerate(pos):
+                    out_bytes[i] = buf[offs[j] * 2 : offs[j + 1] * 2]
+                    out_codec[i] = "pcm_s16le"
+                ok[pos] = True
+                lufs_in[pos] = lu
+                gain_db[pos] = g
+                limited[pos] = lim
+                tp_in[pos] = t
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"].values,
+                    "decode_ok": ok,
+                    "lufs_in": lufs_in,
+                    "gain_db": gain_db,
+                    "peak_limited": limited,
+                    "true_peak_in_dbtp": tp_in,
+                    "bytes": out_bytes,
+                    "codec": out_codec,
+                    "sr_hz": eff_sr.astype("int32"),
+                }
+            )
+
+    return body
+
+
+def normalize_loudness(df, target_lufs: float = -23.0, ceiling_dbtp: float = -1.0):
+    """Loudness-normalize clips to `target_lufs` with a `ceiling_dbtp`
+    true-peak cap: df(clip_id, bytes, codec, sr_hz) -> NORMALIZE_SCHEMA.
+    One narrow Arrow stage, no shuffle; payload decoded exactly once."""
+    return df.select("clip_id", "bytes", "codec", "sr_hz").mapInPandas(
+        normalize_loudness_batches(target_lufs, ceiling_dbtp),
+        NORMALIZE_SCHEMA,
+    )

@@ -215,3 +215,103 @@ def test_extract_loudness_spark(spark):
     assert len(got) == 3 and not got["s3"]["decode_ok"]
     assert abs(got["s1"]["lufs_integrated"] - (-3.01)) < 0.1
     assert abs(got["s2"]["lufs_integrated"] - (-15.05)) < 0.1
+
+
+# ------------------------------------------------- normalization ---------
+
+
+def test_normalize_loudness_hits_target_and_ceiling():
+    """Normalizing a tone moves its measured loudness to the target; when
+    the needed gain would push the true peak past the ceiling the gain
+    caps (peak_limited) and the output's measured peak stays at/below the
+    ceiling; re-measuring the output reads the target LUFS."""
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark.audio_loudness import (
+        _loudness_one,
+        normalize_loudness_batches,
+    )
+
+    sr = 8000
+    t = np.arange(sr * 2) / sr
+    # quiet tone: 997 Hz at -26 dBFS amplitude -> integrated ~ -29 LUFS
+    quiet = (0.05 * np.sin(2 * np.pi * 997.0 * t) * 32767).astype(np.int16)
+    # loud tone: 0.5 amplitude
+    loud = (0.5 * np.sin(2 * np.pi * 997.0 * t) * 32767).astype(np.int16)
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["quiet", "loud", "bad"],
+            "bytes": [quiet.tobytes(), loud.tobytes(), b"\x00"],
+            "codec": ["pcm_s16le", "pcm_s16le", "opus"],
+            "sr_hz": [sr, sr, sr],
+        }
+    )
+    (out,) = list(
+        normalize_loudness_batches(target_lufs=-23.0, ceiling_dbtp=-1.0)(
+            iter([pdf])
+        )
+    )
+    out = out.set_index("clip_id")
+    assert bool(out.loc["quiet", "decode_ok"]) and bool(
+        out.loc["loud", "decode_ok"]
+    )
+    assert not bool(out.loc["bad", "decode_ok"])
+    assert bytes(out.loc["bad", "bytes"]) == b"\x00"
+
+    # re-measure the normalized outputs through the meter itself
+    out2 = out.loc[["quiet", "loud"]].reset_index()
+    meas = _loudness_one(
+        out2[["clip_id", "bytes", "codec", "sr_hz"]]
+    ).set_index("clip_id")
+    assert meas.loc["quiet", "lufs_integrated"] == pytest.approx(-23.0, abs=0.2)
+    assert meas.loc["quiet", "true_peak_dbtp"] <= -0.8
+    # the loud tone cannot reach -23 without passing -1 dBTP? it can:
+    # -23 target from ~-6 LUFS means ~-17 dB gain (downward) -> never
+    # limited.  Build a LIMITED case: target -3 LUFS from the quiet tone
+    (out3,) = list(
+        normalize_loudness_batches(target_lufs=-3.0, ceiling_dbtp=-1.0)(
+            iter([pdf[pdf["clip_id"] == "quiet"]])
+        )
+    )
+    r = out3.iloc[0]
+    assert bool(r["peak_limited"])
+    meas3 = _loudness_one(
+        out3[["clip_id", "bytes", "codec", "sr_hz"]]
+    ).iloc[0]
+    # capped: peak lands at the ceiling (within meter tolerance), LUFS
+    # falls SHORT of the -3 target
+    assert meas3["true_peak_dbtp"] == pytest.approx(-1.0, abs=0.3)
+    assert meas3["lufs_integrated"] < -3.5
+
+
+def test_normalize_loudness_silence_and_wav_passthrough(spark):
+    """Digital silence (below the absolute gate) passes at unit gain with
+    lufs_in NaN; WAV rows come back unwrapped as pcm_s16le; the Spark
+    wrapper runs shuffle-free."""
+    from scylla_cdc_source_connector_spark import audio
+    from scylla_cdc_source_connector_spark.audio_loudness import (
+        normalize_loudness,
+    )
+
+    sr = 8000
+    sil = np.zeros(sr, dtype=np.int16)
+    tone = (0.25 * np.sin(2 * np.pi * 997.0 * np.arange(sr) / sr) * 32767).astype(
+        np.int16
+    )
+    rows = [
+        ("sil", sil.tobytes(), "pcm_s16le", sr),
+        ("wav", bytes(audio.wav_encode(tone, sr, "ulaw")), "wav", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+    res = normalize_loudness(df)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    out = {r["clip_id"]: r for r in res.collect()}
+    v = out["sil"]["lufs_in"]  # NaN crosses Arrow as null
+    assert v is None or np.isnan(v)
+    assert bytes(out["sil"]["bytes"]) == sil.tobytes()  # unit gain
+    assert out["wav"]["codec"] == "pcm_s16le"
+    assert out["wav"]["sr_hz"] == sr
+    assert out["wav"]["decode_ok"] and out["wav"]["gain_db"] is not None

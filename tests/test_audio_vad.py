@@ -267,3 +267,116 @@ def test_trim_clips_single_pass(spark):
     ).toPandas().iloc[0]
     assert again["trim_start_ms"] == 0
     assert again["speech_ratio"] >= 0.9
+
+
+# ---------------------------------------------------- spans + SNR --------
+
+
+def test_vad_snr_estimate():
+    """VAD-referenced SNR: a -6 dBFS tone over near-digital silence reads
+    a large positive SNR; adding a known noise floor brings it near the
+    constructed ratio; one-sided clips (all speech / all silence) are
+    NaN."""
+    rng = np.random.RandomState(3)
+    tone = _tone(4000, amp=0.5)
+    noise = (rng.randn(4000) * 0.005 * 32767).astype(np.int16)
+    sig = np.concatenate([noise, tone, noise])
+    r = _vad_one(sig)
+    # speech power ~ amp^2/2 = 0.125; noise power ~ 2.5e-5 -> ~37 dB
+    assert 30.0 < r["snr_db"] < 45.0
+    louder = (rng.randn(4000) * 0.05 * 32767).astype(np.int16)
+    r2 = _vad_one(np.concatenate([louder, tone, louder]), thr=-20.0)
+    assert r2["snr_db"] < r["snr_db"] - 10.0
+    assert np.isnan(_vad_one(_tone(4000))["snr_db"])  # all speech
+    assert np.isnan(_vad_one(_silence(4000))["snr_db"])  # all silence
+
+
+def test_split_speech_spans_merging_and_gates():
+    """Utterance splitting: two tones separated by a short pause MERGE
+    into one span; a long pause splits; sub-min_speech blips drop; the
+    payload slice reconstructs each span byte-exactly; undecodable rows
+    pass through with span_idx=-1; all-silence clips emit nothing."""
+    from scylla_cdc_source_connector_spark.audio_vad import (
+        SPANS_SCHEMA,
+        speech_spans_batches,
+        split_speech_spans,  # noqa: F401 (DataFrame wrapper imported)
+    )
+
+    # 8 kHz, 20 ms frames. Layout (ms):
+    #   0-300 silence | 300-700 tone | 700-800 silence(100: < 200 merge)
+    #   | 800-1100 tone | 1100-1600 silence(500: split) | 1600-1640
+    #   tone(40: isolated by >=200 ms both sides -> < 100 ms drops)
+    #   | 1640-1940 silence | 1940-2240 tone
+    def ms(x):
+        return x * 8  # samples at 8 kHz
+
+    sig = np.concatenate(
+        [
+            _silence(ms(300)), _tone(ms(400)), _silence(ms(100)),
+            _tone(ms(300)), _silence(ms(500)), _tone(ms(40)),
+            _silence(ms(300)), _tone(ms(300)),
+        ]
+    )
+    rows = pd.DataFrame(
+        {
+            "clip_id": ["c", "quiet", "bad"],
+            "bytes": [
+                audio.encode(sig, "pcm_s16le"),
+                audio.encode(_silence(ms(400)), "pcm_s16le"),
+                b"\x00\x01",
+            ],
+            "codec": ["pcm_s16le", "pcm_s16le", "opus"],
+            "sr_hz": [SR, SR, SR],
+        }
+    )
+    (out,) = list(
+        speech_spans_batches(20, -40.0, min_silence_ms=200, min_speech_ms=100)(
+            iter([rows])
+        )
+    )
+    c = out[out["clip_id"] == "c"].sort_values("span_idx")
+    assert list(c["span_idx"]) == [0, 1] and list(c["n_spans"]) == [2, 2]
+    assert list(c["span_start_ms"]) == [300, 1940]
+    assert list(c["span_end_ms"]) == [1100, 2240]
+    # byte-exact slices
+    raw = audio.encode(sig, "pcm_s16le").tobytes() if hasattr(
+        audio.encode(sig, "pcm_s16le"), "tobytes"
+    ) else bytes(audio.encode(sig, "pcm_s16le"))
+    got0 = c.iloc[0]["bytes"]
+    assert got0 == raw[ms(300) * 2 : ms(1100) * 2]
+    assert c.iloc[1]["bytes"] == raw[ms(1940) * 2 : ms(2240) * 2]
+    # quiet clip: no spans -> zero rows; bad codec: one passthrough row
+    assert (out["clip_id"] == "quiet").sum() == 0
+    bad = out[out["clip_id"] == "bad"]
+    assert len(bad) == 1 and bad.iloc[0]["span_idx"] == -1
+    assert not bad.iloc[0]["decode_ok"]
+    assert bytes(bad.iloc[0]["bytes"]) == b"\x00\x01"
+    assert len(SPANS_SCHEMA.split(",")) == 10
+
+
+def test_split_speech_spans_spark_and_wav(spark):
+    """DataFrame wrapper: WAV rows unwrap (container sr wins), spans
+    re-VAD as all-speech, multi-clip batch keeps clips separate."""
+    from scylla_cdc_source_connector_spark.audio_vad import split_speech_spans
+
+    def ms(x):
+        return x * 8
+
+    sig = np.concatenate(
+        [_silence(ms(300)), _tone(ms(400)), _silence(ms(500)), _tone(ms(300))]
+    )
+    rows = [
+        ("raw", bytes(audio.encode(sig, "pcm_s16le")), "pcm_s16le", SR),
+        ("wav", bytes(audio.wav_encode(sig, SR, "ulaw")), "wav", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+    out = split_speech_spans(df).toPandas().set_index(["clip_id", "span_idx"])
+    for cid, codec in (("raw", "pcm_s16le"), ("wav", "ulaw")):
+        assert out.loc[(cid, 0)]["span_start_ms"] == 300
+        assert out.loc[(cid, 0)]["span_end_ms"] == 700
+        assert out.loc[(cid, 1)]["span_start_ms"] == 1200
+        assert out.loc[(cid, 1)]["span_end_ms"] == 1500
+        assert out.loc[(cid, 0)]["codec"] == codec
+        assert out.loc[(cid, 0)]["sr_hz"] == SR
