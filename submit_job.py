@@ -37,17 +37,30 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="work/output root")
     ap.add_argument(
         "--mode",
-        choices=("batch", "stream", "stream-iceberg"),
+        choices=("batch", "stream", "stream-iceberg", "mirror", "feed"),
         default="stream",
         help="stream-iceberg: --input is a jarless Iceberg table location "
              "(sources/iceberg_meta.py); one micro-batch per unconsumed "
-             "snapshot, exactly-once resume via sink lineage",
+             "snapshot, exactly-once resume via sink lineage. "
+             "mirror: stream-iceberg drain + compacted latest-state "
+             "Iceberg mirror under --output/mirror (row-level upserts/"
+             "deletes, merge-on-read current state). "
+             "feed: --input is an Iceberg table; materialize its row-level "
+             "changelog incrementally under --output/feed (exactly-once "
+             "batch=<snapshot>/ parquet, resume via the feed hwm)",
     )
     ap.add_argument("--fresh", action="store_true",
                     help="clear --output first (otherwise stream resumes)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None,
                     help="stream mode: cap source files per micro-batch "
                          "(1 = one chunk per trigger, the production shape)")
+    ap.add_argument("--max-files-per-batch", type=int, default=None,
+                    help="stream-iceberg/mirror: split a snapshot larger "
+                         "than N files into exactly-once sub-batches "
+                         "(backpressure for bulk-import snapshots)")
+    ap.add_argument("--identifier-columns", default=None,
+                    help="feed mode: comma-separated key columns for "
+                         "UPDATE_BEFORE/UPDATE_AFTER pairing")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -82,8 +95,39 @@ def main() -> None:
             run_iceberg_meta_stream,
         )
 
-        res = run_iceberg_meta_stream(spark, cfg, args.input)
+        res = run_iceberg_meta_stream(
+            spark, cfg, args.input,
+            max_files_per_batch=args.max_files_per_batch,
+        )
         n = res["emitted_total"]
+    elif args.mode == "mirror":
+        from scylla_cdc_source_connector_spark.sources import iceberg_meta
+        from scylla_cdc_source_connector_spark.streaming.engine import (
+            run_iceberg_meta_stream,
+        )
+
+        run_iceberg_meta_stream(
+            spark, cfg, args.input,
+            max_files_per_batch=args.max_files_per_batch,
+        )
+        iceberg_meta.maintain_latest_state_mirror(
+            spark, cfg, f"{args.output}/mirror"
+        )
+        n = iceberg_meta.read_table(spark, f"{args.output}/mirror").count()
+    elif args.mode == "feed":
+        from scylla_cdc_source_connector_spark.sources import iceberg_meta
+
+        res = iceberg_meta.maintain_changelog_feed(
+            spark,
+            args.input,
+            f"{args.output}/feed",
+            identifier_columns=(
+                args.identifier_columns.split(",")
+                if args.identifier_columns
+                else None
+            ),
+        )
+        n = res["rows"]
     else:
         from scylla_cdc_source_connector_spark.streaming.engine import run_stream
         from scylla_cdc_source_connector_spark.streaming.sink import read_emitted
