@@ -356,6 +356,100 @@ def main() -> None:
         "the per-stratum budget table must broadcast"
     )
 
+    # round-5 final-session operators: changelog reads, NDV stats,
+    # loudness normalization, utterance splitting
+    import shutil as _sh
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta as im_mod
+    from scylla_cdc_source_connector_spark.sources import puffin as puffin_mod
+
+    iloc = "/tmp/sccs_planaudit_ice"
+    _sh.rmtree(iloc, ignore_errors=True)
+    os.makedirs(iloc + "/data")
+    import pyspark.sql.types as _T
+
+    im_mod.create_table(
+        iloc,
+        _T.StructType(
+            [
+                _T.StructField("k", _T.StringType(), False),
+                _T.StructField("v", _T.LongType(), False),
+            ]
+        ),
+    )
+    for i in range(2):
+        p = f"{iloc}/data/f{i}.parquet"
+        _pq.write_table(
+            _pa.table(
+                {
+                    "k": [f"k{i * 100 + j}" for j in range(100)],
+                    "v": list(range(i * 100, i * 100 + 100)),
+                }
+            ),
+            p,
+        )
+        im_mod.append_files(iloc, [p], timestamp_ms=i + 1)
+    im_mod.delete_where(spark, iloc, "v % 3 = 0", timestamp_ms=3)
+
+    r16 = audit(
+        im_mod.read_changelog(spark, iloc),
+        "iceberg row-level changelog (plain)",
+    )
+    assert r16["exchanges"] == 0, (
+        "plain changelog = one scan per side + broadcast provenance/delete "
+        "maps — ZERO shuffle exchanges"
+    )
+    r17 = audit(
+        im_mod.read_changelog(spark, iloc, identifier_columns=["k"]),
+        "changelog + update pairing",
+    )
+    assert r17["exchanges"] == 2, (
+        "pairing = carry-over hash agg + (key, ordinal) window — exactly "
+        "TWO exchanges"
+    )
+
+    sdf = im_mod.read_table(spark, iloc)
+    hashed = sdf.select(
+        *[
+            F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c)))
+            .otherwise(F.lit(puffin_mod._NULL_SENTINEL))
+            .alias(c)
+            for c in ("k", "v")
+        ]
+    ).mapInPandas(
+        puffin_mod._kmv_partition_udf(["k", "v"], 128),
+        "col string, sketch binary",
+    )
+    r18 = audit(hashed, "KMV NDV sketch pass (compute_table_stats)")
+    assert r18["exchanges"] == 0, (
+        "NDV sketching is one JVM-hash projection + one mapInPandas — "
+        "zero shuffle at any table size"
+    )
+
+    from scylla_cdc_source_connector_spark.audio_loudness import (
+        normalize_loudness,
+    )
+    from scylla_cdc_source_connector_spark.audio_vad import split_speech_spans
+
+    post_audio = cl.where("`cdc$operation` = 9").select(
+        "clip_id", "bytes", "codec", "sr_hz"
+    )
+    r19 = audit(
+        normalize_loudness(post_audio), "loudness normalization (one Arrow pass)"
+    )
+    assert r19["exchanges"] == 0, (
+        "normalize_loudness measures and re-emits in ONE narrow Arrow stage"
+    )
+    r20 = audit(
+        split_speech_spans(post_audio), "VAD utterance splitter (1->N)"
+    )
+    assert r20["exchanges"] == 0, (
+        "split_speech_spans fans out inside the Arrow pass — no exchange"
+    )
+
     print("ALL PLAN INVARIANTS HOLD")
     spark.stop()
 
