@@ -114,11 +114,157 @@ _ALAW_ENCODE_LUT = alaw_encode(_PCM16_RANGE)
 
 
 # --------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV format tag 0x11) — public IMA spec tables, 4-bit
+# differential coding with per-block (predictor, step-index) headers
+# --------------------------------------------------------------------------
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    dtype=np.int32,
+)
+
+
+def _ima_update(pred, idx, nb):
+    """One IMA step for a VECTOR of blocks: (predictor, index, nibble)
+    int32 arrays → updated (predictor, index).  Shared by decode and
+    encode so their state machines can never drift apart."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    diff += np.where(nb & 4, step, 0)
+    diff += np.where(nb & 2, step >> 1, 0)
+    diff += np.where(nb & 1, step >> 2, 0)
+    pred = np.clip(
+        np.where(nb & 8, pred - diff, pred + diff), -32768, 32767
+    )
+    idx = np.clip(idx + _IMA_INDEX_TABLE[nb & 7], 0, 88)
+    return pred, idx
+
+
+def _ima_decode_blocks(blk: np.ndarray) -> np.ndarray:
+    """(B, block_align) uint8 → (B, samples_per_block) int16.  The
+    per-sample recurrence is inherently sequential, but blocks are
+    independent (each header carries its own predictor/step), so the loop
+    runs samples-per-block times over ALL blocks at once — numpy work per
+    step is O(B), never per-sample python."""
+    B, Lb = blk.shape
+    pred = (
+        blk[:, 0].astype(np.uint16) | (blk[:, 1].astype(np.uint16) << 8)
+    ).astype(np.int16).astype(np.int32)
+    idx = np.clip(blk[:, 2].astype(np.int32), 0, 88)
+    nib_bytes = blk[:, 4:]
+    n_nib = (Lb - 4) * 2
+    nibs = np.empty((B, n_nib), dtype=np.uint8)
+    nibs[:, 0::2] = nib_bytes & 0x0F
+    nibs[:, 1::2] = nib_bytes >> 4
+    out = np.empty((B, n_nib + 1), dtype=np.int16)
+    out[:, 0] = pred
+    for t in range(n_nib):
+        pred, idx = _ima_update(pred, idx, nibs[:, t].astype(np.int32))
+        out[:, t + 1] = pred
+    return out
+
+
+def adpcm_ima_decode(payload: bytes, block_align: int) -> np.ndarray:
+    """IMA ADPCM payload (mono) → int16 PCM.  `block_align` comes from
+    the WAV fmt chunk; a trailing partial block decodes with its actual
+    length, a fragment shorter than one header (4 B) is malformed."""
+    if block_align < 5:
+        raise MalformedContainerError(f"ADPCM block align {block_align}")
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    nfull = len(buf) // block_align
+    rem = len(buf) - nfull * block_align
+    parts = []
+    if nfull:
+        parts.append(
+            _ima_decode_blocks(
+                buf[: nfull * block_align].reshape(nfull, block_align)
+            ).reshape(-1)
+        )
+    if rem:
+        if rem < 5:
+            raise MalformedContainerError(
+                f"trailing ADPCM fragment of {rem} bytes"
+            )
+        parts.append(_ima_decode_blocks(buf[-rem:][None, :]).reshape(-1))
+    if not parts:
+        return np.zeros(0, dtype=np.int16)
+    return np.concatenate(parts)
+
+
+def adpcm_ima_encode(pcm: np.ndarray, samples_per_block: int = 505) -> bytes:
+    """int16 PCM (mono) → IMA ADPCM payload.  samples_per_block must be
+    odd (1 header sample + an even nibble count); the tail block is
+    shortened to the remaining samples (padded up to a whole nibble
+    pair).  Same across-blocks vectorization as decode."""
+    if samples_per_block < 3 or samples_per_block % 2 == 0:
+        raise ValueError("samples_per_block must be odd and >= 3")
+    pcm = np.asarray(pcm, dtype=np.int16)
+    if not len(pcm):
+        return b""
+    n_nib = samples_per_block - 1
+    nb_blocks = -(-len(pcm) // samples_per_block)
+    pad = nb_blocks * samples_per_block - len(pcm)
+    if pad:
+        pcm = np.concatenate([pcm, np.repeat(pcm[-1:], pad)])
+    mat = pcm.reshape(nb_blocks, samples_per_block).astype(np.int32)
+    pred = mat[:, 0].copy()
+    # per-block initial step index from the block's own mean slope —
+    # blocks stay independent (vectorizable) and the header tells the
+    # decoder, so no running-state chain across blocks is needed; a
+    # fixed 0 start costs ~50 samples of slew-limited distortion per
+    # block on loud signals
+    mean_slope = np.abs(np.diff(mat, axis=1)).mean(axis=1)
+    idx0 = np.clip(
+        np.searchsorted(_IMA_STEP_TABLE, mean_slope).astype(np.int32),
+        0,
+        88,
+    )
+    idx = idx0.copy()
+    nibs = np.empty((nb_blocks, n_nib), dtype=np.uint8)
+    for t in range(n_nib):
+        target = mat[:, t + 1]
+        step = _IMA_STEP_TABLE[idx]
+        delta = target - pred
+        nb = np.where(delta < 0, 8, 0).astype(np.int32)
+        d = np.abs(delta)
+        ge = d >= step
+        nb |= np.where(ge, 4, 0)
+        d -= np.where(ge, step, 0)
+        ge = d >= (step >> 1)
+        nb |= np.where(ge, 2, 0)
+        d -= np.where(ge, step >> 1, 0)
+        nb |= np.where(d >= (step >> 2), 1, 0)
+        nibs[:, t] = nb.astype(np.uint8)
+        pred, idx = _ima_update(pred, idx, nb)
+    packed = (nibs[:, 0::2] | (nibs[:, 1::2] << 4)).astype(np.uint8)
+    block_align = 4 + n_nib // 2
+    out = np.empty((nb_blocks, block_align), dtype=np.uint8)
+    p0 = mat[:, 0].astype(np.int16).astype(np.uint16)
+    out[:, 0] = (p0 & 0xFF).astype(np.uint8)
+    out[:, 1] = (p0 >> 8).astype(np.uint8)
+    out[:, 2] = idx0.astype(np.uint8)  # the derived initial step index
+    out[:, 3] = 0
+    out[:, 4:] = packed
+    return out.tobytes()
+
+
+# --------------------------------------------------------------------------
 # WAV (RIFF) container — public Microsoft/IBM WAVE format, pure struct/numpy
 # --------------------------------------------------------------------------
-#: WAVE fmt-chunk wFormatTag → raw codec name (PCM=1, A-law=6, µ-law=7)
+#: WAVE fmt-chunk wFormatTag → raw codec name (PCM=1, A-law=6, µ-law=7);
+#: IMA ADPCM (0x11) is handled separately (block-coded, needs block align)
 _WAV_TAG_CODEC = {1: "pcm_s16le", 6: "alaw", 7: "ulaw"}
 _WAV_CODEC_TAG = {v: k for k, v in _WAV_TAG_CODEC.items()}
+_WAV_TAG_IMA_ADPCM = 0x11
 
 
 def wav_parse(data: bytes) -> tuple[str, int, int, bytes]:
@@ -134,12 +280,15 @@ def wav_parse(data: bytes) -> tuple[str, int, int, bytes]:
         raise MalformedContainerError("not a RIFF/WAVE container")
     fmt = None
     payload = None
+    fact_samples = None
     off = 12
     n = len(data)
     while off + 8 <= n:
         cid = data[off : off + 4]
         csize = int.from_bytes(data[off + 4 : off + 8], "little")
         body = data[off + 8 : off + 8 + csize]
+        if cid == b"fact" and len(body) >= 4:
+            fact_samples = int.from_bytes(body[0:4], "little")
         if cid == b"fmt ":
             if len(body) < 16:
                 raise MalformedContainerError("fmt chunk truncated")
@@ -148,6 +297,7 @@ def wav_parse(data: bytes) -> tuple[str, int, int, bytes]:
                 int.from_bytes(body[2:4], "little"),  # nChannels
                 int.from_bytes(body[4:8], "little"),  # nSamplesPerSec
                 int.from_bytes(body[14:16], "little"),  # wBitsPerSample
+                int.from_bytes(body[12:14], "little"),  # nBlockAlign
             )
         elif cid == b"data":
             if len(body) < csize:
@@ -157,10 +307,30 @@ def wav_parse(data: bytes) -> tuple[str, int, int, bytes]:
         off += 8 + csize + (csize & 1)
     if fmt is None or payload is None:
         raise MalformedContainerError("missing fmt/data chunk")
-    tag, channels, sr_hz, bits = fmt
+    tag, channels, sr_hz, bits, block_align = fmt
+    if tag == _WAV_TAG_IMA_ADPCM:
+        # block-coded: transcode here (the only place block_align is
+        # known) and hand downstream the raw PCM it already understands.
+        # Cost class: O(samples_per_block) numpy steps per row — heavier
+        # than a header parse but bounded and python-loop-free per sample
+        if bits != 4:
+            raise MalformedContainerError(
+                f"IMA ADPCM with {bits}-bit samples (expected 4)"
+            )
+        if channels != 1:
+            raise UnsupportedCodecError(
+                "multichannel IMA ADPCM not supported (mono only)"
+            )
+        pcm16 = adpcm_ima_decode(payload, block_align)
+        if fact_samples is not None:
+            # compressed WAV carries the true sample count in `fact`:
+            # drop the encoder's tail-block padding
+            pcm16 = pcm16[:fact_samples]
+        return "pcm_s16le", 1, sr_hz, pcm16.astype("<i2").tobytes()
     if tag not in _WAV_TAG_CODEC:
         raise UnsupportedCodecError(
-            f"WAV format tag {tag}; supported tags: {sorted(_WAV_TAG_CODEC)}"
+            f"WAV format tag {tag}; supported tags: "
+            f"{sorted(_WAV_TAG_CODEC) + [_WAV_TAG_IMA_ADPCM]}"
         )
     codec = _WAV_TAG_CODEC[tag]
     want_bits = 16 if codec == "pcm_s16le" else 8
@@ -195,6 +365,41 @@ def wav_encode(
             (int(sr_hz) * block).to_bytes(4, "little"),
             block.to_bytes(2, "little"),
             bits.to_bytes(2, "little"),
+            b"data",
+            len(payload).to_bytes(4, "little"),
+        ]
+    )
+    return hdr + payload + (b"\x00" if len(payload) & 1 else b"")
+
+
+def wav_encode_adpcm(
+    pcm: np.ndarray, sr_hz: int, samples_per_block: int = 505
+) -> bytes:
+    """int16 mono PCM → WAV container with IMA ADPCM (tag 0x11) audio:
+    the extended fmt chunk (cbSize=2, wSamplesPerBlock) plus the `fact`
+    chunk compressed WAV requires (total sample count)."""
+    pcm = np.asarray(pcm, dtype=np.int16)
+    payload = adpcm_ima_encode(pcm, samples_per_block)
+    block_align = 4 + (samples_per_block - 1) // 2
+    avg_bps = max(int(sr_hz) * block_align // samples_per_block, 1)
+    hdr = b"".join(
+        [
+            b"RIFF",
+            (4 + 8 + 20 + 8 + 4 + 8 + len(payload)).to_bytes(4, "little"),
+            b"WAVE",
+            b"fmt ",
+            (20).to_bytes(4, "little"),
+            _WAV_TAG_IMA_ADPCM.to_bytes(2, "little"),
+            (1).to_bytes(2, "little"),
+            int(sr_hz).to_bytes(4, "little"),
+            avg_bps.to_bytes(4, "little"),
+            block_align.to_bytes(2, "little"),
+            (4).to_bytes(2, "little"),  # wBitsPerSample
+            (2).to_bytes(2, "little"),  # cbSize
+            samples_per_block.to_bytes(2, "little"),
+            b"fact",
+            (4).to_bytes(4, "little"),
+            len(pcm).to_bytes(4, "little"),
             b"data",
             len(payload).to_bytes(4, "little"),
         ]

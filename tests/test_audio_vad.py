@@ -380,3 +380,64 @@ def test_split_speech_spans_spark_and_wav(spark):
         assert out.loc[(cid, 1)]["span_end_ms"] == 1500
         assert out.loc[(cid, 0)]["codec"] == codec
         assert out.loc[(cid, 0)]["sr_hz"] == SR
+
+
+# ---------------------------------------------------- IMA ADPCM ----------
+
+
+def test_adpcm_ima_roundtrip_snr():
+    """IMA ADPCM encode→decode reconstructs a tone at the codec's
+    expected fidelity (4-bit differential: SNR well above 15 dB after
+    the per-block adaptation), and decode is bit-deterministic."""
+    sig = _tone(8000, amp=0.5)
+    payload = audio.adpcm_ima_encode(sig, samples_per_block=505)
+    # 4 bits/sample + 4 B/block header ~ 0.51 B/sample
+    assert len(payload) < len(sig)  # < 2 B/sample of pcm16
+    out = audio.adpcm_ima_decode(payload, block_align=4 + 504 // 2)
+    assert len(out) >= len(sig)
+    got = out[: len(sig)].astype(np.float32) / 32768.0
+    ref = sig.astype(np.float32) / 32768.0
+    assert audio.snr_db(ref, got) >= 15.0
+    assert np.array_equal(
+        out, audio.adpcm_ima_decode(payload, block_align=256)
+    )
+
+
+def test_adpcm_wav_container_and_pipeline():
+    """A tag-0x11 WAV parses to pcm_s16le (fact chunk trims the tail
+    padding), flows through VAD with the same trim as the PCM original,
+    and malformed/multichannel ADPCM raise the typed errors."""
+    sig = np.concatenate([_silence(2400), _tone(4000), _silence(1600)])
+    blob = audio.wav_encode_adpcm(sig, SR)
+    codec, ch, sr, payload = audio.wav_parse(blob)
+    assert (codec, ch, sr) == ("pcm_s16le", 1, SR)
+    dec = np.frombuffer(payload, dtype="<i2")
+    assert len(dec) == len(sig)  # fact-trimmed exactly
+    assert (
+        audio.snr_db(
+            sig.astype(np.float32) / 32768.0,
+            dec.astype(np.float32) / 32768.0,
+        )
+        >= 15.0
+    )
+    r_pcm = _vad_one(sig)
+    r_adpcm = _vad_one(sig, codec="wav", blob=blob)
+    assert r_adpcm["trim_start_ms"] == r_pcm["trim_start_ms"]
+    assert r_adpcm["trim_end_ms"] == r_pcm["trim_end_ms"]
+    # decode(codec="wav") dispatches too
+    f = audio.decode(blob, "wav")
+    assert len(f) == len(sig)
+
+    # trailing fragment shorter than a block header -> malformed
+    with pytest.raises(audio.MalformedContainerError):
+        audio.adpcm_ima_decode(b"\x00" * 3, block_align=256)
+    # stereo ADPCM is refused with the typed unsupported error
+    bad = bytearray(blob)
+    bad[22:24] = (2).to_bytes(2, "little")  # nChannels = 2
+    with pytest.raises(audio.UnsupportedCodecError):
+        audio.wav_parse(bytes(bad))
+    # wrong bits-per-sample -> malformed
+    bad2 = bytearray(blob)
+    bad2[34:36] = (8).to_bytes(2, "little")
+    with pytest.raises(audio.MalformedContainerError):
+        audio.wav_parse(bytes(bad2))
