@@ -143,6 +143,45 @@ def _vad_group(
     return frames, out_speech, out_first, out_last, out_snr, speech, local, nz, ofs
 
 
+
+def _resolve_rows(pdf: pd.DataFrame):
+    """Shared per-batch container/validity resolution for the VAD bodies:
+    WAV rows unwrapped (container metadata wins), undecodable/odd-length
+    rows invalidated.  Returns (eff_raw list, eff_codec obj array,
+    srs int64, chans int64, valid mask)."""
+    n = len(pdf)
+    codecs = np.asarray(pdf["codec"].values, dtype=object)
+    raws = pdf["bytes"].values
+    sr_col = pd.to_numeric(pdf["sr_hz"], errors="coerce").fillna(0)
+    srs = sr_col.to_numpy(dtype=np.int64, na_value=0)
+    chans = np.ones(n, dtype=np.int64)
+    eff_codec = codecs.copy()
+    eff_raw: list = list(raws)
+    for i in np.flatnonzero(codecs == "wav"):
+        if raws[i] is None:
+            eff_codec[i] = None
+            continue
+        try:
+            inner, ch, sr, payload = audio.wav_parse(bytes(raws[i]))
+        except (audio.MalformedContainerError, audio.UnsupportedCodecError):
+            eff_codec[i] = None
+            continue
+        eff_codec[i], eff_raw[i] = inner, payload
+        srs[i], chans[i] = sr, ch  # container metadata wins
+    valid = np.fromiter(
+        (
+            r is not None
+            and c in _BYTES_PER_SAMPLE
+            and s > 0
+            and not (c == "pcm_s16le" and len(r) % 2)
+            for r, c, s in zip(eff_raw, eff_codec, srs)
+        ),
+        dtype=bool,
+        count=n,
+    )
+    return eff_raw, eff_codec, srs, chans, valid
+
+
 def vad_stats_batches(
     frame_ms: int = 20, threshold_db: float = -40.0, emit_trimmed: bool = False
 ):
@@ -162,8 +201,6 @@ def vad_stats_batches(
         for pdf in batches:
             n = len(pdf)
             dec_ok = np.zeros(n, dtype=bool)
-            srs = np.zeros(n, dtype=np.int64)
-            chans = np.ones(n, dtype=np.int64)
             n_frames = np.zeros(n, dtype=np.int64)
             speech = np.zeros(n, dtype=np.int64)
             first = np.full(n, -1, dtype=np.int64)
@@ -173,34 +210,7 @@ def vad_stats_batches(
 
             codecs = np.asarray(pdf["codec"].values, dtype=object)
             raws = pdf["bytes"].values
-            sr_col = pd.to_numeric(pdf["sr_hz"], errors="coerce").fillna(0)
-
-            eff_codec = codecs.copy()
-            eff_raw: list = list(raws)
-            srs[:] = sr_col.to_numpy(dtype=np.int64, na_value=0)
-            for i in np.flatnonzero(codecs == "wav"):
-                if raws[i] is None:
-                    eff_codec[i] = None
-                    continue
-                try:
-                    inner, ch, sr, payload = audio.wav_parse(bytes(raws[i]))
-                except (audio.MalformedContainerError, audio.UnsupportedCodecError):
-                    eff_codec[i] = None
-                    continue
-                eff_codec[i], eff_raw[i] = inner, payload
-                srs[i], chans[i] = sr, ch  # container metadata wins
-
-            valid = np.fromiter(
-                (
-                    r is not None
-                    and c in _BYTES_PER_SAMPLE
-                    and s > 0
-                    and not (c == "pcm_s16le" and len(r) % 2)
-                    for r, c, s in zip(eff_raw, eff_codec, srs)
-                ),
-                dtype=bool,
-                count=n,
-            )
+            eff_raw, eff_codec, srs, chans, valid = _resolve_rows(pdf)
             keys = [
                 (eff_codec[i], int(srs[i]), int(chans[i]))
                 for i in range(n)
@@ -337,36 +347,8 @@ def speech_spans_batches(
             n = len(pdf)
             codecs = np.asarray(pdf["codec"].values, dtype=object)
             raws = pdf["bytes"].values
-            sr_col = pd.to_numeric(pdf["sr_hz"], errors="coerce").fillna(0)
-            srs = sr_col.to_numpy(dtype=np.int64, na_value=0)
-            chans = np.ones(n, dtype=np.int64)
             clip_ids = pdf["clip_id"].values
-
-            eff_codec = codecs.copy()
-            eff_raw: list = list(raws)
-            for i in np.flatnonzero(codecs == "wav"):
-                if raws[i] is None:
-                    eff_codec[i] = None
-                    continue
-                try:
-                    inner, ch, sr, payload = audio.wav_parse(bytes(raws[i]))
-                except (audio.MalformedContainerError, audio.UnsupportedCodecError):
-                    eff_codec[i] = None
-                    continue
-                eff_codec[i], eff_raw[i] = inner, payload
-                srs[i], chans[i] = sr, ch
-
-            valid = np.fromiter(
-                (
-                    r is not None
-                    and c in _BYTES_PER_SAMPLE
-                    and s > 0
-                    and not (c == "pcm_s16le" and len(r) % 2)
-                    for r, c, s in zip(eff_raw, eff_codec, srs)
-                ),
-                dtype=bool,
-                count=n,
-            )
+            eff_raw, eff_codec, srs, chans, valid = _resolve_rows(pdf)
             rows: dict[str, list] = {
                 k: []
                 for k in (
@@ -440,29 +422,13 @@ def speech_spans_batches(
                 m_start, m_end, m_clip = m_start[keep], m_end[keep], m_clip[keep]
                 if not len(m_clip):
                     continue
-                # per-clip span numbering + counts
-                span_idx = (
-                    np.arange(len(m_clip))
-                    - np.repeat(
-                        np.flatnonzero(
-                            np.concatenate(
-                                ([True], m_clip[1:] != m_clip[:-1])
-                            )
-                        ),
-                        np.diff(
-                            np.concatenate(
-                                (
-                                    np.flatnonzero(
-                                        np.concatenate(
-                                            ([True], m_clip[1:] != m_clip[:-1])
-                                        )
-                                    ),
-                                    [len(m_clip)],
-                                )
-                            )
-                        ),
-                    )
+                # per-clip span numbering: rank within each run of equal
+                # m_clip values (m_clip is sorted by construction)
+                g0 = np.flatnonzero(
+                    np.concatenate(([True], m_clip[1:] != m_clip[:-1]))
                 )
+                sizes = np.diff(np.concatenate((g0, [len(m_clip)])))
+                span_idx = np.arange(len(m_clip)) - np.repeat(g0, sizes)
                 counts = np.bincount(m_clip, minlength=len(nz))
                 bps = _BYTES_PER_SAMPLE[codec]
                 spf = max(int(sr * frame_ms) // 1000, 1) * max(ch, 1)

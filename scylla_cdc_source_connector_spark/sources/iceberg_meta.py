@@ -1742,15 +1742,19 @@ def scan_files(
 _FILE_URI_RE = "^file:/+"
 
 
-def _with_file_pos(spark, files: list[str]):
+def _with_file_pos(spark, files: list[str], schema=None):
     """Data-file scan annotated with (__fp, __pos) — the row's exact
     (file path, position-in-file) identity that position deletes target.
     `_metadata.row_index` is Spark's parquet row position (3.5+), so the
-    annotation is free (no window/zipWithIndex shuffle)."""
+    annotation is free (no window/zipWithIndex shuffle).  Pass `schema`
+    (the table's current Spark schema) when the file set may span a
+    schema evolution — pre-evolution files then read with NULLs for
+    added columns instead of the sampled-footer lottery."""
     from pyspark.sql import functions as F
 
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     return (
-        spark.read.parquet(*files)
+        reader.parquet(*files)
         .withColumn(
             "__fp",
             F.regexp_replace(F.col("_metadata.file_path"), _FILE_URI_RE, "/"),
@@ -2210,7 +2214,8 @@ def read_changelog(
             ins_rows, "__fp string, " + prov_schema
         )
         ins = (
-            spark.read.parquet(*[r[0] for r in ins_rows])
+            spark.read.schema(sch)
+            .parquet(*[r[0] for r in ins_rows])
             .withColumn(
                 "__fp",
                 F.regexp_replace(
@@ -2227,13 +2232,18 @@ def read_changelog(
     # in-range equality delete.  The bounded-history walk is only taken
     # when equality deletes exist; the common position-only case keeps
     # the cheap range-scoped path (a (file, pos) can die only once).
-    hist = _changelog_batches(
-        location,
-        to_snapshot_id=to_snapshot_id,
-        partition_ranges=partition_ranges,
-    )
-    has_eq = any(b["eq_delete_files"] for b in hist)
+    has_eq = any(b["eq_delete_files"] for b in batches)
     if has_eq:
+        # equality kills need history BEFORE the range start too (a row
+        # already dead pre-range must not be re-killed by an in-range
+        # delete of the same key); the bounded-history walk happens ONLY
+        # here — a position-only range never pays it (a (file, pos) can
+        # die exactly once, so pre-range state is irrelevant there)
+        hist = _changelog_batches(
+            location,
+            to_snapshot_id=to_snapshot_id,
+            partition_ranges=partition_ranges,
+        )
         parts.extend(
             _changelog_eq_kills(
                 spark, location, hist, contributing, _prov, data_cols
@@ -2284,7 +2294,7 @@ def read_changelog(
             )
         )
         deleted = (
-            _with_file_pos(spark, sorted(targets))
+            _with_file_pos(spark, sorted(targets), schema=sch)
             .join(F.broadcast(dels), ["__fp", "__pos"])
             .withColumn("_change_type", F.lit("DELETE"))
         )
@@ -2365,9 +2375,11 @@ def _changelog_eq_kills(
             f"longer on disk: {missing[:3]}... — compact or narrow the range"
         )
     seq_map = spark.createDataFrame(cand_rows, "__fp string, __dseq long")
-    cand = _with_file_pos(spark, sorted({f for f, _ in cand_rows})).join(
-        F.broadcast(seq_map), "__fp"
-    )
+    cand = _with_file_pos(
+        spark,
+        sorted({f for f, _ in cand_rows}),
+        schema=current_spark_schema(location),
+    ).join(F.broadcast(seq_map), "__fp")
     events = []
     pos_files = [
         (p, b["sequence_number"], b["snapshot_id"])
@@ -4304,16 +4316,31 @@ def maintain_changelog_feed(
     md = current_metadata(location)
     head = md["current-snapshot-id"]
     state_path = os.path.join(feed_dir, _FEED_STATE)
+    # identity is compared through a JSON round-trip on BOTH sides so
+    # tuples/lists can never mismatch a stored scope; identifier_columns
+    # are part of it too — a feed's change-type semantics must not flip
+    # between passes
+    identity = _json.loads(
+        _json.dumps(
+            {
+                "table": os.path.abspath(location),
+                "scope": sorted(partition_ranges.items())
+                if partition_ranges
+                else None,
+                "identifier_columns": list(identifier_columns)
+                if identifier_columns
+                else None,
+            }
+        )
+    )
     last = None
     if os.path.exists(state_path):
         with open(state_path) as fh:
             st = _json.load(fh)
-        if st.get("table") != os.path.abspath(location) or st.get(
-            "scope"
-        ) != (sorted(partition_ranges.items()) if partition_ranges else None):
+        if {k: st.get(k) for k in identity} != identity:
             raise ValueError(
-                "feed_dir belongs to a different table or scope; one feed "
-                "directory serves one (table, scope) stream"
+                "feed_dir belongs to a different (table, scope, "
+                "identifier_columns) stream; one feed directory serves one"
             )
         last = st["hwm"]
     if head == -1 or head == last:
@@ -4357,16 +4384,7 @@ def maintain_changelog_feed(
             with_batch.unpersist()
     tmp = state_path + ".tmp"
     with open(tmp, "w") as fh:
-        _json.dump(
-            {
-                "table": os.path.abspath(location),
-                "scope": sorted(partition_ranges.items())
-                if partition_ranges
-                else None,
-                "hwm": head,
-            },
-            fh,
-        )
+        _json.dump({**identity, "hwm": head}, fh)
     os.replace(tmp, state_path)
     return {"consumed": new_snaps, "rows": n, "hwm": head}
 

@@ -183,6 +183,14 @@ def _kmv_partition_udf(cols: list[str], k: int):
                     acc[c].append(
                         v.astype(np.uint64) + np.uint64(1 << 63)
                     )
+                # compress to bottom-k after EVERY batch: the bottom-k of
+                # a union equals the bottom-k of per-part bottom-ks, so
+                # worker memory stays O(k) per column no matter how many
+                # rows the partition holds
+                if len(acc[c]) > 1 or (
+                    acc[c] and len(acc[c][0]) > k
+                ):
+                    acc[c] = [np.unique(np.concatenate(acc[c]))[:k]]
         out_c, out_b = [], []
         for c in cols:
             if acc[c]:

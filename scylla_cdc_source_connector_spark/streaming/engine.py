@@ -459,12 +459,21 @@ def run_iceberg_meta_stream(
         scope = ":" + ",".join(
             f"{k}=[{lo},{hi}]" for k, (lo, hi) in sorted(partition_ranges.items())
         )
-    if max_files_per_batch is not None:
-        scope += f":split={max_files_per_batch}"
+    # the split factor is part of the stream identity EVEN under an
+    # explicit source_identity: re-chunking committed snapshots must be
+    # refused regardless of how the caller namespaces the lineage
+    split_sfx = (
+        f":split={max_files_per_batch}"
+        if max_files_per_batch is not None
+        else ""
+    )
     stamp_source(
         cfg,
-        source_identity
-        or f"iceberg_meta:{os.path.abspath(table_location)}{scope}",
+        (
+            source_identity
+            or f"iceberg_meta:{os.path.abspath(table_location)}{scope}"
+        )
+        + split_sfx,
     )
 
     if adopt_schema:

@@ -3649,10 +3649,15 @@ def test_changelog_feed_incremental_exactly_once(spark, tmp_root):
     feed = f"{tmp_root}/ice_feed"
     shutil.rmtree(feed, ignore_errors=True)
 
-    r1 = im.maintain_changelog_feed(spark, loc, feed)
+    r1 = im.maintain_changelog_feed(spark, loc, feed, identifier_columns=["k"])
     assert r1["consumed"] == [1, 2] and r1["rows"] == 10
     # no new commits -> no-op
-    assert im.maintain_changelog_feed(spark, loc, feed)["consumed"] == []
+    assert (
+        im.maintain_changelog_feed(spark, loc, feed, identifier_columns=["k"])[
+            "consumed"
+        ]
+        == []
+    )
 
     # update one key + delete one key, then a compaction (replace)
     newf = f"{loc}/data/u.parquet"
@@ -3684,7 +3689,7 @@ def test_changelog_feed_incremental_exactly_once(spark, tmp_root):
     }
 
     im.compact_table(spark, loc, timestamp_ms=5)
-    r3 = im.maintain_changelog_feed(spark, loc, feed)
+    r3 = im.maintain_changelog_feed(spark, loc, feed, identifier_columns=["k"])
     assert r3["rows"] == 0 and r3["consumed"] != []
 
     # whole feed == one-shot changelog on (snapshot, type, content)
@@ -3715,5 +3720,95 @@ def test_changelog_feed_incremental_exactly_once(spark, tmp_root):
 
     # a different table cannot reuse the feed dir
     loc2 = _kv_table(tmp_root, "ice_feed_other", n_files=1, rows_per=2)
-    with pytest.raises(ValueError, match="different table"):
-        im.maintain_changelog_feed(spark, loc2, feed)
+    with pytest.raises(ValueError, match="different"):
+        im.maintain_changelog_feed(spark, loc2, feed, identifier_columns=["k"])
+
+
+def test_changelog_feed_scoped_and_identity_guards(spark, tmp_root):
+    """Review fixes: a SCOPED feed advances across passes (the stored
+    scope JSON round-trips tuples as lists — compare canonically);
+    changing identifier_columns on an existing feed refuses; read_changelog
+    reads evolved tables under the current schema (pre-evolution files
+    surface NULLs, never a sampled-footer lottery)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    loc = f"{tmp_root}/ice_feed_scoped"
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(f"{loc}/data")
+    im.create_table(
+        loc,
+        T.StructType(
+            [
+                T.StructField("k", T.StringType(), False),
+                T.StructField("g", T.StringType(), False),
+            ]
+        ),
+        partition_by=[("g", "identity")],
+    )
+
+    def _append(name, ks, g, ts):
+        p = f"{loc}/data/{name}.parquet"
+        pq.write_table(pa.table({"k": ks, "g": [g] * len(ks)}), p)
+        im.append_files(loc, [p], timestamp_ms=ts)
+
+    _append("a0", ["a1", "a2"], "a", 1)
+    _append("b0", ["b1"], "b", 2)
+    feed = f"{tmp_root}/ice_feed_scoped_out"
+    shutil.rmtree(feed, ignore_errors=True)
+    ra = im.partition_filter_for(loc, {"g": "a"})
+    r1 = im.maintain_changelog_feed(spark, loc, feed, partition_ranges=ra)
+    assert r1["rows"] == 2
+    # second scoped pass MUST advance (was permanently refused before the
+    # tuple/list canonicalization fix)
+    _append("a1f", ["a3"], "a", 3)
+    r2 = im.maintain_changelog_feed(spark, loc, feed, partition_ranges=ra)
+    assert r2["rows"] == 1 and r2["consumed"] != []
+    # changing the scope or the pairing key refuses
+    with pytest.raises(ValueError, match="different"):
+        im.maintain_changelog_feed(spark, loc, feed)
+    with pytest.raises(ValueError, match="different"):
+        im.maintain_changelog_feed(
+            spark, loc, feed, partition_ranges=ra, identifier_columns=["k"]
+        )
+
+    # evolved schema: add a column, append post-evolution rows; the
+    # changelog must read pre-evolution files with NULLs for it
+    new_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("g", T.StringType(), False),
+            T.StructField("extra", T.LongType(), True),
+        ]
+    )
+    im.evolve_schema(loc, new_schema)
+    p = f"{loc}/data/evolved.parquet"
+    pq.write_table(
+        pa.table({"k": ["a9"], "g": ["a"], "extra": [42]}), p
+    )
+    im.append_files(loc, [p], timestamp_ms=4)
+    cl = im.read_changelog(spark, loc)
+    rows = {r["k"]: r["extra"] for r in cl.collect()}
+    assert rows["a9"] == 42
+    assert rows["a1"] is None and rows["b1"] is None
+    assert len(rows) == 5
+
+
+def test_iceberg_stream_split_identity_under_source_identity(
+    spark, tmp_root, ice_pdf
+):
+    """Review fix: the split factor joins the stream identity even when
+    the caller passes an explicit source_identity — re-chunking committed
+    snapshots refuses instead of silently skipping/duplicating."""
+    loc, _sids = _ice_table(tmp_root, ice_pdf, "ice_split_srcid", n_snaps=1)
+    cfg = _cfg(tmp_root, "ice_split_srcid_cfg")
+    run_iceberg_meta_stream(
+        spark, cfg, loc, source_identity="custom:x", max_files_per_batch=2
+    )
+    with pytest.raises(ValueError, match="source"):
+        run_iceberg_meta_stream(
+            spark, cfg, loc, source_identity="custom:x", max_files_per_batch=3
+        )
+    with pytest.raises(ValueError, match="source"):
+        run_iceberg_meta_stream(spark, cfg, loc, source_identity="custom:x")
