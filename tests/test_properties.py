@@ -359,3 +359,79 @@ def test_word_edit_distance_is_a_metric(a, b, c):
     assert dab == _word_edit_distance(b, a)
     assert abs(len(a) - len(b)) <= dab <= max(len(a), len(b))
     assert _word_edit_distance(a, c) <= dab + _word_edit_distance(b, c)
+
+
+# ------------------------------------------------ KMV sketch properties --
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1), max_size=200),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=4, max_value=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_kmv_merge_equals_global_bottom_k(parts, k):
+    """Merging per-partition bottom-k sketches is EXACT w.r.t. one global
+    sketch (bottom-k of a union ⊆ union of per-part bottom-ks), in any
+    partitioning and any merge order."""
+    from scylla_cdc_source_connector_spark.sources import puffin as pf
+
+    all_hashes = np.array(
+        sorted({h for p in parts for h in p}), dtype=np.uint64
+    )
+    blobs = [
+        np.sort(np.unique(np.array(p, dtype=np.uint64)))[:k]
+        .astype("<u8")
+        .tobytes()
+        for p in parts
+    ]
+    merged = pf.kmv_merge(blobs, k)
+    assert np.array_equal(merged, all_hashes[:k])
+    # merge of merges (tree reduction) gives the same sketch
+    mid = len(blobs) // 2
+    left = pf.kmv_merge(blobs[:mid], k) if blobs[:mid] else np.array([], dtype=np.uint64)
+    right = pf.kmv_merge(blobs[mid:], k)
+    two = pf.kmv_merge(
+        [left.astype("<u8").tobytes(), right.astype("<u8").tobytes()], k
+    )
+    assert np.array_equal(two, merged)
+    # exhaustive sketches are exact counts
+    if len(all_hashes) < k:
+        assert pf.kmv_estimate(merged, k) == len(all_hashes)
+
+
+# --------------------------------------------- IMA ADPCM properties ------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=600
+    ),
+    st.sampled_from([9, 33, 105, 505]),
+)
+@settings(max_examples=40, deadline=None)
+def test_adpcm_roundtrip_structure(samples, spb):
+    """Encode→decode is deterministic, length-exact up to tail padding,
+    decoded values stay in int16 range, and the first sample of every
+    block reconstructs EXACTLY (it rides the header verbatim)."""
+    pcm = np.array(samples, dtype=np.int16)
+    payload = audio.adpcm_ima_encode(pcm, samples_per_block=spb)
+    block_align = 4 + (spb - 1) // 2
+    out = audio.adpcm_ima_decode(payload, block_align)
+    n_blocks = -(-len(pcm) // spb)
+    assert len(out) == n_blocks * spb
+    assert np.array_equal(
+        out, audio.adpcm_ima_decode(payload, block_align)
+    )
+    # block-leading samples are verbatim
+    assert np.array_equal(out[::spb], np.asarray(
+        np.concatenate([pcm, np.repeat(pcm[-1:], n_blocks * spb - len(pcm))])
+    )[::spb])
+    # container roundtrip trims the padding via the fact chunk
+    blob = audio.wav_encode_adpcm(pcm, 8000, samples_per_block=spb)
+    codec, ch, sr, inner = audio.wav_parse(blob)
+    assert (codec, ch, sr) == ("pcm_s16le", 1, 8000)
+    assert len(inner) // 2 == len(pcm)
