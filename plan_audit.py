@@ -420,8 +420,8 @@ def main() -> None:
             for c in ("k", "v")
         ]
     ).mapInPandas(
-        puffin_mod._kmv_partition_udf(["k", "v"], 128),
-        "col string, sketch binary",
+        puffin_mod._kmv_partition_udf(["k", "v"], 128, 32),
+        "col string, kind string, sketch binary",
     )
     r18 = audit(hashed, "KMV NDV sketch pass (compute_table_stats)")
     assert r18["exchanges"] == 0, (

@@ -4186,7 +4186,14 @@ def maintain_latest_state_mirror(
                 out_dir = os.path.join(
                     location, "data", f"merge-{max(merge_bids):012d}"
                 )
-                live.write.mode("overwrite").parquet(out_dir)
+                # sort each pass's files on the key: files stay
+                # hash-partitioned (no new exchange), but WITHIN a file
+                # the parquet row-group stats become disjoint, so a point
+                # lookup prunes row groups even before compact_sort_by
+                # gives disjoint per-FILE bounds
+                live.sortWithinPartitions(*pk).write.mode(
+                    "overwrite"
+                ).parquet(out_dir)
                 data_files = sorted(
                     os.path.join(out_dir, f)
                     for f in os.listdir(out_dir)

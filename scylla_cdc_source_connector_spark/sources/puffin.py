@@ -163,11 +163,59 @@ def kmv_estimate(hashes: "np.ndarray", k: int = DEFAULT_K) -> int:  # noqa: F821
 _NULL_SENTINEL = (1 << 63) - 1
 
 
-def _kmv_partition_udf(cols: list[str], k: int):
-    """mapInPandas kernel: per partition, per column, the K smallest
-    DISTINCT unsigned xxhash64 values as one LE-uint64 blob row.  NULLs
-    are excluded (NDV counts values, not rows); the signed JVM hash maps
-    to unsigned by +2^63 so order is preserved."""
+BLOB_TYPE_MG = "mg-heavy-v1"
+DEFAULT_MG = 64
+
+
+def mg_merge(pairs_blobs: list[bytes], m: int):
+    """Merge Misra-Gries summaries (LE-uint64 [hash, count] pairs): sum
+    counts per hash, then one MG truncation back to capacity m.  The
+    merged summary keeps the MG guarantee with additive error (classic
+    mergeable-summaries result): reported count <= true count <=
+    reported + total_rows/(m+1)."""
+    import numpy as np
+
+    hs, cs = [], []
+    for b in pairs_blobs:
+        a = np.frombuffer(b, dtype="<u8").reshape(-1, 2)
+        hs.append(a[:, 0])
+        cs.append(a[:, 1].astype(np.int64))
+    if not hs:
+        return np.zeros((0, 2), dtype=np.uint64)
+    return _mg_truncate(np.concatenate(hs), np.concatenate(cs), m)
+
+
+def _mg_truncate(h, c, m):
+    """Sum duplicate hashes, then subtract the (m+1)-th largest count so
+    at most m entries survive (the weighted Misra-Gries decrement)."""
+    import numpy as np
+
+    uh, inv = np.unique(h, return_inverse=True)
+    uc = np.bincount(inv, weights=c).astype(np.int64)
+    if len(uh) > m:
+        thresh = np.partition(uc, len(uc) - m - 1)[len(uc) - m - 1]
+        keep = uc > thresh
+        uh, uc = uh[keep], uc[keep] - thresh
+    order = np.argsort(uc)[::-1]
+    out = np.empty((len(uh), 2), dtype=np.uint64)
+    out[:, 0] = uh[order]
+    out[:, 1] = uc[order].astype(np.uint64)
+    return out
+
+
+def _kmv_partition_udf(cols: list[str], k: int, m: int | None = None):
+    """mapInPandas kernel: per partition, per column, rows
+    (col, kind, sketch) with
+      kind="kmv"  — the K smallest DISTINCT unsigned xxhash64 values
+                    (one LE-uint64 blob),
+      kind="mg"   — a capacity-m Misra-Gries heavy-hitter summary over
+                    the same hashes (LE-uint64 [hash, count] pairs;
+                    emitted only when m is set),
+      kind="rows" — the partition's non-null row count (8-byte LE).
+    NULLs are excluded (NDV counts values, not rows); the signed JVM
+    hash maps to unsigned by +2^63 so order is preserved.  Everything is
+    batch-vectorized (unique + bincount + partition); state per column
+    is O(k + m) no matter how many rows the partition holds."""
 
     def gen(batches):
         import numpy as np
@@ -175,31 +223,59 @@ def _kmv_partition_udf(cols: list[str], k: int):
 
         sent = np.int64(_NULL_SENTINEL)
         acc: dict[str, list] = {c: [] for c in cols}
+        mg_h = {c: np.zeros(0, dtype=np.uint64) for c in cols}
+        mg_c = {c: np.zeros(0, dtype=np.int64) for c in cols}
+        nrows = {c: 0 for c in cols}
         for pdf in batches:
             for c in cols:
                 v = pdf[c].to_numpy(dtype=np.int64, copy=False)
                 v = v[v != sent]
-                if len(v):
-                    acc[c].append(
-                        v.astype(np.uint64) + np.uint64(1 << 63)
-                    )
+                if not len(v):
+                    continue
+                u = v.astype(np.uint64) + np.uint64(1 << 63)
+                nrows[c] += len(u)
+                acc[c].append(u)
                 # compress to bottom-k after EVERY batch: the bottom-k of
                 # a union equals the bottom-k of per-part bottom-ks, so
                 # worker memory stays O(k) per column no matter how many
                 # rows the partition holds
-                if len(acc[c]) > 1 or (
-                    acc[c] and len(acc[c][0]) > k
-                ):
+                if len(acc[c]) > 1 or len(acc[c][0]) > k:
                     acc[c] = [np.unique(np.concatenate(acc[c]))[:k]]
-        out_c, out_b = [], []
+                if m is not None:
+                    bu, binv = np.unique(u, return_inverse=True)
+                    bc = np.bincount(binv).astype(np.int64)
+                    merged = _mg_truncate(
+                        np.concatenate([mg_h[c], bu]),
+                        np.concatenate([mg_c[c], bc]),
+                        m,
+                    )
+                    mg_h[c], mg_c[c] = (
+                        merged[:, 0],
+                        merged[:, 1].astype(np.int64),
+                    )
+        out = {"col": [], "kind": [], "sketch": []}
         for c in cols:
-            if acc[c]:
-                u = np.unique(np.concatenate(acc[c]))[:k]
-            else:
-                u = np.array([], dtype=np.uint64)
-            out_c.append(c)
-            out_b.append(u.astype("<u8").tobytes())
-        yield pd.DataFrame({"col": out_c, "sketch": out_b})
+            u = (
+                np.unique(np.concatenate(acc[c]))[:k]
+                if acc[c]
+                else np.array([], dtype=np.uint64)
+            )
+            out["col"].append(c)
+            out["kind"].append("kmv")
+            out["sketch"].append(u.astype("<u8").tobytes())
+            out["col"].append(c)
+            out["kind"].append("rows")
+            out["sketch"].append(
+                np.uint64(nrows[c]).astype("<u8").tobytes()
+            )
+            if m is not None:
+                pairs = np.empty((len(mg_h[c]), 2), dtype=np.uint64)
+                pairs[:, 0] = mg_h[c]
+                pairs[:, 1] = mg_c[c].astype(np.uint64)
+                out["col"].append(c)
+                out["kind"].append("mg")
+                out["sketch"].append(pairs.astype("<u8").tobytes())
+        yield pd.DataFrame(out)
 
     return gen
 
@@ -210,16 +286,21 @@ def compute_table_stats(
     *,
     columns: list[str] | None = None,
     k: int = DEFAULT_K,
+    heavy_capacity: int | None = DEFAULT_MG,
 ) -> dict:
     """The jar's `compute_table_stats` procedure: one pass over the
-    CURRENT snapshot computing a bottom-k NDV sketch per column, written
-    as one Puffin file under metadata/ and registered in table metadata's
+    CURRENT snapshot computing, per column, a bottom-k NDV sketch AND a
+    capacity-m Misra-Gries heavy-hitter summary (the skew detector: max
+    key frequency within rows/(m+1) additive error), written as one
+    Puffin file under metadata/ and registered in table metadata's
     `statistics` field (replacing any prior entry for the same snapshot;
     older-snapshot entries are kept — the spec allows one entry per
-    snapshot).  Returns {snapshot_id, path, ndv: {col: estimate}}.
+    snapshot).  Returns {snapshot_id, path, ndv: {col: estimate},
+    rows: {col: non-null count}, top_count: {col: heaviest-key lower
+    bound}}.  heavy_capacity=None skips the MG side.
 
     Plan: JVM-side xxhash64 projection (payload bytes never reach
-    Python) → one mapInPandas pass → driver-side K-sized merges.  No
+    Python) → one mapInPandas pass → driver-side K/m-sized merges.  No
     shuffle, no collect of data rows."""
     from pyspark.sql import functions as F
 
@@ -260,16 +341,25 @@ def compute_table_stats(
         ]
     )
     rows = hashed.mapInPandas(
-        _kmv_partition_udf(cols, k), "col string, sketch binary"
+        _kmv_partition_udf(cols, k, heavy_capacity),
+        "col string, kind string, sketch binary",
     ).collect()
-    parts: dict[str, list[bytes]] = {c: [] for c in cols}
+    import numpy as np
+
+    parts: dict[tuple, list[bytes]] = {}
     for r in rows:
-        parts[r["col"]].append(bytes(r["sketch"]))
-    blobs, ndv = [], {}
+        parts.setdefault((r["col"], r["kind"]), []).append(bytes(r["sketch"]))
+    blobs, ndv, nrows, top = [], {}, {}, {}
     for c in cols:
-        merged = kmv_merge(parts[c], k)
+        merged = kmv_merge(parts.get((c, "kmv"), []), k)
         est = kmv_estimate(merged, k)
         ndv[c] = est
+        nrows[c] = int(
+            sum(
+                np.frombuffer(b, dtype="<u8")[0]
+                for b in parts.get((c, "rows"), [])
+            )
+        )
         blobs.append(
             {
                 "type": BLOB_TYPE_KMV,
@@ -277,9 +367,30 @@ def compute_table_stats(
                 "snapshot_id": snap["snapshot-id"],
                 "sequence_number": snap["sequence-number"],
                 "payload": merged.astype("<u8").tobytes(),
-                "properties": {"ndv": str(est), "k": str(k)},
+                "properties": {
+                    "ndv": str(est),
+                    "k": str(k),
+                    "rows": str(nrows[c]),
+                },
             }
         )
+        if heavy_capacity is not None:
+            hh = mg_merge(parts.get((c, "mg"), []), heavy_capacity)
+            top[c] = int(hh[0, 1]) if len(hh) else 0
+            blobs.append(
+                {
+                    "type": BLOB_TYPE_MG,
+                    "fields": [by_name[c]],
+                    "snapshot_id": snap["snapshot-id"],
+                    "sequence_number": snap["sequence-number"],
+                    "payload": hh.astype("<u8").tobytes(),
+                    "properties": {
+                        "capacity": str(heavy_capacity),
+                        "rows": str(nrows[c]),
+                        "top_count": str(top[c]),
+                    },
+                }
+            )
     path = os.path.join(
         im._meta_dir(location),
         f"stats-{snap['snapshot-id']:020d}-{uuid.uuid4().hex[:8]}.puffin",
@@ -310,7 +421,67 @@ def compute_table_stats(
     stats.append(entry)
     md2["statistics"] = stats
     im._write_metadata(location, md2, base_v + 1)
-    return {"snapshot_id": snap["snapshot-id"], "path": path, "ndv": ndv}
+    return {
+        "snapshot_id": snap["snapshot-id"],
+        "path": path,
+        "ndv": ndv,
+        "rows": nrows,
+        "top_count": top,
+    }
+
+
+def heavy_hitters(location: str, column: str, *, strict: bool = False) -> dict:
+    """Read back a column's Misra-Gries heavy-hitter summary from the
+    registered Puffin file: {snapshot_id, stale, rows, error_bound,
+    hitters: [(hash, count_lower_bound), ...] sorted desc}.  True count
+    of any key is within [count, count + error_bound]; a key absent from
+    the summary has true count <= error_bound.  Hashes (not values) are
+    reported — magnitude is what a salting decision needs."""
+    import numpy as np
+
+    from . import iceberg_meta as im
+
+    md = im.current_metadata(location)
+    entries = md.get("statistics", [])
+    if not entries:
+        raise ValueError(f"no statistics recorded for {location}")
+    cur = md["current-snapshot-id"]
+    entry = next((e for e in entries if e["snapshot-id"] == cur), None)
+    stale = entry is None
+    if stale:
+        if strict:
+            raise ValueError("statistics are stale; re-run compute_table_stats")
+        entry = max(entries, key=lambda e: e["snapshot-id"])
+    schema = md["schemas"][md["current-schema-id"]]
+    fid = next(
+        (f["id"] for f in schema["fields"] if f["name"] == column), None
+    )
+    if fid is None:
+        raise ValueError(f"no column {column!r} in schema")
+    pf = read_puffin(entry["statistics-path"])
+    blob = next(
+        (
+            b
+            for b in pf["blobs"]
+            if b["type"] == BLOB_TYPE_MG and b["fields"] == [fid]
+        ),
+        None,
+    )
+    if blob is None:
+        raise ValueError(
+            f"no heavy-hitter summary for {column!r} (computed with "
+            "heavy_capacity=None?)"
+        )
+    pairs = np.frombuffer(blob["payload"], dtype="<u8").reshape(-1, 2)
+    rows = int(blob["properties"]["rows"])
+    m = int(blob["properties"]["capacity"])
+    return {
+        "snapshot_id": entry["snapshot-id"],
+        "stale": stale,
+        "rows": rows,
+        "error_bound": rows // (m + 1),
+        "hitters": [(int(h), int(c)) for h, c in pairs],
+    }
 
 
 def ndv_estimates(location: str, *, strict: bool = False) -> dict:

@@ -3378,7 +3378,7 @@ def test_compute_table_stats_and_ndv(spark, tmp_root):
     rows = st.collect()
     assert [r["snapshot_id"] for r in rows] == [1, 2]
     assert rows[-1]["ndv"] == {"k": n - 1}
-    assert rows[0]["blob_count"] == 3
+    assert rows[0]["blob_count"] == 6  # KMV + MG heavy-hitter per column
 
 
 def test_compute_table_stats_accuracy_and_catalog(spark, tmp_root):
@@ -3812,3 +3812,78 @@ def test_iceberg_stream_split_identity_under_source_identity(
         )
     with pytest.raises(ValueError, match="source"):
         run_iceberg_meta_stream(spark, cfg, loc, source_identity="custom:x")
+
+
+def test_heavy_hitters_and_join_advisor(spark, tmp_root):
+    """The Misra-Gries summary finds a planted hot key within its
+    additive error bound, and advise_join turns manifests + NDV + heavy
+    hitters into the broadcast / sort-merge / salt decision without
+    scanning data."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    from scylla_cdc_source_connector_spark.plans import advisor
+    from scylla_cdc_source_connector_spark.sources import puffin as pf
+
+    # big side: one hot user (40% of rows) + uniform tail
+    big = f"{tmp_root}/adv_big"
+    shutil.rmtree(big, ignore_errors=True)
+    os.makedirs(f"{big}/data")
+    sch = T.StructType(
+        [
+            T.StructField("user", T.StringType(), False),
+            T.StructField("v", T.LongType(), False),
+        ]
+    )
+    im.create_table(big, sch)
+    n, hot = 5000, 2000
+    users = ["whale"] * hot + [f"u{i}" for i in range(n - hot)]
+    pq.write_table(
+        pa.table({"user": users, "v": list(range(n))}),
+        f"{big}/data/f0.parquet",
+    )
+    im.append_files(big, [f"{big}/data/f0.parquet"], timestamp_ms=1)
+    res = pf.compute_table_stats(spark, big)
+    assert res["rows"]["user"] == n
+    # small side: a dimension table
+    small = f"{tmp_root}/adv_small"
+    shutil.rmtree(small, ignore_errors=True)
+    os.makedirs(f"{small}/data")
+    im.create_table(small, sch)
+    pq.write_table(
+        pa.table({"user": ["whale", "u1"], "v": [0, 1]}),
+        f"{small}/data/f0.parquet",
+    )
+    im.append_files(small, [f"{small}/data/f0.parquet"], timestamp_ms=1)
+
+    hh = pf.heavy_hitters(big, "user")
+    assert hh["rows"] == n and not hh["stale"]
+    top_hash, top_count = hh["hitters"][0]
+    # MG lower bound: true 2000 within [count, count + error]
+    assert top_count <= hot <= top_count + hh["error_bound"]
+    assert top_count > hot // 2
+    # the hot entry is exactly the whale's hash (unsigned xxhash64)
+    whale = spark.createDataFrame([("whale",)], "user string")
+    from pyspark.sql import functions as F
+
+    jvm_hash = whale.select(F.xxhash64("user").alias("h")).collect()[0]["h"]
+    assert top_hash == (int(jvm_hash) + (1 << 63)) % (1 << 64)
+
+    # advisor: small side broadcasts
+    adv = advisor.advise_join(spark, big, small, "user")
+    assert adv["strategy"] == "broadcast" and adv["build_side"] == "right"
+    # force sort-merge: tiny threshold -> skew detected on the whale
+    adv2 = advisor.advise_join(
+        spark, big, small, "user", broadcast_threshold_bytes=1,
+        shuffle_partitions=8, skew_factor=2.0,
+    )
+    assert adv2["strategy"] == "sort_merge"
+    assert adv2["skew"]["detected"] is True
+    assert adv2["skew"]["salt_factor"] >= 2
+    # profile surface
+    prof = advisor.table_profile(spark, big, key="user")
+    assert prof["rows"] == n and prof["files"] == 1
+    assert prof["ndv"] > 2500  # ~3001 distinct users
+    assert prof["top_share"] > 0.2
