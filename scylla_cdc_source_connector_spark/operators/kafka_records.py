@@ -532,3 +532,92 @@ def heartbeat_kafka_records(spark, cfg) -> DataFrame:
         F.encode(value_json, "utf-8").alias("value"),
         headers.alias("headers"),
     )
+
+
+def changelog_kafka_envelopes(
+    cl: DataFrame,
+    key_columns: list[str],
+    *,
+    topic: str = "iceberg.changelog",
+    source_table: str = "iceberg",
+) -> DataFrame:
+    """Debezium for ANY Iceberg table: turn `read_changelog(...,
+    identifier_columns=key_columns)` rows into engine-envelope-shaped
+    rows that `kafka_records()` serializes to wire records — so a table
+    the engine did NOT produce (or its own latest-state mirror) can feed
+    downstream Kafka consumers in the exact shape the reference connector
+    emits.
+
+    Pairing rule (requires the changelog to have been computed WITH
+    update pairing): within one (key, commit ordinal) group the
+    UPDATE_BEFORE row becomes `value.before`, the UPDATE_AFTER row
+    `value.after` (op 'u'); a lone INSERT is op 'c' (after only), a lone
+    DELETE op 'd' (before only).  `value.source` carries the table name
+    plus snapshot/sequence provenance; `cdc$time_us` derives from the
+    commit timestamp and `cdc$batch_seq_no` from the change ordinal, so
+    the records keep a replayable total order per key.  ONE hash-agg
+    exchange on (key, ordinal)."""
+    prov = (
+        "_change_ordinal",
+        "_commit_snapshot_id",
+        "_sequence_number",
+        "_commit_timestamp_ms",
+    )
+    missing = [c for c in (*key_columns, "_change_type", *prov) if c not in cl.columns]
+    if missing:
+        raise ValueError(
+            f"not a changelog DataFrame (missing {missing}); produce the "
+            "input with read_changelog(..., identifier_columns=...)"
+        )
+    data_cols = [c for c in cl.columns if c not in ("_change_type", *prov)]
+    row = F.struct(*[F.col(f"`{c}`") for c in data_cols])
+    is_before = F.col("_change_type").isin("DELETE", "UPDATE_BEFORE")
+    is_after = F.col("_change_type").isin("INSERT", "UPDATE_AFTER")
+    g = (
+        cl.groupBy(
+            *[F.col(f"`{c}`").alias(f"__k_{i}") for i, c in enumerate(key_columns)],
+            "_change_ordinal",
+        )
+        .agg(
+            F.max(F.when(is_before, row)).alias("before"),
+            F.max(F.when(is_after, row)).alias("after"),
+            F.first("_commit_snapshot_id").alias("__snap"),
+            F.first("_sequence_number").alias("__seq"),
+            F.first("_commit_timestamp_ms").alias("__ts_ms"),
+        )
+    )
+    op = (
+        F.when(F.col("before").isNotNull() & F.col("after").isNotNull(), "u")
+        .when(F.col("after").isNotNull(), "c")
+        .otherwise("d")
+    )
+    key_struct = F.struct(
+        *[
+            F.col(f"__k_{i}").alias(c)
+            for i, c in enumerate(key_columns)
+        ]
+    )
+    value = F.struct(
+        F.struct(
+            F.lit(source_table).alias("table"),
+            F.col("__snap").alias("snapshot_id"),
+            F.col("__seq").alias("sequence_number"),
+        ).alias("source"),
+        F.col("before"),
+        F.col("after"),
+        op.alias("op"),
+        F.col("__ts_ms").alias("ts_ms"),
+    )
+    return g.select(
+        F.lit(topic).alias("topic"),
+        key_struct.alias("key"),
+        value.alias("value"),
+        F.lit(None)
+        .cast("array<struct<k:string,v:string>>")
+        .alias("headers"),
+        F.hex(
+            F.xxhash64(*[F.col(f"__k_{i}") for i in range(len(key_columns))])
+        ).alias("cdc$stream_id"),
+        (F.col("__ts_ms") * 1000).alias("cdc$time_us"),
+        F.col("_change_ordinal").cast("int").alias("cdc$batch_seq_no"),
+    )

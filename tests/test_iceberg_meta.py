@@ -3887,3 +3887,66 @@ def test_heavy_hitters_and_join_advisor(spark, tmp_root):
     assert prof["rows"] == n and prof["files"] == 1
     assert prof["ndv"] > 2500  # ~3001 distinct users
     assert prof["top_share"] > 0.2
+
+
+def test_changelog_kafka_envelopes(spark, tmp_root):
+    """Debezium-for-Iceberg: a table's paired changelog converts to
+    engine-envelope rows (op c/u/d, before/after images, provenance
+    source struct) that kafka_records serializes into parseable wire
+    records."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_spark.operators.kafka_records import (
+        changelog_kafka_envelopes,
+        kafka_records,
+    )
+
+    loc = _kv_table(tmp_root, "ice_clkr", n_files=1, rows_per=4)  # k0..k3
+    newf = f"{loc}/data/u.parquet"
+    pq.write_table(pa.table({"k": ["k1"], "v": [100]}), newf)
+    df0 = im.live_files(loc)[0]
+    im.write_position_deletes(
+        spark,
+        loc,
+        spark.createDataFrame([(df0, 1)], "file_path string, pos long"),
+        data_files=[newf],
+        operation="overwrite",
+        timestamp_ms=5,
+    )
+    im.delete_where(spark, loc, "k = 'k3'", timestamp_ms=6)
+
+    cl = im.read_changelog(spark, loc, identifier_columns=["k"])
+    env = changelog_kafka_envelopes(
+        cl, ["k"], topic="t.ice", source_table="kv"
+    )
+    rows = {
+        (r["key"]["k"], r["value"]["op"], r["cdc$batch_seq_no"]): r
+        for r in env.collect()
+    }
+    # 4 inserts at ordinal 0, one update at 1, one delete at 2
+    assert {(k, o) for k, o, _ in rows} == {
+        ("k0", "c"), ("k1", "c"), ("k2", "c"), ("k3", "c"),
+        ("k1", "u"), ("k3", "d"),
+    }
+    upd = rows[("k1", "u", 1)]
+    assert upd["value"]["before"]["v"] == 1
+    assert upd["value"]["after"]["v"] == 100
+    assert upd["value"]["source"]["table"] == "kv"
+    assert upd["value"]["source"]["snapshot_id"] == 2  # the overwrite commit
+    dele = rows[("k3", "d", 2)]
+    assert dele["value"]["before"]["v"] == 3 and dele["value"]["after"] is None
+    assert all(r["topic"] == "t.ice" for r in rows.values())
+
+    # wire records parse back
+    recs = kafka_records(env).collect()
+    assert len(recs) == 6
+    one = next(
+        _json.loads(bytes(r["value"]).decode())
+        for r in recs
+        if _json.loads(bytes(r["key"]).decode())["k"] == "k1"
+        and _json.loads(bytes(r["value"]).decode())["op"] == "u"
+    )
+    assert one["before"]["v"] == 1 and one["after"]["v"] == 100
