@@ -450,6 +450,23 @@ def main() -> None:
         "split_speech_spans fans out inside the Arrow pass — no exchange"
     )
 
+    from scylla_cdc_source_connector_spark.operators.kafka_records import (
+        changelog_kafka_envelopes,
+    )
+
+    r21 = audit(
+        changelog_kafka_envelopes(
+            im_mod.read_changelog(spark, iloc, identifier_columns=["k"]),
+            ["k"],
+        ),
+        "changelog -> Debezium envelopes (Iceberg wire-out)",
+    )
+    assert r21["exchanges"] == 2, (
+        "changelog wire-out adds ZERO exchanges over pairing: the "
+        "envelope hash-agg on (key, ordinal) reuses the pairing window's "
+        "HashPartitioning — carry-over agg + window are the only two"
+    )
+
     print("ALL PLAN INVARIANTS HOLD")
     spark.stop()
 

@@ -435,3 +435,44 @@ def test_adpcm_roundtrip_structure(samples, spb):
     codec, ch, sr, inner = audio.wav_parse(blob)
     assert (codec, ch, sr) == ("pcm_s16le", 1, 8000)
     assert len(inner) // 2 == len(pcm)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=400
+    ),
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=60, deadline=None)
+def test_misra_gries_guarantee(stream, m, n_parts):
+    """Misra-Gries bound under batching AND partition merging: reported
+    count <= true count <= reported + total/(m+1) for every element, and
+    any element ABSENT from the summary has true count <= total/(m+1).
+    (Merging k summaries keeps the additive bound because decrements only
+    ever subtract mass that is charged against total.)"""
+    from collections import Counter
+
+    from scylla_cdc_source_connector_spark.sources import puffin as pf
+
+    true = Counter(stream)
+    total = len(stream)
+    bound = total / (m + 1) * n_parts  # conservative: error adds per merge
+    # split the stream into partitions, truncate each, merge
+    size = -(-len(stream) // n_parts)
+    blobs = []
+    for i in range(n_parts):
+        part = np.array(stream[i * size : (i + 1) * size], dtype=np.uint64)
+        if not len(part):
+            continue
+        u, inv = np.unique(part, return_inverse=True)
+        c = np.bincount(inv).astype(np.int64)
+        blobs.append(pf._mg_truncate(u, c, m).astype("<u8").tobytes())
+    merged = pf.mg_merge(blobs, m)
+    reported = {int(h): int(c) for h, c in merged}
+    for v, t in true.items():
+        r = reported.get(v, 0)
+        assert r <= t, f"overcount: {v} reported {r} true {t}"
+        assert t - r <= bound + 1e-9, (
+            f"undercount beyond bound: {v} reported {r} true {t} bound {bound}"
+        )
