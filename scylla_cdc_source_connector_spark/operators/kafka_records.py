@@ -621,3 +621,113 @@ def changelog_kafka_envelopes(
         (F.col("__ts_ms") * 1000).alias("cdc$time_us"),
         F.col("_change_ordinal").cast("int").alias("cdc$batch_seq_no"),
     )
+
+
+def maintain_changelog_records(
+    spark,
+    table_location: str,
+    records_dir: str,
+    key_columns: list[str],
+    *,
+    topic: str = "iceberg.changelog",
+    source_table: str | None = None,
+    fmt: str = "json",
+    schemas_enable: bool = False,
+    partition_ranges: dict | None = None,
+) -> dict:
+    """Turnkey Debezium-for-Iceberg, incremental: each pass converts the
+    table snapshots committed since the stored high-water mark into wire
+    records under `records_dir/batch=<snapshot>/` EXACTLY-ONCE — the
+    changelog-feed protocol (idempotent per-batch-dir dynamic-partition
+    overwrite, hwm committed last via atomic rename) applied to the
+    `read_changelog → changelog_kafka_envelopes → kafka_records` chain,
+    so a cron-shaped consumer gets resumable Debezium-enveloped records
+    from ANY Iceberg table with one call.  A production emit is then
+    `spark.read.parquet(records_dir).write.format("kafka")`.
+
+    Returns {"consumed": [snapshot ids], "records": n, "hwm": id}."""
+    import json as _json
+    import os as _os
+
+    from scylla_cdc_source_connector_spark.sources import iceberg_meta as im
+
+    md = im.current_metadata(table_location)
+    head = md["current-snapshot-id"]
+    state_path = _os.path.join(records_dir, "_records_state.json")
+    identity = _json.loads(
+        _json.dumps(
+            {
+                "table": _os.path.abspath(table_location),
+                "key_columns": list(key_columns),
+                "scope": sorted(partition_ranges.items())
+                if partition_ranges
+                else None,
+                "fmt": fmt,
+                "topic": topic,
+            }
+        )
+    )
+    last = None
+    if _os.path.exists(state_path):
+        with open(state_path) as fh:
+            st = _json.load(fh)
+        if {k: st.get(k) for k in identity} != identity:
+            raise ValueError(
+                "records_dir belongs to a different (table, keys, scope, "
+                "fmt, topic) stream; one directory serves one"
+            )
+        last = st["hwm"]
+    if head == -1 or head == last:
+        return {"consumed": [], "records": 0, "hwm": last}
+    cl = im.read_changelog(
+        spark,
+        table_location,
+        after_snapshot_id=last,
+        to_snapshot_id=head,
+        identifier_columns=list(key_columns),
+        partition_ranges=partition_ranges,
+    )
+    env = changelog_kafka_envelopes(
+        cl,
+        list(key_columns),
+        topic=topic,
+        source_table=source_table
+        or _os.path.basename(_os.path.normpath(table_location)),
+    ).withColumn("batch", F.col("value.source.snapshot_id"))
+    recs = kafka_records(
+        env, fmt=fmt, schemas_enable=schemas_enable, extra_cols=("batch",)
+    )
+    ancestors = im._ancestors_of(md, head)
+    snaps = [
+        s["snapshot-id"]
+        for s in im.snapshots(table_location)
+        if s["snapshot-id"] in ancestors
+        and (
+            last is None
+            or s["sequence-number"]
+            > next(
+                x["sequence-number"]
+                for x in md["snapshots"]
+                if x["snapshot-id"] == last
+            )
+        )
+    ]
+    _os.makedirs(records_dir, exist_ok=True)
+    n = 0
+    if snaps:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        recs.persist()
+        try:
+            recs.write.mode("overwrite").partitionBy("batch").parquet(
+                records_dir
+            )
+            n = recs.count()
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            recs.unpersist()
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({**identity, "hwm": head}, fh)
+    _os.replace(tmp, state_path)
+    return {"consumed": snaps, "records": n, "hwm": head}

@@ -2093,6 +2093,8 @@ def read_changelog(
     after_snapshot_id: int | None = None,
     from_timestamp_ms: int | None = None,
     to_snapshot_id: int | None = None,
+    after_ref: str | None = None,
+    to_ref: str | None = None,
     identifier_columns: list[str] | None = None,
     net_changes: bool = False,
     partition_ranges: dict[str, tuple] | None = None,
@@ -2163,6 +2165,23 @@ def read_changelog(
         raise ValueError(
             "identifier_columns and net_changes are mutually exclusive"
         )
+    # ref-bounded ranges: "what changed between tags v1 and v2" — refs
+    # resolve to their pinned snapshot ids (tags protect those snapshots
+    # from expiry, so a tag-to-tag diff stays readable by construction)
+    if after_ref is not None or to_ref is not None:
+        refs = list_refs(location)
+        if after_ref is not None:
+            if after_snapshot_id is not None:
+                raise ValueError("pass after_ref OR after_snapshot_id")
+            if after_ref not in refs:
+                raise ValueError(f"no ref {after_ref!r} (have {sorted(refs)})")
+            after_snapshot_id = refs[after_ref]["snapshot-id"]
+        if to_ref is not None:
+            if to_snapshot_id is not None:
+                raise ValueError("pass to_ref OR to_snapshot_id")
+            if to_ref not in refs:
+                raise ValueError(f"no ref {to_ref!r} (have {sorted(refs)})")
+            to_snapshot_id = refs[to_ref]["snapshot-id"]
     batches = _changelog_batches(
         location,
         after_snapshot_id=after_snapshot_id,

@@ -3950,3 +3950,76 @@ def test_changelog_kafka_envelopes(spark, tmp_root):
         and _json.loads(bytes(r["value"]).decode())["op"] == "u"
     )
     assert one["before"]["v"] == 1 and one["after"]["v"] == 100
+
+
+def test_maintain_changelog_records_and_ref_bounds(spark, tmp_root):
+    """Turnkey incremental Debezium-for-Iceberg: per pass only new
+    snapshots convert to wire records under batch=<snapshot>/ exactly
+    once (crash window replays idempotently); and read_changelog accepts
+    ref bounds (tag-to-tag diffs)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scylla_cdc_source_connector_spark.operators.kafka_records import (
+        maintain_changelog_records,
+    )
+
+    loc = _kv_table(tmp_root, "ice_mcr", n_files=1, rows_per=3)  # snap 1
+    im.create_tag(loc, "v1", im.current_metadata(loc)["current-snapshot-id"])
+    rd = f"{tmp_root}/ice_mcr_records"
+    shutil.rmtree(rd, ignore_errors=True)
+
+    r1 = maintain_changelog_records(spark, loc, rd, ["k"], topic="t")
+    assert r1["consumed"] == [1] and r1["records"] == 3
+    assert (
+        maintain_changelog_records(spark, loc, rd, ["k"], topic="t")[
+            "consumed"
+        ]
+        == []
+    )
+
+    # an update lands; only the new snapshot converts
+    newf = f"{loc}/data/u.parquet"
+    pq.write_table(pa.table({"k": ["k1"], "v": [100]}), newf)
+    df0 = im.live_files(loc)[0]
+    im.write_position_deletes(
+        spark,
+        loc,
+        spark.createDataFrame([(df0, 1)], "file_path string, pos long"),
+        data_files=[newf],
+        operation="overwrite",
+        timestamp_ms=5,
+    )
+    im.create_tag(loc, "v2", im.current_metadata(loc)["current-snapshot-id"])
+    r2 = maintain_changelog_records(spark, loc, rd, ["k"], topic="t")
+    assert r2["consumed"] == [2] and r2["records"] == 1
+    recs = spark.read.parquet(rd)
+    assert recs.count() == 4
+    upd = [
+        _json.loads(bytes(r["value"]).decode())
+        for r in recs.where("batch = 2").collect()
+    ]
+    assert len(upd) == 1 and upd[0]["op"] == "u"
+    assert upd[0]["before"]["v"] == 1 and upd[0]["after"]["v"] == 100
+
+    # crash window: lost hwm -> identical rewrite, no duplicates
+    os.remove(os.path.join(rd, "_records_state.json"))
+    r3 = maintain_changelog_records(spark, loc, rd, ["k"], topic="t")
+    assert r3["hwm"] == r2["hwm"]
+    assert spark.read.parquet(rd).count() == 4
+    # identity guard: different keys refuse
+    with pytest.raises(ValueError, match="different"):
+        maintain_changelog_records(spark, loc, rd, ["v"], topic="t")
+
+    # ref-bounded changelog: the v1 -> v2 diff is exactly the update pair
+    diff = im.read_changelog(
+        spark, loc, after_ref="v1", to_ref="v2", identifier_columns=["k"]
+    )
+    assert {(r["k"], r["v"], r["_change_type"]) for r in diff.collect()} == {
+        ("k1", 1, "UPDATE_BEFORE"),
+        ("k1", 100, "UPDATE_AFTER"),
+    }
+    with pytest.raises(ValueError, match="no ref"):
+        im.read_changelog(spark, loc, after_ref="nope")
