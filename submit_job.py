@@ -37,7 +37,8 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="work/output root")
     ap.add_argument(
         "--mode",
-        choices=("batch", "stream", "stream-iceberg", "mirror", "feed"),
+        choices=("batch", "stream", "stream-iceberg", "mirror", "feed",
+                 "records"),
         default="stream",
         help="stream-iceberg: --input is a jarless Iceberg table location "
              "(sources/iceberg_meta.py); one micro-batch per unconsumed "
@@ -47,7 +48,10 @@ def main() -> None:
              "deletes, merge-on-read current state). "
              "feed: --input is an Iceberg table; materialize its row-level "
              "changelog incrementally under --output/feed (exactly-once "
-             "batch=<snapshot>/ parquet, resume via the feed hwm)",
+             "batch=<snapshot>/ parquet, resume via the feed hwm). "
+             "records: same, but as Debezium-enveloped WIRE records under "
+             "--output/records (requires --identifier-columns); production "
+             "emit = read the dir and write.format('kafka')",
     )
     ap.add_argument("--fresh", action="store_true",
                     help="clear --output first (otherwise stream resumes)")
@@ -128,6 +132,20 @@ def main() -> None:
             ),
         )
         n = res["rows"]
+    elif args.mode == "records":
+        from scylla_cdc_source_connector_spark.operators.kafka_records import (
+            maintain_changelog_records,
+        )
+
+        if not args.identifier_columns:
+            raise SystemExit("--mode records requires --identifier-columns")
+        res = maintain_changelog_records(
+            spark,
+            args.input,
+            f"{args.output}/records",
+            args.identifier_columns.split(","),
+        )
+        n = res["records"]
     else:
         from scylla_cdc_source_connector_spark.streaming.engine import run_stream
         from scylla_cdc_source_connector_spark.streaming.sink import read_emitted
