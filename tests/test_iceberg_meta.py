@@ -4023,3 +4023,91 @@ def test_maintain_changelog_records_and_ref_bounds(spark, tmp_root):
     }
     with pytest.raises(ValueError, match="no ref"):
         im.read_changelog(spark, loc, after_ref="nope")
+
+
+def test_continuation_soak_mirror_feed_records_stats(spark, tmp_root, ice_pdf):
+    """Capstone soak for the continuation surfaces chained end-to-end:
+    changelog → exactly-once sink → latest-state mirror (position mode,
+    delete-file rewrite cadence) → per-wave changelog FEED + WIRE RECORDS
+    + statistics refresh, with the feed/records hwm files deleted between
+    waves (crash windows) — final feed equals a one-shot paired changelog
+    of the mirror, records parse with consistent ops, stats stay fresh."""
+    import json as _json
+
+    import pandas as pd
+
+    from scylla_cdc_source_connector_spark.fixtures import write_changelog_chunk
+    from scylla_cdc_source_connector_spark.operators.kafka_records import (
+        maintain_changelog_records,
+    )
+    from scylla_cdc_source_connector_spark.sources import puffin as pf
+
+    loc, _sids = _ice_table(tmp_root, ice_pdf, "ice_soak_src", n_snaps=1)
+    cfg = _cfg(tmp_root, "ice_soak")
+    mir = f"{tmp_root}/ice_soak_mirror"
+    feed = f"{tmp_root}/ice_soak_feed"
+    rd = f"{tmp_root}/ice_soak_records"
+    for d in (mir, feed, rd):
+        shutil.rmtree(d, ignore_errors=True)
+
+    for wave in range(3):
+        if wave:
+            extra = ice_pdf.iloc[: 120 * wave].copy()
+            extra["cdc$time"] = extra["cdc$time"] + pd.Timedelta(hours=wave)
+            extra["cdc$time_us"] = (
+                extra["cdc$time_us"] + wave * 3_600_000_000
+            )
+            p = f"{loc}/data/wave{wave}.parquet"
+            write_changelog_chunk(extra, p)
+            im.append_files(loc, [p], timestamp_ms=9000 + wave)
+        run_iceberg_meta_stream(spark, cfg, loc)
+        im.maintain_latest_state_mirror(
+            spark, cfg, mir, rewrite_deletes_at=2
+        )
+        im.maintain_changelog_feed(
+            spark, mir, feed, identifier_columns=["clip_id"]
+        )
+        maintain_changelog_records(spark, mir, rd, ["clip_id"])
+        pf.compute_table_stats(spark, mir, columns=["clip_id"])
+        if wave == 1:
+            # crash windows: lose both hwm files; next pass must replay
+            # idempotently (byte-identical batch dirs, no duplicates)
+            os.remove(os.path.join(feed, "_feed_state.json"))
+            os.remove(os.path.join(rd, "_records_state.json"))
+            im.maintain_changelog_feed(
+                spark, mir, feed, identifier_columns=["clip_id"]
+            )
+            maintain_changelog_records(spark, mir, rd, ["clip_id"])
+
+    # feed == one-shot paired changelog of the mirror (content set)
+    one = im.read_changelog(spark, mir, identifier_columns=["clip_id"])
+    key = lambda df: {  # noqa: E731
+        (r["clip_id"], r["__ts_us"], r["_change_type"], r["_commit_snapshot_id"])
+        for r in df.select(
+            "clip_id", "__ts_us", "_change_type", "_commit_snapshot_id"
+        ).collect()
+    }
+    feed_df = im.read_changelog_feed(spark, feed)
+    assert key(feed_df) == key(one)
+
+    # records: one envelope per (key, commit) group; ops consistent with
+    # the feed; all values parse
+    recs = spark.read.parquet(rd).collect()
+    ops = {}
+    for r in recs:
+        v = _json.loads(bytes(r["value"]).decode())
+        k = _json.loads(bytes(r["key"]).decode())["clip_id"]
+        ops[(k, int(r["batch"]))] = v["op"]
+        assert v["op"] in ("c", "u", "d")
+        if v["op"] == "u":
+            assert v["before"] is not None and v["after"] is not None
+    n_groups = (
+        feed_df.selectExpr(
+            "clip_id", "_commit_snapshot_id"
+        ).distinct().count()
+    )
+    assert len(ops) == n_groups
+    # stats fresh at the final mirror snapshot
+    nd = pf.ndv_estimates(mir)
+    assert nd["stale"] is False
+    assert nd["ndv"]["clip_id"] == im.read_table(spark, mir).count()
