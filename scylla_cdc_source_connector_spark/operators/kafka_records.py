@@ -554,9 +554,11 @@ def changelog_kafka_envelopes(
     `value.after` (op 'u'); a lone INSERT is op 'c' (after only), a lone
     DELETE op 'd' (before only).  `value.source` carries the table name
     plus snapshot/sequence provenance; `cdc$time_us` derives from the
-    commit timestamp and `cdc$batch_seq_no` from the change ordinal, so
-    the records keep a replayable total order per key.  ONE hash-agg
-    exchange on (key, ordinal)."""
+    commit timestamp and `cdc$batch_seq_no` from the commit SEQUENCE
+    (stable across maintenance passes, monotone under timestamp ties), so
+    the records keep a replayable total order per key.  The pairing
+    precondition is enforced in-plan (raise_error on multiple rows per
+    (key, commit)).  ONE hash-agg exchange on (key, ordinal)."""
     prov = (
         "_change_ordinal",
         "_commit_snapshot_id",
@@ -581,13 +583,29 @@ def changelog_kafka_envelopes(
         .agg(
             F.max(F.when(is_before, row)).alias("before"),
             F.max(F.when(is_after, row)).alias("after"),
+            F.count(F.when(is_before, 1)).alias("__nb"),
+            F.count(F.when(is_after, 1)).alias("__na"),
             F.first("_commit_snapshot_id").alias("__snap"),
             F.first("_sequence_number").alias("__seq"),
             F.first("_commit_timestamp_ms").alias("__ts_ms"),
         )
     )
+    # the pairing precondition is ENFORCED in-plan: a paired changelog has
+    # at most one before-row and one after-row per (key, commit); more
+    # means the caller skipped identifier_columns — raising beats
+    # silently collapsing rows into wrong wire records
     op = (
-        F.when(F.col("before").isNotNull() & F.col("after").isNotNull(), "u")
+        F.when(
+            (F.col("__nb") > 1) | (F.col("__na") > 1),
+            F.raise_error(
+                F.lit(
+                    "unpaired changelog: multiple rows per (key, commit) — "
+                    "produce the input with read_changelog(..., "
+                    "identifier_columns=...)"
+                )
+            ),
+        )
+        .when(F.col("before").isNotNull() & F.col("after").isNotNull(), "u")
         .when(F.col("after").isNotNull(), "c")
         .otherwise("d")
     )
@@ -619,7 +637,11 @@ def changelog_kafka_envelopes(
             F.xxhash64(*[F.col(f"__k_{i}") for i in range(len(key_columns))])
         ).alias("cdc$stream_id"),
         (F.col("__ts_ms") * 1000).alias("cdc$time_us"),
-        F.col("_change_ordinal").cast("int").alias("cdc$batch_seq_no"),
+        # the COMMIT SEQUENCE, not the per-call ordinal: stable across
+        # maintenance passes and monotone even when commit timestamps tie,
+        # so (cdc$time_us, cdc$batch_seq_no) really is a replayable
+        # per-key order
+        F.col("__seq").cast("int").alias("cdc$batch_seq_no"),
     )
 
 
@@ -646,88 +668,49 @@ def maintain_changelog_records(
     `spark.read.parquet(records_dir).write.format("kafka")`.
 
     Returns {"consumed": [snapshot ids], "records": n, "hwm": id}."""
-    import json as _json
     import os as _os
 
     from scylla_cdc_source_connector_spark.sources import iceberg_meta as im
 
-    md = im.current_metadata(table_location)
-    head = md["current-snapshot-id"]
-    state_path = _os.path.join(records_dir, "_records_state.json")
-    identity = _json.loads(
-        _json.dumps(
-            {
-                "table": _os.path.abspath(table_location),
-                "key_columns": list(key_columns),
-                "scope": sorted(partition_ranges.items())
-                if partition_ranges
-                else None,
-                "fmt": fmt,
-                "topic": topic,
-            }
+    def build(last, head):
+        cl = im.read_changelog(
+            spark,
+            table_location,
+            after_snapshot_id=last,
+            to_snapshot_id=head,
+            identifier_columns=list(key_columns),
+            partition_ranges=partition_ranges,
         )
-    )
-    last = None
-    if _os.path.exists(state_path):
-        with open(state_path) as fh:
-            st = _json.load(fh)
-        if {k: st.get(k) for k in identity} != identity:
-            raise ValueError(
-                "records_dir belongs to a different (table, keys, scope, "
-                "fmt, topic) stream; one directory serves one"
-            )
-        last = st["hwm"]
-    if head == -1 or head == last:
-        return {"consumed": [], "records": 0, "hwm": last}
-    cl = im.read_changelog(
+        env = changelog_kafka_envelopes(
+            cl,
+            list(key_columns),
+            topic=topic,
+            source_table=source_table
+            or _os.path.basename(_os.path.normpath(table_location)),
+        ).withColumn("batch", F.col("value.source.snapshot_id"))
+        return kafka_records(
+            env, fmt=fmt, schemas_enable=schemas_enable, extra_cols=("batch",)
+        )
+
+    res = im.materialize_increment(
         spark,
         table_location,
-        after_snapshot_id=last,
-        to_snapshot_id=head,
-        identifier_columns=list(key_columns),
-        partition_ranges=partition_ranges,
+        records_dir,
+        "_records_state.json",
+        {
+            "key_columns": list(key_columns),
+            "scope": sorted(partition_ranges.items())
+            if partition_ranges
+            else None,
+            "fmt": fmt,
+            "topic": topic,
+            "schemas_enable": bool(schemas_enable),
+            "source_table": source_table,
+        },
+        build,
     )
-    env = changelog_kafka_envelopes(
-        cl,
-        list(key_columns),
-        topic=topic,
-        source_table=source_table
-        or _os.path.basename(_os.path.normpath(table_location)),
-    ).withColumn("batch", F.col("value.source.snapshot_id"))
-    recs = kafka_records(
-        env, fmt=fmt, schemas_enable=schemas_enable, extra_cols=("batch",)
-    )
-    ancestors = im._ancestors_of(md, head)
-    snaps = [
-        s["snapshot-id"]
-        for s in im.snapshots(table_location)
-        if s["snapshot-id"] in ancestors
-        and (
-            last is None
-            or s["sequence-number"]
-            > next(
-                x["sequence-number"]
-                for x in md["snapshots"]
-                if x["snapshot-id"] == last
-            )
-        )
-    ]
-    _os.makedirs(records_dir, exist_ok=True)
-    n = 0
-    if snaps:
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        recs.persist()
-        try:
-            recs.write.mode("overwrite").partitionBy("batch").parquet(
-                records_dir
-            )
-            n = recs.count()
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            recs.unpersist()
-    tmp = state_path + ".tmp"
-    with open(tmp, "w") as fh:
-        _json.dump({**identity, "hwm": head}, fh)
-    _os.replace(tmp, state_path)
-    return {"consumed": snaps, "records": n, "hwm": head}
+    return {
+        "consumed": res["consumed"],
+        "records": res["rows"],
+        "hwm": res["hwm"],
+    }

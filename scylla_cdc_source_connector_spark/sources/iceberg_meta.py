@@ -4302,6 +4302,92 @@ def maintain_latest_state_mirror(
 _FEED_STATE = "_feed_state.json"
 
 
+def materialize_increment(
+    spark,
+    location: str,
+    out_dir: str,
+    state_name: str,
+    identity_extra: dict,
+    build_df,
+):
+    """The ONE copy of the incremental exactly-once materialization
+    protocol both the changelog feed and the wire-record pipeline run on:
+
+    - stream identity = {table: abspath} ∪ identity_extra, compared
+      through a JSON round-trip on both sides (tuples can never mismatch
+      a stored list) — a directory serves exactly one stream;
+    - `build_df(last_hwm, head)` returns the pass's rows WITH a `batch`
+      column (the committing snapshot id); they land under
+      `out_dir/batch=<id>/` by idempotent dynamic-partition overwrite
+      (reruns of a crashed pass rewrite the same dirs byte-for-byte);
+    - the high-water mark commits LAST via atomic rename of
+      `out_dir/<state_name>`, so a crash anywhere replays at most one
+      pass, never duplicates or skips a snapshot;
+    - replace snapshots advance the hwm without rows (maintenance never
+      disturbs consumers); an EXPIRED hwm refuses loudly downstream in
+      read_changelog (the retention-gap rule every consumer follows).
+
+    Returns {"consumed": [snapshot ids], "rows": n, "hwm": head}."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    md = current_metadata(location)
+    head = md["current-snapshot-id"]
+    state_path = os.path.join(out_dir, state_name)
+    identity = _json.loads(
+        _json.dumps({"table": os.path.abspath(location), **identity_extra})
+    )
+    last = None
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            st = _json.load(fh)
+        if {k: st.get(k) for k in identity} != identity:
+            raise ValueError(
+                "output directory belongs to a different stream identity "
+                f"({sorted(identity)}); one directory serves one"
+            )
+        last = st["hwm"]
+    if head == -1 or head == last:
+        return {"consumed": [], "rows": 0, "hwm": last}
+    line = _ancestors_of(md, head)
+    last_seq = (
+        None
+        if last is None
+        else next(
+            x["sequence-number"]
+            for x in md["snapshots"]
+            if x["snapshot-id"] == last
+        )
+    )
+    new_snaps = [
+        s["snapshot-id"]
+        for s in snapshots(location)
+        if s["snapshot-id"] in line
+        and (last_seq is None or s["sequence-number"] > last_seq)
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    if new_snaps:
+        out = build_df(last, head)
+        if "batch" not in out.columns:
+            out = out.withColumn("batch", F.col("_commit_snapshot_id"))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out.persist()
+        try:
+            out.write.mode("overwrite").partitionBy("batch").parquet(out_dir)
+            n = out.count()
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            out.unpersist()
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({**identity, "hwm": head}, fh)
+    os.replace(tmp, state_path)
+    return {"consumed": new_snaps, "rows": n, "hwm": head}
+
+
 def maintain_changelog_feed(
     spark,
     location: str,
@@ -4335,84 +4421,28 @@ def maintain_changelog_feed(
     ordinal` restarts per pass; cross-pass ordering is `_sequence_number`
     (monotone by construction).  Returns {"consumed": [snapshot ids],
     "rows": rows written this pass, "hwm": new high-water mark}."""
-    import json as _json
-
-    from pyspark.sql import functions as F  # noqa: F401
-
-    md = current_metadata(location)
-    head = md["current-snapshot-id"]
-    state_path = os.path.join(feed_dir, _FEED_STATE)
-    # identity is compared through a JSON round-trip on BOTH sides so
-    # tuples/lists can never mismatch a stored scope; identifier_columns
-    # are part of it too — a feed's change-type semantics must not flip
-    # between passes
-    identity = _json.loads(
-        _json.dumps(
-            {
-                "table": os.path.abspath(location),
-                "scope": sorted(partition_ranges.items())
-                if partition_ranges
-                else None,
-                "identifier_columns": list(identifier_columns)
-                if identifier_columns
-                else None,
-            }
-        )
-    )
-    last = None
-    if os.path.exists(state_path):
-        with open(state_path) as fh:
-            st = _json.load(fh)
-        if {k: st.get(k) for k in identity} != identity:
-            raise ValueError(
-                "feed_dir belongs to a different (table, scope, "
-                "identifier_columns) stream; one feed directory serves one"
-            )
-        last = st["hwm"]
-    if head == -1 or head == last:
-        return {"consumed": [], "rows": 0, "hwm": last}
-    cl = read_changelog(
+    return materialize_increment(
         spark,
         location,
-        after_snapshot_id=last,
-        to_snapshot_id=head,
-        identifier_columns=identifier_columns,
-        partition_ranges=partition_ranges,
+        feed_dir,
+        _FEED_STATE,
+        {
+            "scope": sorted(partition_ranges.items())
+            if partition_ranges
+            else None,
+            "identifier_columns": list(identifier_columns)
+            if identifier_columns
+            else None,
+        },
+        lambda last, head: read_changelog(
+            spark,
+            location,
+            after_snapshot_id=last,
+            to_snapshot_id=head,
+            identifier_columns=identifier_columns,
+            partition_ranges=partition_ranges,
+        ),
     )
-    new_snaps = [
-        s["snapshot-id"]
-        for s in snapshots(location)
-        if s["snapshot-id"] in _ancestors_of(md, head)
-        and (last is None or s["sequence-number"] > next(
-            x["sequence-number"]
-            for x in md["snapshots"]
-            if x["snapshot-id"] == last
-        ))
-    ]
-    os.makedirs(feed_dir, exist_ok=True)
-    n = 0
-    if new_snaps:
-        # ONE job: dynamic-partition overwrite keyed by the commit —
-        # reruns of a crashed pass rewrite the same batch dirs
-        with_batch = cl.withColumn(
-            "batch", F.col("_commit_snapshot_id")
-        )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        with_batch.persist()
-        try:
-            with_batch.write.mode("overwrite").partitionBy("batch").parquet(
-                feed_dir
-            )
-            n = with_batch.count()
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            with_batch.unpersist()
-    tmp = state_path + ".tmp"
-    with open(tmp, "w") as fh:
-        _json.dump({**identity, "hwm": head}, fh)
-    os.replace(tmp, state_path)
-    return {"consumed": new_snaps, "rows": n, "hwm": head}
 
 
 def read_changelog_feed(spark, feed_dir: str):

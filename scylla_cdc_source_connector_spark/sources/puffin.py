@@ -439,20 +439,7 @@ def heavy_hitters(location: str, column: str, *, strict: bool = False) -> dict:
     reported — magnitude is what a salting decision needs."""
     import numpy as np
 
-    from . import iceberg_meta as im
-
-    md = im.current_metadata(location)
-    entries = md.get("statistics", [])
-    if not entries:
-        raise ValueError(f"no statistics recorded for {location}")
-    cur = md["current-snapshot-id"]
-    entry = next((e for e in entries if e["snapshot-id"] == cur), None)
-    stale = entry is None
-    if stale:
-        if strict:
-            raise ValueError("statistics are stale; re-run compute_table_stats")
-        entry = max(entries, key=lambda e: e["snapshot-id"])
-    schema = md["schemas"][md["current-schema-id"]]
+    entry, stale, schema = _resolve_stats_entry(location, strict)
     fid = next(
         (f["id"] for f in schema["fields"] if f["name"] == column), None
     )
@@ -484,12 +471,13 @@ def heavy_hitters(location: str, column: str, *, strict: bool = False) -> dict:
     }
 
 
-def ndv_estimates(location: str, *, strict: bool = False) -> dict:
-    """Read back the current snapshot's NDV estimates from the registered
-    Puffin file (footer `ndv` properties — the same field other engines
-    consume; no payload parse needed).  Stats recorded for an OLDER
-    snapshot are stale: returned with {"stale": True} by default, refused
-    with strict=True (the caller's freshness policy, not ours)."""
+
+def _resolve_stats_entry(location: str, strict: bool):
+    """Shared staleness policy for every statistics reader: the entry for
+    the CURRENT snapshot when present, else (stale) the newest recorded
+    entry — newest by snapshot id, which this writer assigns sequentially
+    (id == sequence number).  strict=True refuses stale.  Returns
+    (entry, stale, schema-dict)."""
     from . import iceberg_meta as im
 
     md = im.current_metadata(location)
@@ -507,8 +495,17 @@ def ndv_estimates(location: str, *, strict: bool = False) -> dict:
                 "re-run compute_table_stats"
             )
         entry = max(entries, key=lambda e: e["snapshot-id"])
+    return entry, stale, md["schemas"][md["current-schema-id"]]
+
+
+def ndv_estimates(location: str, *, strict: bool = False) -> dict:
+    """Read back the current snapshot's NDV estimates from the registered
+    Puffin file (footer `ndv` properties — the same field other engines
+    consume; no payload parse needed).  Stats recorded for an OLDER
+    snapshot are stale: returned with {"stale": True} by default, refused
+    with strict=True (the caller's freshness policy, not ours)."""
+    entry, stale, schema = _resolve_stats_entry(location, strict)
     pf = read_puffin(entry["statistics-path"])
-    schema = md["schemas"][md["current-schema-id"]]
     by_id = {f["id"]: f["name"] for f in schema["fields"]}
     ndv = {}
     for b in pf["blobs"]:

@@ -50,7 +50,9 @@ def main() -> None:
              "changelog incrementally under --output/feed (exactly-once "
              "batch=<snapshot>/ parquet, resume via the feed hwm). "
              "records: same, but as Debezium-enveloped WIRE records under "
-             "--output/records (requires --identifier-columns); production "
+             "--output/records (requires --identifier-columns naming a "
+             "PRIMARY KEY of the input table — e.g. the latest-state "
+             "mirror; a non-unique key refuses in-plan); production "
              "emit = read the dir and write.format('kafka')",
     )
     ap.add_argument("--fresh", action="store_true",

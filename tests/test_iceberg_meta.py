@@ -3926,19 +3926,34 @@ def test_changelog_kafka_envelopes(spark, tmp_root):
         (r["key"]["k"], r["value"]["op"], r["cdc$batch_seq_no"]): r
         for r in env.collect()
     }
-    # 4 inserts at ordinal 0, one update at 1, one delete at 2
+    # 4 inserts from commit seq 1, one update at 2, one delete at 3
     assert {(k, o) for k, o, _ in rows} == {
         ("k0", "c"), ("k1", "c"), ("k2", "c"), ("k3", "c"),
         ("k1", "u"), ("k3", "d"),
     }
-    upd = rows[("k1", "u", 1)]
+    # cdc$batch_seq_no carries the COMMIT SEQUENCE (pass-stable)
+    assert {s for (_, _, s) in rows} == {1, 2, 3}
+    upd = rows[("k1", "u", 2)]
     assert upd["value"]["before"]["v"] == 1
     assert upd["value"]["after"]["v"] == 100
     assert upd["value"]["source"]["table"] == "kv"
     assert upd["value"]["source"]["snapshot_id"] == 2  # the overwrite commit
-    dele = rows[("k3", "d", 2)]
+    dele = rows[("k3", "d", 3)]
     assert dele["value"]["before"]["v"] == 3 and dele["value"]["after"] is None
     assert all(r["topic"] == "t.ice" for r in rows.values())
+
+    # unpaired input (no identifier_columns) is REFUSED in-plan when a
+    # commit holds multiple rows for one key on a side
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    dupf = f"{loc}/data/dups.parquet"
+    pq2.write_table(pa2.table({"k": ["k9", "k9"], "v": [1, 2]}), dupf)
+    im.append_files(loc, [dupf], timestamp_ms=7)
+    with pytest.raises(Exception, match="unpaired changelog"):
+        changelog_kafka_envelopes(
+            im.read_changelog(spark, loc), ["k"]
+        ).collect()
 
     # wire records parse back
     recs = kafka_records(env).collect()
