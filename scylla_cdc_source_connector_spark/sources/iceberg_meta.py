@@ -4445,10 +4445,18 @@ def maintain_changelog_feed(
     )
 
 
-def read_changelog_feed(spark, feed_dir: str):
+def read_changelog_feed(spark, feed_dir: str, *, after_batch: int | None = None):
     """The feed's reader: every materialized changelog row with its
-    provenance columns (`batch` = the committing snapshot id)."""
-    return spark.read.parquet(feed_dir)
+    provenance columns (`batch` = the committing snapshot id).
+    `after_batch` is the consumer's own resume cursor: the filter lands
+    on the `batch=<id>` DIRECTORY partitioning, so a tailing consumer
+    re-reads only new batch dirs (partition pruning, not a data scan)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(feed_dir)
+    if after_batch is not None:
+        df = df.where(F.col("batch") > after_batch)
+    return df
 
 
 # ---------------------------------------------------------------------------

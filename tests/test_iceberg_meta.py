@@ -3718,6 +3718,13 @@ def test_changelog_feed_incremental_exactly_once(spark, tmp_root):
         for r in im.read_changelog_feed(spark, feed).collect()
     } == feed_rows
 
+    # tailing consumers resume from their own batch cursor: the filter
+    # prunes whole batch DIRECTORIES (PartitionFilters, not a data scan)
+    tail_df = im.read_changelog_feed(spark, feed, after_batch=2)
+    assert {int(r["batch"]) for r in tail_df.select("batch").distinct().collect()} == {3, 4}
+    plan = tail_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(batch" in plan or "batch#" in plan.split("PartitionFilters")[1][:80]
+
     # a different table cannot reuse the feed dir
     loc2 = _kv_table(tmp_root, "ice_feed_other", n_files=1, rows_per=2)
     with pytest.raises(ValueError, match="different"):
